@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.4 Aggregations. All float aggregates are rounded identically on the
+  * Spark and DuckDB sides (money: 2dp, ratios: 6dp) and every query ends
+  * in a total ORDER BY — the driver hash-compares results exactly.
+  *
+  * Scale: groupBy on low-cardinality keys is a two-phase hash aggregate
+  * (partial map-side combine, then a tiny shuffle of pre-aggregated rows)
+  * — the shuffle volume is O(groups×partitions), not O(rows), so this
+  * shape survives 100 TB unchanged.
+  */
+object AggQueries {
+
+  val queries: Map[String, Q] = Map(
+    "agg_basic" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "agg_global" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc")
+        )
+    }),
+
+    "agg_count_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")
+        )
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_grouping_sets" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), round(sum(col("revenue")), 2).as("revenue"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().as("gid"), round(sum(col("s_acctbal")), 2).as("sum_bal"),
+          count(lit(1)).as("n_supp"))
+        .orderBy(col("gid"), col("r_name"), col("n_name"))
+    }),
+
+    "agg_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    "agg_collect" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") <= 100)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_partkey"))).as("partkeys"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "agg_stats" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 6).as("cov_pq")
+        )
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_percentile" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price")
+        )
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "agg_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // agg_percentile carries both exact and approx medians on the Spark side;
+  // approx_percentile with a huge accuracy equals exact on these data.
+  val oracle: Map[String, String] = Map(
+    "agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_global" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price,
+        |  round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, grouping(l_returnflag, l_linestatus) AS gid,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, grouping(r_name, n_name) AS gid,
+        |  round(sum(s_acctbal), 2) AS sum_bal, count(*) AS n_supp
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name, n_name""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, grouping(o_orderstatus, o_orderpriority) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT l_orderkey, list(l_partkey ORDER BY l_partkey) AS partkeys
+        |FROM lineitem WHERE l_orderkey <= 100
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 6) AS sd_price,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 6) AS cov_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+  )
+}
