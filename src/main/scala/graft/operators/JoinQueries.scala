@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3 Joins.
+  *
+  * Scale notes: dimension joins (nation/region/customer-by-key) carry an
+  * explicit broadcast() hint so no shuffle of the fact side ever happens;
+  * the fact-fact joins (lineitem⋈orders) shuffle on the join key — the
+  * partition-count is the driver's shuffle.partitions and AQE coalesces.
+  * join_asof is the windowed formulation (sort within user partition) —
+  * O(n log n) per partition, no pairwise blowup — while its oracle uses
+  * the equivalent (but quadratic) join+max SQL; semantics agree as long
+  * as (user_id, ts) has no exact duplicate timestamps across click and
+  * purchase (holds for the generated µs-precision data).
+  */
+object JoinQueries {
+
+  val queries: Map[String, Q] = Map(
+    "join_broadcast" -> ((s, dir) => {
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "join_shuffle" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(Tables.dec2(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "join_left_outer" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_full_outer" -> ((s, dir) => {
+      val ok = Tables.orders(s, dir).select(col("o_orderkey")).distinct()
+      val lk = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+      ok.join(lk, col("o_orderkey") === col("l_orderkey"), "full")
+        .select(
+          coalesce(col("o_orderkey"), col("l_orderkey")).as("orderkey"),
+          col("o_orderkey").isNotNull.as("has_order"),
+          col("l_orderkey").isNotNull.as("has_lineitem"))
+        .orderBy(col("orderkey"))
+    }),
+
+    "join_semi" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_anti" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_cross" -> ((s, dir) => {
+      Tables.region(s, dir).select(col("r_name"))
+        .crossJoin(Tables.nation(s, dir).select(col("n_name")))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "join_theta_range" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val a = ev.select(col("event_id").as("id_a"), col("user_id").as("u_a"), col("ts").as("ts_a"))
+      val b = ev.select(col("event_id").as("id_b"), col("user_id").as("u_b"), col("ts").as("ts_b"))
+      a.join(b, col("u_a") === col("u_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
+        .select(col("id_a"), col("id_b"), col("u_a").as("user_id"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "join_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    "join_interval" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("o_orderdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "join_shuffle" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT coalesce(o.o_orderkey, l.l_orderkey) AS orderkey,
+        |  o.o_orderkey IS NOT NULL AS has_order,
+        |  l.l_orderkey IS NOT NULL AS has_lineitem
+        |FROM (SELECT DISTINCT o_orderkey FROM orders) o
+        |FULL OUTER JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |  ON o.o_orderkey = l.l_orderkey
+        |ORDER BY orderkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS last_click_ts
+        |FROM events p
+        |LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "join_interval" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}
