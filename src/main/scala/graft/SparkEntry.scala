@@ -19,7 +19,12 @@ object SparkEntry {
     (graft.sources.ScanQueries.queries, graft.sources.ScanQueries.oracle),
     (FilterQueries.queries, FilterQueries.oracle),
     (SortSetQueries.queries, SortSetQueries.oracle),
-    (JoinQueries.queries, JoinQueries.oracle)
+    (JoinQueries.queries, JoinQueries.oracle),
+    (WindowQueries.queries, WindowQueries.oracle),
+    (graft.functions.FnQueries.queries, graft.functions.FnQueries.oracle),
+    (LlmQueries.queries, LlmQueries.oracle),
+    (graft.functions.UdfQueries.queries, graft.functions.UdfQueries.oracle),
+    (graft.streaming.StreamBatchQueries.queries, graft.streaming.StreamBatchQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,207 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.7 Scalar function packs — one multi-column query per family, all
+  * codegen'd built-ins (no UDFs). Floating outputs of transcendental
+  * functions are rounded to 6dp (libm ulp differences between JVM and
+  * DuckDB vanish well below that); integer/string functions need no
+  * rounding.
+  */
+object FnQueries {
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          lower(col("p_type")).as("lo_type"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+          length(col("p_name")).as("name_len"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          regexp_replace(col("p_name"), " ", "_").as("underscored"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          element_at(split(col("p_name"), " "), 1).as("split_first"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "fn_date" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          last_day(col("o_orderdate").cast("date")).as("month_end"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "fn_math" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25).as("abs_dev"),
+          round(col("l_extendedprice") / 7, 2).as("div7"),
+          floor(col("l_extendedprice") / 1000).cast("long").as("floor_k"),
+          ceil(col("l_extendedprice") / 1000).cast("long").as("ceil_k"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_p"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          pmod(floor(col("l_quantity")).cast("int"), lit(5)).as("qty_mod5"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"),
+          round(exp(col("l_discount")), 6).as("exp_d"),
+          signum(col("l_discount") - 0.05).as("sign_d"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "fn_conditional" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("at_least_100k"),
+          least(col("o_totalprice"), lit(100000.0)).as("at_most_100k"),
+          when(col("o_orderpriority") === "1-URGENT",
+            when(col("o_totalprice") > 200000, "urgent_big").otherwise("urgent_small"))
+            .otherwise("normal").as("nested_case"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "fn_array" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          array_contains(col("toks"), "spark").as("has_spark"),
+          slice(col("toks"), 1, 3).as("first3"),
+          sort_array(array_distinct(col("toks"))).as("vocab"),
+          transform(col("toks"), x => upper(x)).as("upper_toks"),
+          filter(col("toks"), x => length(x) > 4).as("long_toks"),
+          aggregate(transform(col("toks"), x => length(x)), lit(0), (a, x) => a + x).as("total_chars"),
+          flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2))).as("first4"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "fn_map" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .withColumn("m", map(lit("brand"), col("p_brand"), lit("type"), col("p_type")))
+        .withColumn("sm", str_to_map(
+          concat(lit("b:"), col("p_brand"), lit(",t:"), col("p_type")), lit(","), lit(":")))
+        .select(
+          col("p_partkey"),
+          element_at(col("m"), "brand").as("brand_val"),
+          element_at(col("m"), "type").as("type_val"),
+          sort_array(map_keys(col("m"))).as("mkeys"),
+          element_at(col("sm"), "b").as("sm_b"),
+          element_at(col("sm"), "t").as("sm_t"),
+          size(col("sm")).as("sm_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "fn_json" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_int"),
+          json_tuple(col("props"), "k").as("k_tup"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name,
+        |  lower(p_type) AS lo_type,
+        |  trim('  ' || p_brand || '  ') AS trimmed,
+        |  substring(p_name, 1, 5) AS sub5,
+        |  concat_ws('-', p_brand, p_type) AS joined,
+        |  length(p_name) AS name_len,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  replace(p_name, ' ', '_') AS underscored,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  str_split(p_name, ' ')[1] AS split_first
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  quarter(o_orderdate) AS qtr,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS abs_dev,
+        |  round(l_extendedprice / 7, 2) AS div7,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floor_k,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS ceil_k,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_p,
+        |  pow(l_quantity, 2) AS qty_sq,
+        |  CAST(floor(l_quantity) AS INT) % 5 AS qty_mod5,
+        |  round(ln(l_extendedprice), 6) AS ln_p,
+        |  round(exp(l_discount), 6) AS exp_d,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  greatest(o_totalprice, 100000.0) AS at_least_100k,
+        |  least(o_totalprice, 100000.0) AS at_most_100k,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN
+        |    CASE WHEN o_totalprice > 200000 THEN 'urgent_big' ELSE 'urgent_small' END
+        |  ELSE 'normal' END AS nested_case
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT doc_id,
+        |  len(toks) AS n_toks,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  toks[1:3] AS first3,
+        |  list_sort(list_distinct(toks)) AS vocab,
+        |  list_transform(toks, x -> upper(x)) AS upper_toks,
+        |  list_filter(toks, x -> length(x) > 4) AS long_toks,
+        |  list_sum(list_transform(toks, x -> length(x))) AS total_chars,
+        |  flatten([toks[1:2], toks[3:4]]) AS first4
+        |FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "fn_map" ->
+      """SELECT p_partkey,
+        |  p_brand AS brand_val,
+        |  p_type AS type_val,
+        |  ['brand', 'type'] AS mkeys,
+        |  p_brand AS sm_b,
+        |  p_type AS sm_t,
+        |  2 AS sm_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        |  (props->>'$.k') AS k_str,
+        |  CAST(props->>'$.k' AS INT) AS k_int,
+        |  (props->>'$.k') AS k_tup
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 Window functions.
+  *
+  * Every window has a unique tiebreaker in its ORDER BY — rank ties would
+  * otherwise make row_number nondeterministic across engines. Windows are
+  * partitioned by a real key (order, user, customer, segment), never a
+  * single global partition, so the sort is distributed at scale.
+  * Moving averages are computed as exact decimal sum / count instead of
+  * avg() so frame aggregation order can't perturb the last ulp.
+  */
+object WindowQueries {
+
+  val queries: Map[String, Q] = Map(
+    "win_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(desc("l_extendedprice"), asc("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rn") <= 2)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("prev_ts"), col("next_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "win_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("running_total", sum(Tables.dec2(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("running_total"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "win_moving" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("mov_sum", sum(Tables.dec2(col("o_totalprice"))).over(w).cast("double"))
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .withColumn("mov_avg", round(col("mov_sum") / col("mov_n"), 6))
+        .select(col("o_orderkey"), col("o_custkey"), col("mov_sum"), col("mov_n"), col("mov_avg"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "win_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day_num"))
+        .rangeBetween(Window.currentRow, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("day_num", datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+        .withColumn("same_day_sum", sum(Tables.dec2(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day_num"), col("same_day_sum"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "win_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .select(col("c_custkey"), col("c_mktsegment"), col("quartile"), col("pct_rank"), col("cume"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC))
+        |WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  lag(ts, 1) OVER w AS prev_ts, lead(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "win_running" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "win_moving" ->
+      """SELECT o_orderkey, o_custkey, mov_sum, mov_n, round(mov_sum / mov_n, 6) AS mov_avg
+        |FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+        |    count(*) OVER w AS mov_n
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_custkey, day_num,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day_num
+        |    RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS DOUBLE) AS same_day_sum
+        |FROM (SELECT *, datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "win_distribution" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
