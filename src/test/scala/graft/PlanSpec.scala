@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB story: predicates and projections
+  * must reach the parquet scan, small dims must broadcast, top-k must not
+  * globally sort.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("scan_pushdown pushes the shipdate predicate into the parquet scan") {
+    val p = plan("scan_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("scan_project prunes columns at the reader") {
+    val p = plan("scan_project")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_shipdate"), s"unused column not pruned:\n$p")
+  }
+
+  test("join_broadcast uses a broadcast join, not a shuffle") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg_basic uses two-phase hash aggregation") {
+    val p = plan("agg_basic")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("whole-stage codegen covers the scan-agg hot path") {
+    // AQE finalizes the physical plan lazily — execute first
+    val df = SparkEntry.queries("agg_basic")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" in the plan string
+    assert(p.contains("*(1)"), p)
+  }
+}

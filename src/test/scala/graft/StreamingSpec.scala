@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingJobs
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long)
+
+/** §2.9 streaming semantics: stream results equal batch twins; watermarks
+  * drop late data; session windows, dedup, and arbitrary state work.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** File streaming sources require a directory; stage the single events
+    * parquet file into one.
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_events")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("stream_tumbling equals its oracle-checked batch twin") {
+    val streamed = StreamingJobs.tumbling(spark, eventsDir, "st_tumbling_spec")
+      .select("user_id", "win_start", "n", "sum_value").collect().toSet
+    val batch = SparkEntry.queries("stream_tumbling_batch")(spark, sf)
+      .collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("stream_session equals batch session_window on the same data") {
+    val streamed = StreamingJobs.sessionWindows(spark, eventsDir, "st_session_spec")
+      .collect().toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n"))
+      .collect().toSet
+    assert(streamed === batch)
+    // session invariant: total events preserved
+    val total = streamed.toSeq.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("watermark drops events later than 10 minutes behind max ts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingJobs.watermarkedTumblingQuery(ms.toDF(), "st_watermark_spec")
+    try {
+      // batch 1: three events in the 10:00 window
+      ms.addData(Ev(1, t("2024-01-01 10:00:00"), 7), Ev(2, t("2024-01-01 10:10:00"), 7),
+        Ev(3, t("2024-01-01 10:20:00"), 7))
+      q.processAllAvailable()
+      // batch 2: advance watermark far past the 10:00 window's end
+      ms.addData(Ev(4, t("2024-01-01 12:00:00"), 7))
+      q.processAllAvailable()
+      // batch 3: a late event for the (closed) 10:00 window — must be dropped
+      ms.addData(Ev(5, t("2024-01-01 10:05:00"), 7))
+      q.processAllAvailable()
+      // batch 4: flush
+      ms.addData(Ev(6, t("2024-01-01 13:30:00"), 7))
+      q.processAllAvailable()
+      val rows = spark.table("st_watermark_spec")
+        .collect().map(r => (r.getAs[Timestamp]("win_start").toString, r.getAs[Long]("n"))).toMap
+      assert(rows.get("2024-01-01 10:00:00.0").contains(3L),
+        s"late event must not be counted: $rows")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingJobs.streamingDedupQuery(ms.toDF(), "st_dedup_spec")
+    try {
+      ms.addData(Ev(1, t("2024-01-01 10:00:00"), 1), Ev(1, t("2024-01-01 10:00:00"), 1),
+        Ev(2, t("2024-01-01 10:01:00"), 1))
+      q.processAllAvailable()
+      ms.addData(Ev(2, t("2024-01-01 10:01:00"), 1), Ev(3, t("2024-01-01 10:02:00"), 1))
+      q.processAllAvailable()
+      val ids = spark.table("st_dedup_spec").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running count matches batch counts") {
+    val streamed = StreamingJobs.statefulRunningCount(spark, eventsDir, "st_state_spec")
+    // keep the last emitted count per user (Update mode may emit per batch)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(desc("n_events"))
+    val finalCounts = streamed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("user_id", "n_events")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts === batch)
+  }
+}
