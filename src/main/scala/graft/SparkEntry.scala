@@ -24,7 +24,9 @@ object SparkEntry {
     (graft.functions.FnQueries.queries, graft.functions.FnQueries.oracle),
     (LlmQueries.queries, LlmQueries.oracle),
     (graft.functions.UdfQueries.queries, graft.functions.UdfQueries.oracle),
-    (graft.streaming.StreamBatchQueries.queries, graft.streaming.StreamBatchQueries.oracle)
+    (graft.streaming.StreamBatchQueries.queries, graft.streaming.StreamBatchQueries.oracle),
+    (MultimodalQueries.queries, MultimodalQueries.oracle),
+    (AnnQueries.queries, AnnQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (BASELINE.json north star).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata — the
+  * pattern a 100 TB training-data pipeline uses: the bytes travel through
+  * Spark untouched (no decode on the shuffle path), metadata lives in a
+  * struct column for pruning/filtering, and decode/feature-extraction is
+  * a per-partition boundary op. The real decoders (image/audio libs)
+  * are not in this environment, so `decodeStub` is a clearly-marked
+  * deterministic fake — but the plumbing (binary schema, metadata
+  * struct, partition-wise extraction, filter pushdown on metadata) is
+  * real and oracle-checked via byte-level functions DuckDB shares.
+  */
+object MultimodalQueries {
+
+  /** documents.text re-encoded as a binary payload + metadata struct —
+    * the canonical "media table" shape: (id, bytes, meta).
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          col("n_chars").cast("long").as("n_bytes"),
+          col("lang").as("format"),
+          col("source").as("origin")).as("meta"))
+
+  /** STUB decoder — stands in for image/audio decode (libs unavailable
+    * here). Deterministic fake: "decodes" a payload to (n_bytes,
+    * first_byte, byte_sum) so the pipeline shape (binary in → features
+    * out, computed partition-wise, no driver collect) is fully exercised.
+    */
+  def decodeStub(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(
+      octet_length(payload).as("n_bytes"),
+      getbit(payload, lit(0)).as("first_bit"),
+      crc32(payload).as("checksum"))
+
+  val queries: Map[String, Q] = Map(
+    // binary payload round-trip: encode → octet_length/metadata checks
+    "mm_binary_meta" -> ((s, dir) => {
+      mediaTable(s, dir)
+        .select(
+          col("media_id"),
+          octet_length(col("payload")).as("payload_bytes"),
+          col("meta.n_bytes").as("meta_bytes"),
+          (octet_length(col("payload")).cast("long") === col("meta.n_bytes")).as("meta_consistent"),
+          col("meta.format").as("format"))
+        .orderBy(col("media_id"))
+    }),
+
+    // metadata-pruned scan: filter on the struct BEFORE touching payload
+    // (at scale: row-group pruning on the small meta column, payload
+    // bytes never read for filtered-out rows)
+    "mm_meta_filter" -> ((s, dir) => {
+      mediaTable(s, dir)
+        .filter(col("meta.format").isin("en", "fr") && col("meta.n_bytes") > 100)
+        .groupBy(col("meta.format").as("format"))
+        .agg(count(lit(1)).as("n"), sum(col("meta.n_bytes")).as("total_bytes"))
+        .orderBy(col("format"))
+    }),
+
+    // partition-wise feature extraction over binary payloads (stub
+    // decode): substring of bytes + per-payload byte checks — the shape
+    // of frame-sample / feature-extract
+    "mm_feature_extract" -> ((s, dir) => {
+      mediaTable(s, dir)
+        .select(
+          col("media_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          decode(substr(col("payload"), lit(1), lit(10)), "UTF-8").as("head_text"),
+          ascii(decode(substr(col("payload"), lit(1), lit(1)), "UTF-8")).as("first_byte"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS payload_bytes,
+        |  CAST(n_chars AS BIGINT) AS meta_bytes,
+        |  octet_length(encode(text)) = n_chars AS meta_consistent,
+        |  lang AS format
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_meta_filter" ->
+      """SELECT lang AS format, count(*) AS n, sum(CAST(n_chars AS BIGINT)) AS total_bytes
+        |FROM documents
+        |WHERE lang IN ('en', 'fr') AND n_chars > 100
+        |GROUP BY lang ORDER BY format""".stripMargin,
+
+    "mm_feature_extract" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  substring(text, 1, 10) AS head_text,
+        |  ascii(substring(text, 1, 1)) AS first_byte
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the non-oracle similarity / fingerprint / langid operators. */
+class AnnSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("sim_ann_ivf returns 5 ranked neighbors per query from one bucket") {
+    val out = SparkEntry.queries("sim_ann_ivf")(spark, sf)
+    val rows = out.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    for ((q, rs) <- byQ) {
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length), s"q=$q")
+      val cosines = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cosines.sameElements(cosines.sorted.reverse), s"not descending for q=$q")
+    }
+  }
+
+  test("sim_ann_ivf recall vs brute force is sane (>= 20% at nprobe=1, 8 buckets)") {
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // brute-force top-5 for the same queries
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val q = emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("e").as("q_e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    val brute = q.crossJoin(emb).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(aggregate(zip_with(col("q_e"), col("e"), (x, y) => x * y),
+        lit(0.0), (a, v) => a + v), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall=$recall (ivf=${ivf.size}, brute=${brute.size})")
+  }
+
+  test("simhash signatures collide for identical texts") {
+    import spark.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_simhash_test"
+    Seq(
+      (1L, "spark query join sort batch stream window"),
+      (2L, "spark query join sort batch stream window"),
+      (3L, "alpha beta gamma delta epsilon zeta eta")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_simhash")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"identical texts must collide: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L), s"distinct doc collided: $pairs")
+  }
+
+  test("langid picks the language whose markers dominate crafted text") {
+    import spark.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_langid_test"
+    Seq(
+      (1L, "x", "the then there another thing"), // en markers: th he in er an
+      (2L, "x", "schnell schweigen reichen eichen") // de markers: sch ch ei en er
+    ).toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val preds = SparkEntry.queries("text_langid")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(preds(1L) == "en", s"got $preds")
+    assert(preds(2L) == "de", s"got $preds")
+  }
+
+  test("emb_neardup pairs all have cos >= 0.45 and appear in both directions-free form") {
+    val rows = SparkEntry.queries("emb_neardup")(spark, sf).collect()
+    assert(rows.forall(_.getAs[Double]("cos") >= 0.45))
+    assert(rows.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+
+  test("multimodal metadata is consistent with payload bytes") {
+    val out = SparkEntry.queries("mm_binary_meta")(spark, sf)
+    assert(out.filter(col("meta_consistent") === false).count() === 0)
+  }
+}
