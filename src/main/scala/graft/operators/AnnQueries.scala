@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object AnnQueries {
 
   private def dotDouble(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(a, b)
 
   private def embDouble(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.embeddings(s, dir)
@@ -37,7 +37,11 @@ object AnnQueries {
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           round(dotDouble(col("e_a"), col("e_b")), 6).as("cos"))
-        .filter(col("cos") >= 0.45)
+        // `|| rand() > 2` is always false but marks the predicate
+        // nondeterministic, so Catalyst can't push it into the join
+        // condition — without it the dot product runs twice per pair
+        // (once interpreted inside the BNLJ predicate): 76s → 5s at sf0.1
+        .filter(col("cos") >= 0.45 || rand() > lit(2))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -70,9 +74,7 @@ object AnnQueries {
       // and dedup_minhash use), then 32-bit sign-aggregated SimHash
       val tokHashed = Tables.documents(s, dir)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("h", expr(
-          "pmod(aggregate(transform(split(tok, ''), c -> ascii(c)), " +
-            "7L, (acc, c) -> pmod(acc * 31 + c, 1000000007)), 1000000007)"))
+        .withColumn("h", pmod(xxhash64(col("tok")), lit(1000000007L)))
       val bitCols = (0 until 32).map { i =>
         // weight +1 if bit i of a mixed hash is set, else -1
         sum(when(expr(s"pmod(h DIV ${1L << (i % 20)} + h * ${2 * i + 1}, 2)") === 1, 1)
