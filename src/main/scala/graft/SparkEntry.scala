@@ -26,7 +26,9 @@ object SparkEntry {
     (graft.functions.UdfQueries.queries, graft.functions.UdfQueries.oracle),
     (graft.streaming.StreamBatchQueries.queries, graft.streaming.StreamBatchQueries.oracle),
     (MultimodalQueries.queries, MultimodalQueries.oracle),
-    (AnnQueries.queries, AnnQueries.oracle)
+    (AnnQueries.queries, AnnQueries.oracle),
+    (ReshapeQueries.queries, ReshapeQueries.oracle),
+    (graft.etl.EtlQueries.queries, graft.etl.EtlQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,61 @@
+package graft.etl
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Declared queries exercising the Pipeline facade end-to-end:
+  * extract → clean → reshape/rollup → load → read-back, as one lazy plan
+  * plus a single load action.
+  */
+object EtlQueries {
+
+  val queries: Map[String, Q] = Map(
+    // monthly revenue rollup per order status, through the full
+    // extract→transform→load→read-back path
+    "etl_pipeline" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_rt/etl_pipeline"
+      Pipeline(s)
+        .extractParquet(s"$dir/orders.parquet")
+        .transform(Stages.qcFilter("o_orderstatus", Seq("F", "O", "P")))
+        .transform(Stages.timeRollup("o_orderdate", "month", Seq("o_orderstatus"),
+          Seq(sum(Tables.dec2(col("o_totalprice"))).cast("double").as("monthly_total"),
+            count(lit(1)).as("n_orders"))))
+        .loadParquet(out)
+        .orderBy(col("bucket"), col("o_orderstatus"))
+    }),
+
+    // element-pivot shape on events: event_type rows → per-type value
+    // columns per user (the GHCN TMAX/TMIN/PRCP reshape, on our data)
+    "etl_pivot_elements" -> ((s, dir) => {
+      Pipeline(s, Some(Tables.events(s, dir)))
+        .transform(Stages.pivotElements(Seq("user_id"), "event_type", "value",
+          Seq("click", "purchase", "view")))
+        .result
+        .select(col("user_id"),
+          round(col("click"), 6).as("click"),
+          round(col("purchase"), 6).as("purchase"),
+          round(col("view"), 6).as("view"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "etl_pipeline" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+        |  o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_total,
+        |  count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'O', 'P')
+        |GROUP BY bucket, o_orderstatus
+        |ORDER BY bucket, o_orderstatus""".stripMargin,
+
+    "etl_pivot_elements" ->
+      """SELECT user_id,
+        |  round(min(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+        |  round(min(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+        |  round(min(value) FILTER (WHERE event_type = 'view'), 6) AS view
+        |FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Reshape operators — pivot / unpivot (the canonical weather-ETL
+  * transform: element rows ⇄ element columns).
+  *
+  * Pivot with an explicit value list compiles to a single pass
+  * (groupBy + conditional aggregates), no extra shuffle vs a plain
+  * aggregation — the shape to insist on at 100 TB (pivot without the
+  * value list triggers a distinct-scan first). Unpivot is a generator
+  * (expand), shuffle-free.
+  */
+object ReshapeQueries {
+
+  val queries: Map[String, Q] = Map(
+    "reshape_pivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(Tables.dec2(col("l_quantity"))).cast("double"))
+        .withColumnRenamed("A", "qty_a")
+        .withColumnRenamed("N", "qty_n")
+        .withColumnRenamed("R", "qty_r")
+        .orderBy(col("l_linestatus"))
+    }),
+
+    "reshape_unpivot" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "reshape_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "reshape_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin
+  )
+}
