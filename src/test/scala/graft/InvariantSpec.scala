@@ -40,6 +40,13 @@ class InvariantSpec extends AnyFunSuite {
     assert(offUnit.count() === 0)
   }
 
+  test("approx_count_distinct is within 5% of exact") {
+    val row = SparkEntry.queries("agg_approx_distinct")(spark, sf).head()
+    val approx = row.getAs[Long]("approx_parts").toDouble
+    val exact = row.getAs[Long]("exact_parts").toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("filtered scan is a subset of the full scan") {
     val filtered = SparkEntry.queries("scan_pushdown")(spark, sf).count()
     val full = Tables.lineitem(spark, sf).count()

@@ -39,6 +39,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("join_shuffle broadcasts the customer dimension at test scale") {
+    val df = SparkEntry.queries("join_shuffle")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("join_semi and join_anti use semi/anti join operators") {
+    assert(plan("join_semi").contains("LeftSemi"), plan("join_semi"))
+    assert(plan("join_anti").contains("LeftAnti"), plan("join_anti"))
+  }
+
+  test("dedup_near compares pairs on long masks, not arrays, in the hot path") {
+    val p = SparkEntry.queries("dedup_near")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("bit_count"), p)
+  }
+
+  test("sim_cosine_topk uses the custom codegen dot product and top-k fusion") {
+    val p = plan("sim_cosine_topk")
+    assert(p.contains("dotproduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("whole-stage codegen covers the scan-agg hot path") {
     // AQE finalizes the physical plan lazily — execute first
     val df = SparkEntry.queries("agg_basic")(spark, sf)
