@@ -28,7 +28,8 @@ object SparkEntry {
     (MultimodalQueries.queries, MultimodalQueries.oracle),
     (AnnQueries.queries, AnnQueries.oracle),
     (ReshapeQueries.queries, ReshapeQueries.oracle),
-    (graft.etl.EtlQueries.queries, graft.etl.EtlQueries.oracle)
+    (graft.etl.EtlQueries.queries, graft.etl.EtlQueries.oracle),
+    (graft.sources.BucketQueries.queries, graft.sources.BucketQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

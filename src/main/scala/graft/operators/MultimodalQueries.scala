@@ -77,10 +77,41 @@ object MultimodalQueries {
           decode(substr(col("payload"), lit(1), lit(10)), "UTF-8").as("head_text"),
           ascii(decode(substr(col("payload"), lit(1), lit(1)), "UTF-8")).as("first_byte"))
         .orderBy(col("media_id"))
-    })
+    }),
+
+    "mm_decode_partitionwise" -> ((s, dir) => decodePartitionwise(s, dir))
   )
 
+  /** Typed per-partition decode record. */
+  case class MediaFeatures(media_id: Long, n_bytes: Int, first_byte: Int, head_text: String)
+
+  /** Partition-wise decode via typed mapPartitions — the Scala equivalent
+    * of a batched decode UDF (mapInPandas-style): payload bytes are
+    * processed batch-at-a-time inside each partition, nothing crosses to
+    * the driver, and downstream ops see a typed frame. The byte-level
+    * "decode" here is the stub (real media libs unavailable); the
+    * partitioning/encoder plumbing is the real pattern.
+    */
+  private val decodePartitionwise: Q = (s, dir) => {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaFeatures(id, bytes.length, bytes.headOption.map(_.toInt).getOrElse(-1),
+          new String(bytes.take(10), java.nio.charset.StandardCharsets.UTF_8))
+      })
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "mm_decode_partitionwise" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  substring(text, 1, 10) AS head_text
+        |FROM documents ORDER BY media_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS payload_bytes,

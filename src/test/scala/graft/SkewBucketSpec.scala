@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SkewJoin
+
+/** Salted skew join correctness + bucketed-join shuffle elimination. */
+class SkewBucketSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("salted join result equals plain join on skewed data") {
+    import spark.implicits._
+    // hot key 1L carries 80% of rows
+    val big = ((1 to 800).map(i => (1L, i)) ++ (1 to 200).map(i => (i.toLong % 50 + 2, i)))
+      .toDF("k", "v")
+    val small = (1L to 60L).map(k => (k, s"dim_$k")).toDF("sk", "name")
+    val plain = big.join(small, big("k") === small("sk"))
+      .select("k", "v", "name").collect().toSet
+    val salted = SkewJoin.saltedEquiJoin(big, small, "k", "sk", saltBuckets = 8)
+      .select("k", "v", "name").collect().toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("bucketed join plan has no shuffle exchange (broadcast disabled)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // materialize the bucketed tables + query through the declared entry
+      SparkEntry.queries("sink_bucketed_join")(spark, sf).collect()
+      // the join itself (before agg) must be exchange-free on both sides
+      val joined = spark.table("graft_lineitem_bkt")
+        .join(spark.table("graft_orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
