@@ -29,7 +29,8 @@ object SparkEntry {
     (AnnQueries.queries, AnnQueries.oracle),
     (ReshapeQueries.queries, ReshapeQueries.oracle),
     (graft.etl.EtlQueries.queries, graft.etl.EtlQueries.oracle),
-    (graft.sources.BucketQueries.queries, graft.sources.BucketQueries.oracle)
+    (graft.sources.BucketQueries.queries, graft.sources.BucketQueries.oracle),
+    (graft.streaming.StreamingDeclared.queries, graft.streaming.StreamingDeclared.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -30,6 +30,14 @@ object AnnQueries {
         transform(col("embedding"), x => x.cast("double")).as("e"))
 
   val queries: Map[String, Q] = Map(
+    // §2.10 expr_custom: the fused codegen DotProduct expression driven
+    // directly — self-similarity of unit vectors (≈1.0), oracle-checked
+    "expr_custom" -> ((s, dir) => {
+      embDouble(s, dir)
+        .select(col("vec_id"), round(dotDouble(col("e"), col("e")), 6).as("self_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     "emb_neardup" -> ((s, dir) => {
       val emb = embDouble(s, dir)
       val a = emb.select(col("vec_id").as("id_a"), col("e").as("e_a"))
@@ -118,6 +126,12 @@ object AnnQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "expr_custom" ->
+      """SELECT vec_id,
+        |  round(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), 6) AS self_cos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     "emb_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_sum(list_transform(range(1, 65),
