@@ -108,8 +108,6 @@ object FnQueries {
     }),
 
     "fn_json" -> ((s, dir) => {
-      val s2 = s
-      import s2.implicits._
       Tables.events(s, dir)
         .select(
           col("event_id"),
