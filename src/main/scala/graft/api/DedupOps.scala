@@ -1,0 +1,116 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Library-facing deduplication operators over arbitrary frames.
+  * The declared contract queries in `graft.operators` are thin adapters
+  * over these. Thresholds are rationals (num/den) so candidate filters
+  * stay in exact integer arithmetic.
+  */
+object DedupOps {
+
+  /** Exact dedup: one surviving row id per distinct key, plus the
+    * multiplicity — deterministic (min id wins), unlike dropDuplicates.
+    */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** All pairs with token-set Jaccard ≥ num/den. Exact results at any
+    * vocabulary size: 64-bit dictionary bitmasks with bit_count in the
+    * hot path, per-pair array intersect fallback beyond 64 tokens.
+    * Size-band blocking (|A|/|B| ∈ [num/den, den/num]) prunes the
+    * self-join. At very large corpora run [[minhashCandidates]] first
+    * and verify only candidates with this.
+    */
+  def nearJaccardPairs(documents: DataFrame, idCol: String, textCol: String,
+      num: Int = 4, den: Int = 5): DataFrame = {
+    val docs = documents
+      .select(col(idCol).as("doc_id"), array_distinct(split(col(textCol), " ")).as("ts"))
+      .withColumn("n", size(col("ts")))
+    val dict = docs.select(explode(col("ts")).as("tok")).distinct()
+      .withColumn("tok_id", row_number().over(Window.orderBy(col("tok"))) - 1)
+    val masked = docs.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .join(broadcast(dict), "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("bit_or(CASE WHEN tok_id < 64 THEN shiftleft(CAST(1 AS BIGINT), tok_id) ELSE 0 END)").as("mask"),
+        max(col("tok_id")).as("max_id"))
+    val prepared = docs.join(masked, "doc_id")
+      .withColumn("valid", col("max_id") < 64)
+    val a = prepared.select(col("doc_id").as("id_a"), col("ts").as("ts_a"),
+      col("n").as("n_a"), col("mask").as("m_a"), col("valid").as("v_a"))
+    val b = prepared.select(col("doc_id").as("id_b"), col("ts").as("ts_b"),
+      col("n").as("n_b"), col("mask").as("m_b"), col("valid").as("v_b"))
+    a.join(b, col("id_a") < col("id_b") &&
+        col("n_b") * den >= col("n_a") * num && col("n_a") * den >= col("n_b") * num)
+      .withColumn("inter", when(col("v_a") && col("v_b"),
+          bit_count(col("m_a").bitwiseAND(col("m_b"))))
+        .otherwise(size(array_intersect(col("ts_a"), col("ts_b")))))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
+  /** MinHash/LSH near-duplicate candidate pairs (no pairwise scan):
+    * `numHashes` signatures in `bands` bands; docs sharing any band
+    * bucket are candidates. `bucketCap` skips degenerate mega-buckets
+    * (m docs in a bucket = m²/2 pairs). Engine-specific hashes — verify
+    * candidates with [[nearJaccardPairs]] for exact results.
+    */
+  def minhashCandidates(documents: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, bucketCap: Int = 50): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val docs = documents
+      .select(col(idCol).as("doc_id"), array_distinct(split(col(textCol), " ")).as("ts"))
+      .withColumn("tok_hashes",
+        transform(col("ts"), t => pmod(xxhash64(t), lit(1000000007L))))
+    val sigs = (0 until numHashes).map { i =>
+      val a = 1299721L + 7919L * i
+      val b = 104729L + 337L * i
+      array_min(transform(col("tok_hashes"),
+        h => pmod(h * lit(a) + lit(b), lit(1000000007L)))).as(s"mh_$i")
+    }
+    val withSig = docs.select((col("doc_id") +: sigs): _*)
+    val banded = (0 until bands).map { band =>
+      withSig.select(col("doc_id"), lit(band).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${band * rowsPerBand + r}")): _*)
+          .as("bucket"))
+    }.reduce(_.unionAll(_))
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+    val capped = banded.withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= bucketCap)
+    val x = capped.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+    val y = capped.select(col("doc_id").as("id_b"), col("band").as("band_b"),
+      col("bucket").as("bucket_b"))
+    x.join(y, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** 32-bit sign-aggregated SimHash signature per document; returns
+    * colliding (identical-signature) pairs.
+    */
+  def simhashPairs(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokHashed = documents
+      .select(col(idCol).as("doc_id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("h", pmod(xxhash64(col("tok")), lit(1000000007L)))
+    val bitCols = (0 until 32).map { i =>
+      sum(when(expr(s"pmod(h DIV ${1L << (i % 20)} + h * ${2 * i + 1}, 2)") === 1, 1)
+        .otherwise(-1)).as(s"b_$i")
+    }
+    val sig = tokHashed.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i => (when(col(s"b_$i") > 0, lit(1L)).otherwise(lit(0L)) *
+          lit(1L << i)).as(s"bit_$i")).reduce(_ + _).as("simhash"))
+    val x = sig.select(col("doc_id").as("id_a"), col("simhash"))
+    val y = sig.select(col("doc_id").as("id_b"), col("simhash").as("simhash_b"))
+    x.join(y, col("id_a") < col("id_b") && col("simhash") === col("simhash_b"))
+      .select(col("id_a"), col("id_b"), col("simhash"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.api
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Library-facing similarity search over embedding frames
+  * (id: long, vector: array<float|double>). Unit-normalized vectors →
+  * dot product == cosine. All dots run through the fused codegen
+  * [[DotProduct]] expression.
+  */
+object SimilarityOps {
+
+  private def asDouble(df: DataFrame, idCol: String, vecCol: String) =
+    df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("e"))
+
+  /** Brute-force global top-k most similar pairs. Exact baseline —
+    * quadratic; use [[ivfTopK]] at scale.
+    */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val e = asDouble(emb, idCol, vecCol)
+    val a = e.select(col("vec_id").as("id_a"), col("e").as("e_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("e").as("e_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(DotProduct.dot(col("e_a"), col("e_b")), 6).as("cos"))
+      .orderBy(desc("cos"), col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  /** All pairs with cosine ≥ threshold (rounded to 6dp first so results
+    * are engine-stable).
+    */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = asDouble(emb, idCol, vecCol)
+    val a = e.select(col("vec_id").as("id_a"), col("e").as("e_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("e").as("e_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(DotProduct.dot(col("e_a"), col("e_b")), 6).as("cos"))
+      // nondeterministic guard keeps the threshold out of the BNLJ join
+      // condition (it would force double dot evaluation, one interpreted)
+      .filter(col("cos") >= threshold || rand() > lit(2))
+  }
+
+  /** IVF-style approximate nearest neighbors: assign every vector to its
+    * nearest seed centroid (`numSeeds` lowest-id vectors), then search
+    * top-`k` inside the query vector's bucket only (nprobe=1).
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, numSeeds: Int, k: Int): DataFrame = {
+    val e = asDouble(emb, idCol, vecCol)
+    val seeds = e.orderBy(col("vec_id")).limit(numSeeds)
+      .select(col("vec_id").as("seed_id"), col("e").as("seed_e"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("seed_dot"), col("seed_id"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("seed_dot", DotProduct.dot(col("e"), col("seed_e")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("seed_id").as("bucket"))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("e").as("q_e"), col("bucket"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    q.join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(DotProduct.dot(col("q_e"), col("e")), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Per-label centroids (dense arrays, broadcast) and nearest-centroid
+    * label per vector.
+    */
+  def knnCentroidLabels(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val ex = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val centroids = ex.groupBy(col("label").as("c_label"), col("pos"))
+      .agg(avg(col("v")).as("c_v"))
+      .groupBy(col("c_label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c_v")))),
+        p => p.getField("c_v")).as("c_e"))
+    val e = asDouble(emb, idCol, vecCol)
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("dot"), col("c_label"))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("dot", DotProduct.dot(col("e"), col("c_e")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("pred_label"))
+  }
+}

@@ -122,13 +122,9 @@ object AggQueries {
           countDistinct(col("l_partkey")).as("exact_parts"))
     }),
 
-    "dedup_exact" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-        .select(col("doc_id"), col("n_copies"))
-        .orderBy(col("doc_id"))
-    })
+    "dedup_exact" -> ((s, dir) =>
+      graft.api.DedupOps.exact(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id")))
   )
 
   // agg_percentile carries both exact and approx medians on the Spark side;

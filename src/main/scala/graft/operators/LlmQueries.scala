@@ -25,10 +25,7 @@ object LlmQueries {
 
   val queries: Map[String, Q] = Map(
     "text_tokens" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(explode(toks).as("token"))
-        .groupBy(col("token"))
-        .agg(count(lit(1)).as("n"))
+      graft.api.TextOps.tokenFrequencies(Tables.documents(s, dir), "text")
         .orderBy(col("token"))
     }),
 
@@ -43,153 +40,39 @@ object LlmQueries {
     }),
 
     "text_ngrams" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .withColumn("toks", toks)
-        .withColumn("bigrams", expr(
-          "transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat(x, ' ', toks[i + 1]))"))
-        .select(explode(col("bigrams")).as("bigram"))
-        .groupBy(col("bigram"))
-        .agg(count(lit(1)).as("n"))
+      graft.api.TextOps.bigramCounts(Tables.documents(s, dir), "text")
         .orderBy(col("bigram"))
     }),
 
     "text_quality" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .withColumn("toks", toks)
-        .select(
-          col("doc_id"),
-          size(col("toks")).as("n_tokens"),
-          round(col("n_chars").cast("double") / size(col("toks")), 6).as("avg_tok_len"),
-          round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
-            .as("distinct_ratio"),
-          (size(col("toks")) >= 5 && col("n_chars") >= 20).as("passes_quality"))
+      graft.api.TextOps.qualityScores(Tables.documents(s, dir), "doc_id", "text", "n_chars")
         .orderBy(col("doc_id"))
     }),
 
     "text_fingerprint" -> ((s, dir) => {
-      // position-weighted integer rolling fingerprint — exact on both
-      // engines (pure int64 arithmetic, no floats involved)
-      Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-        .groupBy(col("doc_id"))
-        .agg(pmod(
-          sum(pmod((col("pos") + 1) * lit(131L) + length(col("tok")) * lit(31L) +
-            ascii(col("tok")), lit(1000000007L))),
-          lit(1000000007L)).as("fingerprint"))
+      graft.api.TextOps.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
-    "dedup_near" -> ((s, dir) => {
-      // Exact Jaccard with a bitmask fast path: build a token dictionary,
-      // encode each doc's token set as a 64-bit mask (exact while every
-      // token id < 64 — collision-free by construction), and compare
-      // pairs with two codegen'd long ops instead of interpreted array
-      // intersects. Docs whose vocabulary overflows the mask fall back to
-      // the exact array intersect per pair, so results are correct for
-      // any vocabulary size. 60× faster at sf0.1 (295s → <5s).
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
-        .withColumn("n", size(col("ts")))
-      val dict = docs.select(explode(col("ts")).as("tok")).distinct()
-        .withColumn("tok_id", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("tok"))) - 1)
-      val masked = docs.select(col("doc_id"), explode(col("ts")).as("tok"))
-        .join(broadcast(dict), "tok")
-        .groupBy(col("doc_id"))
-        .agg(
-          expr("bit_or(CASE WHEN tok_id < 64 THEN shiftleft(CAST(1 AS BIGINT), tok_id) ELSE 0 END)").as("mask"),
-          max(col("tok_id")).as("max_id"))
-      val prepared = docs.join(masked, "doc_id")
-        .withColumn("valid", col("max_id") < 64)
-      val a = prepared.select(col("doc_id").as("id_a"), col("ts").as("ts_a"),
-        col("n").as("n_a"), col("mask").as("m_a"), col("valid").as("v_a"))
-      val b = prepared.select(col("doc_id").as("id_b"), col("ts").as("ts_b"),
-        col("n").as("n_b"), col("mask").as("m_b"), col("valid").as("v_b"))
-      a.join(b, col("id_a") < col("id_b") &&
-          col("n_b") * 5 >= col("n_a") * 4 && col("n_a") * 5 >= col("n_b") * 4)
-        .withColumn("inter", when(col("v_a") && col("v_b"),
-            bit_count(col("m_a").bitwiseAND(col("m_b"))))
-          .otherwise(size(array_intersect(col("ts_a"), col("ts_b")))))
-        .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
-        .filter(col("inter") * 5 >= col("uni") * 4)
-        .select(col("id_a"), col("id_b"),
-          round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // exact Jaccard ≥ 4/5 via dictionary bitmasks (see api.DedupOps for
+    // the algorithm + scale notes; 295s → 3.3s at sf0.1 vs naive)
+    "dedup_near" -> ((s, dir) =>
+      graft.api.DedupOps.nearJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
 
-    "dedup_minhash" -> ((s, dir) => {
-      // MinHash/LSH near-dup candidates (non-oracle: hash fns are
-      // engine-internal). 16 signatures from 16 linear hashes over an
-      // exact integer token hash; LSH = 4 bands of 4 rows; candidate
-      // pairs share at least one band bucket. Spec asserts it recovers
-      // the exact-duplicate pairs.
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
-        // xxhash64 is codegen'd and deterministic within Spark — fine for
-        // a non-oracle operator (and far cheaper than a char-level fold)
-        .withColumn("tok_hashes",
-          transform(col("ts"), t => pmod(xxhash64(t), lit(1000000007L))))
-      val sigs = (0 until 16).map { i =>
-        val a = 1299721L + 7919L * i
-        val b = 104729L + 337L * i
-        array_min(transform(col("tok_hashes"),
-          h => pmod(h * lit(a) + lit(b), lit(1000000007L)))).as(s"mh_$i")
-      }
-      val withSig = docs.select((col("doc_id") +: sigs): _*)
-      val banded = (0 until 4).map { band =>
-        withSig.select(col("doc_id"), lit(band).as("band"),
-          concat_ws("_", (0 until 4).map(r => col(s"mh_${band * 4 + r}")): _*).as("bucket"))
-      }.reduce(_.unionAll(_))
-      // standard LSH hygiene: skip mega-buckets (a bucket of m docs emits
-      // m²/2 candidates — on a near-dup-heavy corpus that is quadratic
-      // blowup; capping keeps candidate generation linear-ish while exact
-      // duplicates still collide in small buckets)
-      val wB = Window.partitionBy(col("band"), col("bucket"))
-      val capped = banded.withColumn("bucket_n", count(lit(1)).over(wB))
-        .filter(col("bucket_n") <= 50)
-      val x = capped.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
-      val y = capped.select(col("doc_id").as("id_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
-      x.join(y, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-          col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // MinHash/LSH candidates — non-oracle (engine-internal hashes); spec
+    // asserts exact duplicates are recovered
+    "dedup_minhash" -> ((s, dir) =>
+      graft.api.DedupOps.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
 
-    "sim_cosine_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      val a = emb.select(col("vec_id").as("id_a"), col("e").as("e_a"))
-      val b = emb.select(col("vec_id").as("id_b"), col("e").as("e_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(graft.functions.DotProduct.dot(col("e_a"), col("e_b")), 6).as("cos"))
-        .orderBy(desc("cos"), col("id_a"), col("id_b"))
-        .limit(20)
-    }),
+    "sim_cosine_topk" -> ((s, dir) =>
+      graft.api.SimilarityOps.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 20)),
 
-    "sim_knn_label" -> ((s, dir) => {
-      // centroids assembled into dense arrays and broadcast — each vector
-      // is scored against 10 centroids with the codegen'd dot product
-      // instead of a 64×-exploded shuffle join
-      val ex = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("v", col("v").cast("double"))
-      val centroids = ex.groupBy(col("label").as("c_label"), col("pos"))
-        .agg(avg(col("v")).as("c_v"))
-        .groupBy(col("c_label"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c_v")))),
-          p => p.getField("c_v")).as("c_e"))
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(desc("dot"), col("c_label"))
-      emb.crossJoin(broadcast(centroids))
-        .withColumn("dot", graft.functions.DotProduct.dot(col("e"), col("c_e")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("c_label").as("pred_label"))
-        .orderBy(col("vec_id"))
-    }),
+    "sim_knn_label" -> ((s, dir) =>
+      graft.api.SimilarityOps.knnCentroidLabels(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+        .orderBy(col("vec_id"))),
 
     "multimodal_join" -> ((s, dir) => {
       Tables.documents(s, dir)
