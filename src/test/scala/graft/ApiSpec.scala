@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{DedupOps, SimilarityOps, TextOps}
+
+/** The api.* functions with NON-default parameters on crafted frames —
+  * proves the extracted API is genuinely parameterized, not just the
+  * contract queries re-rolled.
+  */
+class ApiSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"),     // jaccard 3/5 with doc 1
+      (3L, "a b c d"),     // exact dup of 1
+      (4L, "x y z w v")
+    ).toDF("doc_id", "text")
+  }
+
+  test("nearJaccardPairs honors a lowered 1/2 threshold") {
+    val pairs = DedupOps.nearJaccardPairs(docs, "doc_id", "text", num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"jaccard 0.6 pair must pass 0.5: $pairs")
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // and the default 4/5 threshold excludes the 0.6 pair
+    val strict = DedupOps.nearJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!strict.contains((1L, 2L)))
+    assert(strict.contains((1L, 3L)))
+  }
+
+  test("minhashCandidates with 8 hashes / 2 bands still finds exact dups") {
+    val cand = DedupOps.minhashCandidates(docs, "doc_id", "text",
+      numHashes = 8, bands = 2, bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 3L)), s"$cand")
+  }
+
+  test("cosineTopK with k=1 returns the single best pair") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("id", "vec")
+    val top = SimilarityOps.cosineTopK(emb, "id", "vec", k = 1).collect()
+    assert(top.length === 1)
+    assert((top(0).getLong(0), top(0).getLong(1)) === (1L, 2L))
+  }
+
+  test("qualityScores gate respects custom thresholds") {
+    val strict = TextOps.qualityScores(
+      docs.withColumn("n_chars", length(col("text"))),
+      "doc_id", "text", "n_chars", minTokens = 5, minChars = 1)
+    assert(strict.filter(col("passes_quality")).count() === 1) // only the 5-token doc
+  }
+
+  test("langId accepts custom profiles") {
+    val out = TextOps.langId(docs, "doc_id", "text",
+      profiles = Seq("xx" -> Seq("x y"), "aa" -> Seq("a b")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(4L) === "xx")
+    assert(out(1L) === "aa")
+  }
+}
