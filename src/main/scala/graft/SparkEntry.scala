@@ -30,7 +30,8 @@ object SparkEntry {
     (ReshapeQueries.queries, ReshapeQueries.oracle),
     (graft.etl.EtlQueries.queries, graft.etl.EtlQueries.oracle),
     (graft.sources.BucketQueries.queries, graft.sources.BucketQueries.oracle),
-    (graft.streaming.StreamingDeclared.queries, graft.streaming.StreamingDeclared.oracle)
+    (graft.streaming.StreamingDeclared.queries, graft.streaming.StreamingDeclared.oracle),
+    (MiscQueries.queries, MiscQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

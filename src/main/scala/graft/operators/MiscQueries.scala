@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Completeness odds-and-ends: deterministic sampling/splitting, right
+  * outer join, offset pagination, and null-handling (na.fill/drop).
+  *
+  * sample_hash is the training-pipeline way to sample/split: a portable
+  * content hash (md5 — identical across engines) on the key, so the same
+  * row lands in the same split everywhere, forever — unlike rand()
+  * sampling, it's reproducible, join-stable, and needs no state.
+  */
+object MiscQueries {
+
+  val queries: Map[String, Q] = Map(
+    "sample_hash" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("h", substring(md5(col("o_orderkey").cast("string")), 1, 2))
+        .withColumn("split",
+          when(col("h") < "1a", "val").otherwise("train"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))
+    }),
+
+    "join_right_outer" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sum(Tables.dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "topk_paged" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .offset(10).limit(20)
+    }),
+
+    "fn_na" -> ((s, dir) => {
+      // manufacture nulls (base data has none), then exercise na.fill +
+      // na.drop + coalesce-style repair
+      val withNulls = Tables.orders(s, dir)
+        .withColumn("maybe_price",
+          when(col("o_orderstatus") === "P", lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("maybe_status", nullif(col("o_orderstatus"), lit("O")))
+      val filled = withNulls.na.fill(Map("maybe_price" -> -1.0))
+      filled
+        .select(col("o_orderkey"), col("maybe_price"),
+          coalesce(col("maybe_status"), lit("none")).as("status_or_none"))
+        .na.drop(Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sample_hash" ->
+      """SELECT CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+        |    THEN 'val' ELSE 'train' END AS split,
+        |  count(*) AS n
+        |FROM orders GROUP BY split ORDER BY split""".stripMargin,
+
+    "join_right_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "topk_paged" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 10""".stripMargin,
+
+    "fn_na" ->
+      """SELECT o_orderkey,
+        |  coalesce(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END, -1.0) AS maybe_price,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'none') AS status_or_none
+        |FROM orders WHERE o_orderkey IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
