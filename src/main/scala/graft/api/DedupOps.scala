@@ -93,6 +93,29 @@ object DedupOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** The production near-dup path at scale: LSH candidate generation
+    * (no pairwise scan) followed by exact Jaccard verification on the
+    * candidates only. Work is O(candidates), not O(docs²) — the
+    * composition SCALE.md prescribes for 100 TB corpora. Recall equals
+    * the LSH recall (tunable via numHashes/bands); precision is exact.
+    */
+  def nearDupPipeline(documents: DataFrame, idCol: String, textCol: String,
+      num: Int = 4, den: Int = 5,
+      numHashes: Int = 16, bands: Int = 4, bucketCap: Int = 50): DataFrame = {
+    val candidates = minhashCandidates(documents, idCol, textCol, numHashes, bands, bucketCap)
+    val docs = documents
+      .select(col(idCol).as("doc_id"), array_distinct(split(col(textCol), " ")).as("ts"))
+      .withColumn("n", size(col("ts")))
+    candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("ts").as("ts_a"), col("n").as("n_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("ts").as("ts_b"), col("n").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
   /** 32-bit sign-aggregated SimHash signature per document; returns
     * colliding (identical-signature) pairs.
     */

@@ -66,6 +66,13 @@ object LlmQueries {
       graft.api.DedupOps.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // LSH candidates → exact verify: the O(candidates) production path
+    // (non-oracle: recall depends on engine-internal hashes; spec checks
+    // pipeline ⊆ exact result and full recall on exact duplicates)
+    "dedup_pipeline" -> ((s, dir) =>
+      graft.api.DedupOps.nearDupPipeline(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
     "sim_cosine_topk" -> ((s, dir) =>
       graft.api.SimilarityOps.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 20)),
 

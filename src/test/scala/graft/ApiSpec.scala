@@ -34,6 +34,15 @@ class ApiSpec extends AnyFunSuite {
     assert(strict.contains((1L, 3L)))
   }
 
+  test("nearDupPipeline output is a subset of exact pairs with full dup recall") {
+    val exact = DedupOps.nearJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val piped = DedupOps.nearDupPipeline(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(piped.subsetOf(exact), s"pipeline=$piped exact=$exact")
+    assert(piped.contains((1L, 3L)), "exact duplicates must survive the pipeline")
+  }
+
   test("minhashCandidates with 8 hashes / 2 bands still finds exact dups") {
     val cand = DedupOps.minhashCandidates(docs, "doc_id", "text",
       numHashes = 8, bands = 2, bucketCap = 10)
