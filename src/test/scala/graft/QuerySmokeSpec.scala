@@ -18,9 +18,21 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (>= 60 queries, >= 55 oracle)") {
-    assert(SparkEntry.queries.size >= 60)
-    assert(SparkEntry.oracleSql.size >= 55)
+  test("declared inventory is complete (>= 88 queries, >= 77 oracle)") {
+    assert(SparkEntry.queries.size >= 88)
+    assert(SparkEntry.oracleSql.size >= 77)
+  }
+
+  test("Conf.recommended builds a session with AQE and extensions") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s = Conf.recommended(SparkSession.builder().master("local[2]"), 4).getOrCreate()
+    try {
+      assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+      assert(s.sql("SELECT dot_product(array(1.0D,2.0D), array(3.0D,4.0D))").head().getDouble(0) === 11.0)
+    } finally {
+      SparkSession.setDefaultSession(spark); SparkSession.setActiveSession(spark)
+    }
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
