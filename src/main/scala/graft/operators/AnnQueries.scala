@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search & fingerprint dedup beyond the brute-force baseline.

@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.8 LLM-data-pipeline operators over documents + embeddings.
