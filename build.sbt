@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // whole-stage codegen across ~90 queries + streaming overflows the
+  // default 240m code cache; once full the JIT disables and interpreted
+  // HOF paths degrade ~100x mid-suite
+  "-XX:ReservedCodeCacheSize=1g",
 )

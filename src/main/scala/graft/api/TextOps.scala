@@ -13,13 +13,24 @@ object TextOps {
     documents.select(explode(toks(textCol)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
 
-  /** Bigram counts (within-document adjacency). */
-  def bigramCounts(documents: DataFrame, textCol: String): DataFrame =
-    documents.withColumn("toks", toks(textCol))
-      .withColumn("bigrams", expr(
-        "transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat(x, ' ', toks[i + 1]))"))
-      .select(explode(col("bigrams")).as("bigram"))
+  /** Bigram counts (within-document adjacency).
+    *
+    * Deliberately NOT a `transform(slice(...), (x,i) -> ...)` higher-order
+    * function: HOFs evaluate interpreted (no codegen, no subexpression
+    * elimination), so the inlined `split` re-runs per element — O(len²)
+    * per document, and worse once JIT call-site profiles go megamorphic
+    * in a long-lived session. posexplode + lead keeps every operator in
+    * codegen; split runs exactly once per document.
+    */
+  def bigramCounts(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    documents.select(col(idCol), posexplode(toks(textCol)).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+  }
 
   /** Per-document quality features: token count, average token length,
     * distinct-token ratio, and a simple pass/fail gate.

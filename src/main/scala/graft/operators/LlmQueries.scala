@@ -39,7 +39,7 @@ object LlmQueries {
     }),
 
     "text_ngrams" -> ((s, dir) => {
-      graft.api.TextOps.bigramCounts(Tables.documents(s, dir), "text")
+      graft.api.TextOps.bigramCounts(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("bigram"))
     }),
 

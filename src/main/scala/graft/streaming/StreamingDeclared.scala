@@ -51,25 +51,29 @@ object StreamingDeclared {
       // append-mode pipeline (state + eviction logic) executes for real;
       // late-drop behavior itself is spec-tested batch-by-batch
       val name = sinkName("q_stream_watermark")
-      val q = StreamingJobs.watermarkedTumblingQuery(
-        StreamingJobs.readEventsStream(s, stagedEventsDir(dir))
-          .withColumn("ts", col("ts")), name)
-      try q.processAllAvailable() finally q.stop()
+      StreamingJobs.withStatePartitions(s, 8) {
+        val q = StreamingJobs.watermarkedTumblingQuery(
+          StreamingJobs.readEventsStream(s, stagedEventsDir(dir))
+            .withColumn("ts", col("ts")), name)
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(name).orderBy(col("user_id"), col("win_start"))
     }),
 
     "stream_dedup" -> ((s, dir) => {
       val name = sinkName("q_stream_dedup")
-      val events = StreamingJobs.readEventsStream(s, stagedEventsDir(dir))
-      val q = events
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicates(Seq("event_id"))
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      StreamingJobs.withStatePartitions(s, 8) {
+        val events = StreamingJobs.readEventsStream(s, stagedEventsDir(dir))
+        val q = events
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicates(Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).orderBy(col("event_id"))
     })
   )

@@ -35,6 +35,20 @@ object StreamingJobs {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Run `body` with spark.sql.shuffle.partitions temporarily set to `n`.
+    * Stateful streaming creates one state-store instance per shuffle
+    * partition per microbatch; at test scale 32 of them is pure
+    * file/maintenance overhead. A real deployment sizes this to cluster
+    * cores (Conf.recommended) — the value is pinned into the checkpoint
+    * at first start, which is why it must be set before `.start()`.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream
       .format("memory").queryName(name)
@@ -51,7 +65,7 @@ object StreamingJobs {
       .groupBy(col("user_id"), window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
       .select(col("user_id"), col("window.start").as("win_start"), col("n"), col("sum_value"))
-    runToMemory(agg, sinkName, OutputMode.Complete())
+    withStatePartitions(spark, 8) { runToMemory(agg, sinkName, OutputMode.Complete()) }
   }
 
   /** Tumbling agg with a 10-minute watermark in append mode; late rows
@@ -78,7 +92,7 @@ object StreamingJobs {
       .select(col("user_id"),
         col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("n"))
-    runToMemory(agg, sinkName, OutputMode.Complete())
+    withStatePartitions(spark, 8) { runToMemory(agg, sinkName, OutputMode.Complete()) }
   }
 
   /** Streaming exact dedup on event_id bounded by a watermark; returns
@@ -110,6 +124,6 @@ object StreamingJobs {
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateFn)
       .toDF("user_id", "n_events")
-    runToMemory(agg, sinkName, OutputMode.Update())
+    withStatePartitions(spark, 8) { runToMemory(agg, sinkName, OutputMode.Update()) }
   }
 }
