@@ -66,21 +66,17 @@ object DedupOps {
       numHashes: Int = 16, bands: Int = 4, bucketCap: Int = 50): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val docs = documents
-      .select(col(idCol).as("doc_id"), array_distinct(split(col(textCol), " ")).as("ts"))
-      .withColumn("tok_hashes",
-        transform(col("ts"), t => pmod(xxhash64(t), lit(1000000007L))))
-    val sigs = (0 until numHashes).map { i =>
-      val a = 1299721L + 7919L * i
-      val b = 104729L + 337L * i
-      array_min(transform(col("tok_hashes"),
-        h => pmod(h * lit(a) + lit(b), lit(1000000007L)))).as(s"mh_$i")
-    }
-    val withSig = docs.select((col("doc_id") +: sigs): _*)
+    // one fused codegen pass per document (hash every token once, all
+    // permutation minima in place) — see graft.functions.MinHashSignature
+    // for why this beats transform/array_min column composition
+    val withSig = documents
+      .select(col(idCol).as("doc_id"),
+        graft.functions.MinHashSignature.signature(
+          array_distinct(split(col(textCol), " ")), numHashes).as("sig"))
     val banded = (0 until bands).map { band =>
       withSig.select(col("doc_id"), lit(band).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${band * rowsPerBand + r}")): _*)
-          .as("bucket"))
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), band * rowsPerBand + r + 1)): _*).as("bucket"))
     }.reduce(_.unionAll(_))
     val wB = Window.partitionBy(col("band"), col("bucket"))
     val capped = banded.withColumn("bucket_n", count(lit(1)).over(wB))
