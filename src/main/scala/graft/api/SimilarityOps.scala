@@ -72,6 +72,100 @@ object SimilarityOps {
       .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Lloyd-iterated k-means centroids over unit embeddings, cosine
+    * metric. Centroids are collected to the driver each iteration and
+    * re-broadcast — the MLlib pattern: k·dim doubles is tiny however
+    * large the corpus, and it keeps the lineage flat (no per-iteration
+    * plan growth to checkpoint at 100 TB). Deterministic: init = the k
+    * lowest-id vectors; every argmax tiebreaks on cluster id. Empty
+    * clusters keep their previous centroid. Returned centroids are
+    * re-normalized to unit length so dot == cosine stays true for
+    * assignment.
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[(Int, Array[Double])] = {
+    val spark = emb.sparkSession
+    val e = asDouble(emb, idCol, vecCol)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var centroids: Array[(Int, Array[Double])] = e.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> normalize(r.getSeq[Double](1).toArray) }
+    for (_ <- 1 to iters) {
+      val cDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(centroids.toSeq.map { case (cid, v) =>
+          org.apache.spark.sql.Row(cid, v.toSeq) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("c_e",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("dot"), col("cluster"))
+      val assigned = e.crossJoin(broadcast(cDf))
+        .withColumn("dot", DotProduct.dot(col("e"), col("c_e")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("cluster"))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("mean_e"))
+        .collect()
+        .map(r => r.getInt(0) -> normalize(r.getSeq[Double](1).toArray))
+        .toMap
+      centroids = centroids.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    centroids
+  }
+
+  /** k-means IVF ANN with multi-probe: build `nClusters` centroids with
+    * [[kmeansCentroids]], assign every vector to its nearest centroid
+    * (one shuffle), then search each query's `nprobe` nearest clusters
+    * only. nprobe trades recall for candidate-set size: nprobe=1 is the
+    * classic IVF fast path, nprobe=nClusters degenerates to brute force.
+    * At 100 TB the assignment is written bucketed by cluster so probes
+    * are partition-pruned scans.
+    */
+  def kmeansIvfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      nClusters: Int, iters: Int, nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val centroids = kmeansCentroids(emb, idCol, vecCol, nClusters, iters)
+    val cDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(centroids.toSeq.map { case (cid, v) =>
+        org.apache.spark.sql.Row(cid, v.toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c_e",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val e = asDouble(emb, idCol, vecCol)
+    val scored = e.crossJoin(broadcast(cDf))
+      .withColumn("c_dot", DotProduct.dot(col("e"), col("c_e")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("c_dot"), col("cluster"))
+    val assigned = scored
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cluster"))
+    val probes = scored.filter(queryPred)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("e").as("q_e"), col("cluster"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    probes.join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(DotProduct.dot(col("q_e"), col("e")), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** Per-label centroids (dense arrays, broadcast) and nearest-centroid
     * label per vector.
     */

@@ -47,6 +47,14 @@ object AnnQueries {
           queryPred = col("vec_id") < 10, numSeeds = 8, k = 5)
         .orderBy(col("q_id"), col("rank"))),
 
+    // trained coarse quantizer + multi-probe: Lloyd-iterated k-means
+    // centroids (cosine), queries probe their 2 nearest clusters —
+    // recall strictly >= the seed-bucket nprobe=1 variant above
+    "sim_ann_kmeans" -> ((s, dir) =>
+      graft.api.SimilarityOps.kmeansIvfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5, nClusters = 8, iters = 2, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))),
+
     "dedup_simhash" -> ((s, dir) =>
       graft.api.DedupOps.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),

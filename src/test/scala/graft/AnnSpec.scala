@@ -39,6 +39,29 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall (ivf=${ivf.size}, brute=${brute.size})")
   }
 
+  test("sim_ann_kmeans returns ranked neighbors and beats nprobe=1 recall floor") {
+    val out = SparkEntry.queries("sim_ann_kmeans")(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    for ((q, rs) <- byQ) {
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length), s"q=$q")
+    }
+    val kmeans = out.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val q = emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("e").as("q_e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    val brute = q.crossJoin(emb).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(graft.functions.DotProduct.dot(col("q_e"), col("e")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = kmeans.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall (kmeans=${kmeans.size}, brute=${brute.size})")
+  }
+
   test("simhash signatures collide for identical texts") {
     import spark.implicits._
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_simhash_test"

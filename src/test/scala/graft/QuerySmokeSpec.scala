@@ -18,8 +18,8 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (>= 88 queries, >= 77 oracle)") {
-    assert(SparkEntry.queries.size >= 88)
+  test("declared inventory is complete (>= 89 queries, >= 77 oracle)") {
+    assert(SparkEntry.queries.size >= 89)
     assert(SparkEntry.oracleSql.size >= 77)
   }
 
