@@ -60,6 +60,17 @@ object StreamingDeclared {
       s.table(name).orderBy(col("user_id"), col("win_start"))
     }),
 
+    "stream_stateful_tws" -> ((s, dir) =>
+      StreamingJobs.statefulRunningCountTws(s, stagedEventsDir(dir),
+          sinkName("q_stream_stateful_tws"))
+        .orderBy(col("user_id"))),
+
+    // deterministic unbounded source (rate-micro-batch batch 0) — the
+    // one streaming query DuckDB can oracle: values are 0..9999 exactly
+    "stream_rate" -> ((s, dir) =>
+      StreamingJobs.rateDemo(s, 10000, sinkName("q_stream_rate"))
+        .orderBy(col("bucket"))),
+
     "stream_dedup" -> ((s, dir) => {
       val name = sinkName("q_stream_dedup")
       StreamingJobs.withStatePartitions(s, 8) {
@@ -78,5 +89,11 @@ object StreamingDeclared {
     })
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "stream_rate" ->
+      """SELECT CAST(value % 10 AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(value) AS BIGINT) AS sum_value
+        |FROM (SELECT unnest(generate_series(0, 9999)) AS value)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)
 }

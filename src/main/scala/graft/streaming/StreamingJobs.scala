@@ -106,6 +106,80 @@ object StreamingJobs {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Running per-user count as a Spark 4 `StatefulProcessor` — the
+    * `transformWithState` successor to mapGroupsWithState: typed state
+    * handles (ValueState/ListState/MapState), TTL, and timers, backed by
+    * the RocksDB state store. Semantics here match
+    * [[statefulRunningCount]] exactly so the spec can assert equality.
+    */
+  private class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+      val prev = if (count.exists()) count.get() else 0L
+      val total = prev + rows.size
+      count.update(total)
+      Iterator.single((key, total))
+    }
+  }
+
+  /** transformWithState twin of [[statefulRunningCount]]. Requires the
+    * RocksDB state store; the conf is scoped to this run and restored.
+    */
+  def statefulRunningCountTws(spark: SparkSession, dir: String,
+      sinkName: String = "stream_stateful_tws"): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val agg = readEventsStream(spark, dir)
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new RunningCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events")
+      withStatePartitions(spark, 8) { runToMemory(agg, sinkName, OutputMode.Update()) }
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  /** Unbounded-source demo on the deterministic `rate-micro-batch`
+    * source: batch 0 is exactly `rowsPerBatch` rows with values
+    * 0..rowsPerBatch-1 at a fixed start timestamp, so a Trigger.Once run
+    * is reproducible enough to oracle-check against generate_series.
+    */
+  def rateDemo(spark: SparkSession, rowsPerBatch: Int,
+      sinkName: String = "stream_rate"): DataFrame = {
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("startTimestamp", "0")
+      .load()
+    val agg = src
+      .groupBy(pmod(col("value"), lit(10L)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.Once())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(sinkName)
+  }
+
   /** Arbitrary stateful op: running per-user event count via
     * mapGroupsWithState (state = count so far, emitted per batch).
     */

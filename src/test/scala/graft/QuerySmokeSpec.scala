@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (>= 89 queries, >= 77 oracle)") {
-    assert(SparkEntry.queries.size >= 89)
-    assert(SparkEntry.oracleSql.size >= 77)
+  test("declared inventory is complete (>= 91 queries, >= 78 oracle)") {
+    assert(SparkEntry.queries.size >= 91)
+    assert(SparkEntry.oracleSql.size >= 78)
   }
 
   test("Conf.recommended builds a session with AQE and extensions") {

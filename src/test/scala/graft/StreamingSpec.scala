@@ -107,4 +107,25 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(finalCounts === batch)
   }
+
+  test("transformWithState running count matches the mapGroupsWithState twin") {
+    val streamed = StreamingJobs.statefulRunningCountTws(spark, eventsDir, "st_tws_spec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(desc("n_events"))
+    val finalCounts = streamed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("user_id", "n_events")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts === batch)
+  }
+
+  test("rate-micro-batch demo aggregates exactly batch 0 (values 0..9999)") {
+    val out = StreamingJobs.rateDemo(spark, 10000, "st_rate_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.length === 10)
+    assert(out.forall(_._2 === 1000L))
+    // bucket b holds b, b+10, ..., b+9990: sum = 1000*b + 10*(0+..+999)
+    assert(out.forall { case (b, _, s) => s === 1000L * b + 10L * (999L * 1000L / 2) })
+  }
 }
