@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default 240m code cache; once full the JIT disables and interpreted
   // HOF paths degrade ~100x mid-suite
   "-XX:ReservedCodeCacheSize=1g",
+  // ~90 queries flood the JIT with thousands of generated methods; at
+  // the default 2-3 compiler threads the C2 queue backs up for minutes
+  // and not-yet-compiled plans run interpreted ~30x slow. On 32 cores,
+  // spend more of them on compilation.
+  "-XX:CICompilerCount=12",
 )

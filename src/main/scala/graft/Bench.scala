@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // at bench scale AQE only re-plans tiny shuffles, but each replan
+      // emits fresh codegen units — across ~90 queries that doubles the
+      // JIT/Janino load and starves the compile queue (observed as
+      // random multi-minute interpreted-execution windows). Cluster
+      // deployments (Conf.recommended) keep AQE on.
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/scheduler paths once so the first timed query

@@ -21,7 +21,10 @@ object SimilarityOps {
     */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val e = asDouble(emb, idCol, vecCol)
-    val a = e.select(col("vec_id").as("id_a"), col("e").as("e_a"))
+    // BNLJ parallelism == streamed-side partitions; fan the pair scan
+    // out explicitly (small inputs otherwise arrive in 1-2 partitions)
+    val a = e.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id_a"), col("e").as("e_a"))
     val b = e.select(col("vec_id").as("id_b"), col("e").as("e_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -36,14 +39,15 @@ object SimilarityOps {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val e = asDouble(emb, idCol, vecCol)
-    val a = e.select(col("vec_id").as("id_a"), col("e").as("e_a"))
+    val a = e.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id_a"), col("e").as("e_a"))
     val b = e.select(col("vec_id").as("id_b"), col("e").as("e_b"))
+    // DedupOps.noPush keeps the threshold out of the BNLJ join
+    // condition (where the dot product would evaluate twice per pair)
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(DotProduct.dot(col("e_a"), col("e_b")), 6).as("cos"))
-      // nondeterministic guard keeps the threshold out of the BNLJ join
-      // condition (it would force double dot evaluation, one interpreted)
-      .filter(col("cos") >= threshold || rand() > lit(2))
+      .filter(col("cos") >= threshold || DedupOps.noPush)
   }
 
   /** IVF-style approximate nearest neighbors: assign every vector to its

@@ -82,9 +82,12 @@ object Stages {
       .pivot(elementCol, elements)
       .agg(agg(col(valueCol)))
 
-  /** JSON property extraction into a typed column. */
+  /** JSON property extraction into a typed column — a single from_json
+    * parse per row (get_json_object builds a parser per call).
+    */
   def parseJsonProps(jsonCol: String, key: String): DataFrame => DataFrame = df =>
-    df.withColumn(key, get_json_object(col(jsonCol), s"$$.$key"))
+    df.withColumn(key, from_json(col(jsonCol),
+      org.apache.spark.sql.types.StructType.fromDDL(s"$key STRING")).getField(key))
 
   /** Time-bucketed aggregation (daily → monthly style). */
   def timeRollup(tsCol: String, unit: String, keyCols: Seq[String],

@@ -122,6 +122,20 @@ object AggQueries {
           countDistinct(col("l_partkey")).as("exact_parts"))
     }),
 
+    // t-digest-style sketch percentiles (single-pass, mergeable — the
+    // 100 TB path where exact percentile's full sort/collect is not).
+    // Sketch internals are engine-specific → non-oracle; the spec bounds
+    // approx-vs-exact error instead, and the query itself carries both.
+    "agg_approx_percentile" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("approx_median"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("approx_p90"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       graft.api.DedupOps.exact(Tables.documents(s, dir), "text", "doc_id")
         .orderBy(col("doc_id")))

@@ -29,9 +29,14 @@ object FilterQueries {
     }),
 
     "filter_null_bool" -> ((s, dir) => {
+      // one from_json parse per row, not one Jackson parser + reader
+      // per get_json_object call (the filter references both columns,
+      // so the path-based form paid up to 4 parses per row)
       Tables.events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k"))
-        .withColumn("missing", get_json_object(col("props"), "$.nope"))
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k STRING, nope STRING")))
+        .withColumn("k", col("p.k"))
+        .withColumn("missing", col("p.nope"))
         .filter(col("missing").isNull && col("k").isNotNull &&
           (!(col("event_type") === "error") || col("value") > 500))
         .select(col("event_id"), col("event_type"), col("k"))

@@ -59,6 +59,15 @@ object LlmQueries {
       graft.api.DedupOps.nearJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // word-bigram shingle Jaccard ≥ 3/5 — n-gram variant of dedup_near:
+    // shingles preserve local word order, so reordered-token docs that
+    // tie on token sets separate here
+    "dedup_ngram" -> ((s, dir) =>
+      graft.api.DedupOps.nearJaccardPairsOnSets(
+          graft.api.DedupOps.shingleSets(Tables.documents(s, dir), "doc_id", "text", 2),
+          num = 3, den = 5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // MinHash/LSH candidates — non-oracle (engine-internal hashes); spec
     // asserts exact duplicates are recovered
     "dedup_minhash" -> ((s, dir) =>
@@ -143,6 +152,23 @@ object LlmQueries {
         |  AND b.n * 5 >= a.n * 4 AND a.n * 5 >= b.n * 4
         |WHERE len(list_intersect(a.ts, b.ts)) * 5
         |  >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS ts
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2),
+        |s AS (SELECT doc_id, ts, len(ts) AS n FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |    / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  AND b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
+        |WHERE len(list_intersect(a.ts, b.ts)) * 5
+        |  >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "sim_cosine_topk" ->

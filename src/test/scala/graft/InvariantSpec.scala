@@ -40,6 +40,17 @@ class InvariantSpec extends AnyFunSuite {
     assert(offUnit.count() === 0)
   }
 
+  test("approx_percentile is within 2% of exact percentile per group") {
+    val rows = SparkEntry.queries("agg_approx_percentile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val approx = r.getAs[Double]("approx_median")
+      val exact = r.getAs[Double]("exact_median")
+      assert(math.abs(approx - exact) / exact <= 0.02,
+        s"status=${r.get(0)} approx=$approx exact=$exact")
+    }
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val row = SparkEntry.queries("agg_approx_distinct")(spark, sf).head()
     val approx = row.getAs[Long]("approx_parts").toDouble

@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (>= 91 queries, >= 78 oracle)") {
-    assert(SparkEntry.queries.size >= 91)
-    assert(SparkEntry.oracleSql.size >= 78)
+  test("declared inventory is complete (>= 93 queries, >= 79 oracle)") {
+    assert(SparkEntry.queries.size >= 93)
+    assert(SparkEntry.oracleSql.size >= 79)
   }
 
   test("Conf.recommended builds a session with AQE and extensions") {
