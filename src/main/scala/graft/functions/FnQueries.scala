@@ -82,12 +82,14 @@ object FnQueries {
           col("doc_id"),
           size(col("toks")).as("n_toks"),
           array_contains(col("toks"), "spark").as("has_spark"),
-          slice(col("toks"), 1, 3).as("first3"),
-          sort_array(array_distinct(col("toks"))).as("vocab"),
-          transform(col("toks"), x => upper(x)).as("upper_toks"),
-          filter(col("toks"), x => length(x) > 4).as("long_toks"),
+          // array outputs serialized to CSV strings: the driver comparator
+          // can't hash array cells, so both sides emit text (ops unchanged)
+          array_join(slice(col("toks"), 1, 3), ",").as("first3"),
+          array_join(sort_array(array_distinct(col("toks"))), ",").as("vocab"),
+          array_join(transform(col("toks"), x => upper(x)), ",").as("upper_toks"),
+          array_join(filter(col("toks"), x => length(x) > 4), ",").as("long_toks"),
           aggregate(transform(col("toks"), x => length(x)), lit(0), (a, x) => a + x).as("total_chars"),
-          flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2))).as("first4"))
+          array_join(flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2))), ",").as("first4"))
         .orderBy(col("doc_id"))
     }),
 
@@ -100,7 +102,7 @@ object FnQueries {
           col("p_partkey"),
           element_at(col("m"), "brand").as("brand_val"),
           element_at(col("m"), "type").as("type_val"),
-          sort_array(map_keys(col("m"))).as("mkeys"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("mkeys"),
           element_at(col("sm"), "b").as("sm_b"),
           element_at(col("sm"), "t").as("sm_t"),
           size(col("sm")).as("sm_size"))
@@ -176,12 +178,12 @@ object FnQueries {
       """SELECT doc_id,
         |  len(toks) AS n_toks,
         |  list_contains(toks, 'spark') AS has_spark,
-        |  toks[1:3] AS first3,
-        |  list_sort(list_distinct(toks)) AS vocab,
-        |  list_transform(toks, x -> upper(x)) AS upper_toks,
-        |  list_filter(toks, x -> length(x) > 4) AS long_toks,
-        |  list_sum(list_transform(toks, x -> length(x))) AS total_chars,
-        |  flatten([toks[1:2], toks[3:4]]) AS first4
+        |  array_to_string(toks[1:3], ',') AS first3,
+        |  array_to_string(list_sort(list_distinct(toks)), ',') AS vocab,
+        |  array_to_string(list_transform(toks, x -> upper(x)), ',') AS upper_toks,
+        |  array_to_string(list_filter(toks, x -> length(x) > 4), ',') AS long_toks,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS INT) AS total_chars,
+        |  array_to_string(flatten([toks[1:2], toks[3:4]]), ',') AS first4
         |FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
@@ -189,7 +191,7 @@ object FnQueries {
       """SELECT p_partkey,
         |  p_brand AS brand_val,
         |  p_type AS type_val,
-        |  ['brand', 'type'] AS mkeys,
+        |  'brand,type' AS mkeys,
         |  p_brand AS sm_b,
         |  p_type AS sm_t,
         |  2 AS sm_size

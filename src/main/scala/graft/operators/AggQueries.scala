@@ -90,7 +90,9 @@ object AggQueries {
       Tables.lineitem(s, dir)
         .filter(col("l_orderkey") <= 100)
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_partkey"))).as("partkeys"))
+        // array output serialized to CSV string: the driver's comparator
+        // can't hash array cells (numpy unhashable), so both sides emit text
+        .agg(array_join(sort_array(collect_list(col("l_partkey"))).cast("array<string>"), ",").as("partkeys"))
         .orderBy(col("l_orderkey"))
     }),
 
@@ -197,7 +199,7 @@ object AggQueries {
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
     "agg_collect" ->
-      """SELECT l_orderkey, list(l_partkey ORDER BY l_partkey) AS partkeys
+      """SELECT l_orderkey, array_to_string(list(l_partkey ORDER BY l_partkey), ',') AS partkeys
         |FROM lineitem WHERE l_orderkey <= 100
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 

@@ -134,7 +134,7 @@ object LlmQueries {
 
     "text_fingerprint" ->
       """SELECT doc_id,
-        |  sum((ord * 131 + length(tok) * 31 + ascii(tok)) % 1000000007) % 1000000007 AS fingerprint
+        |  CAST(sum((ord * 131 + length(tok) * 31 + ascii(tok)) % 1000000007) % 1000000007 AS BIGINT) AS fingerprint
         |FROM (
         |  SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS ord
         |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents))

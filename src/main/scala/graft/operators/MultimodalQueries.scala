@@ -121,7 +121,7 @@ object MultimodalQueries {
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm_meta_filter" ->
-      """SELECT lang AS format, count(*) AS n, sum(CAST(n_chars AS BIGINT)) AS total_bytes
+      """SELECT lang AS format, count(*) AS n, CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_bytes
         |FROM documents
         |WHERE lang IN ('en', 'fr') AND n_chars > 100
         |GROUP BY lang ORDER BY format""".stripMargin,
