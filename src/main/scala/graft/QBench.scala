@@ -22,6 +22,7 @@ object QBench {
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         println(f"[qbench] $name rep$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
       }
     }
     spark.stop()

@@ -56,8 +56,19 @@ object DedupOps {
     // UTF8String access on the same sets. Docs whose ids all fit in 64
     // bits additionally get an exact bitmask (bit_count(and) per pair).
     val docs = sets.select(col("doc_id"), col("ts"))
-    val dict = docs.select(explode(col("ts")).as("tok")).distinct()
-      .withColumn("tok_id", row_number().over(Window.orderBy(col("tok"))) - 1)
+    // Dense alphabetical ids WITHOUT a global row_number() window (that
+    // plan is "WindowExec: No Partition Defined" — the whole vocabulary
+    // lands on one task at scale). sort() is a parallel range-partitioned
+    // sort and zipWithIndex preserves partition order, so ids equal the
+    // global alphabetical rank — same ids as the old window, every
+    // partition doing its share.
+    val sparkSession = sets.sparkSession
+    val dict = {
+      import sparkSession.implicits._
+      docs.select(explode(col("ts")).as("tok")).distinct()
+        .sort(col("tok")).as[String].rdd.zipWithIndex()
+        .map { case (t, i) => (t, i.toInt) }.toDF("tok", "tok_id")
+    }
     val prepared = docs.select(col("doc_id"), explode(col("ts")).as("tok"))
       .join(broadcast(dict), "tok")
       .groupBy(col("doc_id"))
@@ -173,24 +184,61 @@ object DedupOps {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
-  /** 32-bit sign-aggregated SimHash signature per document; returns
-    * colliding (identical-signature) pairs.
+  /** 32-bit sign-aggregated SimHash signature per document (`doc_id`,
+    * `simhash: bigint`). The 32 per-bit ±1 sums are folded into 8 packed
+    * accumulators (four 16-bit set-bit counters per long) plus one token
+    * count — sign(sum) == (2·count_set > n). Shrinks the HashAggregate
+    * from 32 update expressions to 9 (a quarter of the generated code)
+    * and bounds the buffer at 9 longs. 16-bit counters assume < 65536
+    * DISTINCT tokens per document — beyond that, widen to 32-bit fields
+    * (16 accumulators).
     */
-  def simhashPairs(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokHashed = documents
+  def simhashSignatures(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def bitExpr(i: Int) = s"pmod(h DIV ${1L << (i % 20)} + h * ${2 * i + 1}, 2)"
+    val packedCols = (0 until 8).map { g =>
+      expr((0 until 4).map(j => s"shiftleft(${bitExpr(4 * g + j)}, ${16 * j})")
+        .mkString(" + ")).as(s"p_$g")
+    }
+    documents
       .select(col(idCol).as("doc_id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .withColumn("h", pmod(xxhash64(col("tok")), lit(1000000007L)))
-    val bitCols = (0 until 32).map { i =>
-      sum(when(expr(s"pmod(h DIV ${1L << (i % 20)} + h * ${2 * i + 1}, 2)") === 1, 1)
-        .otherwise(-1)).as(s"b_$i")
-    }
-    val sig = tokHashed.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id") +: packedCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), (0 until 8).map(g => sum(col(s"p_$g")).as(s"s_$g")): _*)
       .select(col("doc_id"),
-        (0 until 32).map(i => (when(col(s"b_$i") > 0, lit(1L)).otherwise(lit(0L)) *
-          lit(1L << i)).as(s"bit_$i")).reduce(_ + _).as("simhash"))
-    val x = sig.select(col("doc_id").as("id_a"), col("simhash"))
-    val y = sig.select(col("doc_id").as("id_b"), col("simhash").as("simhash_b"))
-    x.join(y, col("id_a") < col("id_b") && col("simhash") === col("simhash_b"))
-      .select(col("id_a"), col("id_b"), col("simhash"))
+        (0 until 32).map { i =>
+          val (g, j) = (i / 4, i % 4)
+          when(shiftright(col(s"s_$g"), 16 * j).bitwiseAND(lit(0xFFFFL)) * 2 > col("n_toks"),
+            lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits (`id_a`, `id_b`,
+    * `hamming`). Bucketed, never all-pairs: the 32-bit signature splits
+    * into 4 bands of 8 bits; a pair differing in ≤ 3 bits agrees exactly
+    * on at least one band (pigeonhole), so banding has full recall for
+    * maxHamming ≤ 3. Candidates from the band-bucket self-join are then
+    * verified with bit_count(xor) — exact precision. Work is
+    * O(candidates), driven by bucket occupancy, not O(n²).
+    */
+  def simhashPairs(documents: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 8 bits guarantee recall only for maxHamming <= 3")
+    val sig = simhashSignatures(documents, idCol, textCol)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL)).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val x = banded.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"),
+      col("band"), col("bucket"))
+    val y = banded.select(col("doc_id").as("id_b"), col("simhash").as("sig_b"),
+      col("band").as("band_b"), col("bucket").as("bucket_b"))
+    x.join(y, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(expr("sig_a ^ sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -57,24 +57,39 @@ object TextOps {
           ascii(col("tok")), lit(1000000007L))),
         lit(1000000007L)).as("fingerprint"))
 
-  /** Character-bigram-profile language scorer; deterministic tiebreak on
-    * language code. Profiles: (lang → marker substrings).
+  /** Weighted character-n-gram language scorer. Per language the score is
+    * Σ occurrences(ngram) · weight, length-normalized — a continuous
+    * frequency profile (n-gram counts via codegen'd length/replace, no
+    * UDF, no explode), not a boolean marker check, so distinct documents
+    * get distinct scores and the argmax is driven by the text's actual
+    * character statistics. Deterministic tiebreak on language code.
+    * Returns (`id`, `pred_lang`, `pred_score`).
+    *
+    * Weights approximate published relative n-gram frequencies of each
+    * language (e.g. "th"/"the" dominate English text; "sch"/"ei" German;
+    * "ción"/"que" Spanish; pinyin digraphs for romanized Chinese).
     */
   def langId(documents: DataFrame, idCol: String, textCol: String,
-      profiles: Seq[(String, Seq[String])] = defaultProfiles): DataFrame = {
-    val scored = profiles.map { case (lang, marks) =>
-      val score = marks.map(m => when(col(textCol).contains(m), 1).otherwise(0))
-        .reduce((a, b) => a + b)
-      struct((lit(0) - score).cast("int").as("neg_score"), lit(lang).as("lang"))
+      profiles: Seq[(String, Seq[(String, Double)])] = defaultProfiles): DataFrame = {
+    val len = greatest(length(col(textCol)), lit(1)).cast("double")
+    // occurrences(m) = (len(text) - len(replace(text, m, ''))) / len(m)
+    def occ(m: String) =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), java.util.regex.Pattern.quote(m), "")))
+        .cast("double") / lit(m.length.toDouble)
+    val scored = profiles.map { case (lang, grams) =>
+      val score = grams.map { case (m, w) => occ(m) * lit(w) }.reduce(_ + _) / len
+      struct((lit(0.0) - score).as("neg_score"), lit(lang).as("lang"))
     }
     documents.select(col(idCol),
-      sort_array(array(scored: _*)).getItem(0).getField("lang").as("pred_lang"))
+      sort_array(array(scored: _*)).getItem(0).getField("lang").as("pred_lang"),
+      (lit(0.0) - sort_array(array(scored: _*)).getItem(0).getField("neg_score"))
+        .as("pred_score"))
   }
 
-  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("ch", "ei", "en", "er", "sch"),
-    "en" -> Seq("th", "he", "in", "er", "an"),
-    "es" -> Seq("de", "la", "os", "ci", "en"),
-    "fr" -> Seq("le", "es", "on", "ou", "eu"),
-    "zh" -> Seq("zh", "ng", "sh", "xi", "ia"))
+  val defaultProfiles: Seq[(String, Seq[(String, Double)])] = Seq(
+    "de" -> Seq("sch" -> 2.0, "ich" -> 1.5, "ei" -> 1.2, "ch" -> 1.0, "un" -> 0.8, "der" -> 1.5, "en " -> 1.0),
+    "en" -> Seq("th" -> 1.5, "the" -> 2.0, "he" -> 1.0, "ing" -> 1.5, "an" -> 0.7, "er" -> 0.6, "of " -> 1.5),
+    "es" -> Seq("ción" -> 2.5, "que" -> 1.5, "de " -> 1.2, "la" -> 1.0, "os" -> 1.0, "ar" -> 0.8, "ñ" -> 2.5),
+    "fr" -> Seq("eau" -> 2.0, "eu" -> 1.2, "ou" -> 1.0, "le" -> 1.0, "es " -> 1.0, "é" -> 2.0, "que" -> 1.0),
+    "zh" -> Seq("zh" -> 2.5, "xi" -> 2.0, "ng " -> 1.5, "sh" -> 1.0, "uan" -> 1.8, "ao" -> 1.5, "ia" -> 1.0))
 }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *   ~#buckets× in general; recall measured against brute force in the
   *   spec. Non-oracle: result depends on the engine-side argmin order.
   * - dedup_simhash: 32-bit SimHash over exact integer token hashes; docs
-  *   whose signatures agree are dup candidates. Non-oracle; spec asserts
-  *   exact duplicates collide and distinct docs don't (at test scale).
+  *   within 2 bits Hamming distance pair up via 4-band bucketing (full
+  *   recall ≤ 3 bits by pigeonhole, exact verify via bit_count(xor)).
+  *   Non-oracle; spec asserts exact AND near duplicates collide and
+  *   distinct docs don't (at test scale).
   */
 object AnnQueries {
 
@@ -59,13 +61,17 @@ object AnnQueries {
       graft.api.DedupOps.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
-    // on this corpus (shared vocabulary across langs) scores tie — the
-    // classifier's discriminative power is spec-tested on crafted text
+    // weighted char-n-gram frequency scorer — continuous per-doc scores.
+    // NOTE the synthetic corpus's lang label is independent of its text
+    // (one shared vocabulary; every token's lang share ≈ base rate), so
+    // majority-class accuracy is the ceiling here; discriminative power
+    // is spec-tested on language-correlated text (AnnSpec).
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir).withColumnRenamed("lang", "true_lang")
         .transform(d => graft.api.TextOps.langId(d, "doc_id", "text")
           .join(d.select(col("doc_id"), col("true_lang")), "doc_id"))
-        .select(col("doc_id"), col("true_lang"), col("pred_lang"))
+        .select(col("doc_id"), col("true_lang"), col("pred_lang"),
+          round(col("pred_score"), 6).as("pred_score"))
         .orderBy(col("doc_id")))
   )
 

@@ -88,17 +88,18 @@ object JoinQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // routed through the library's generic as-of join (union + one
+    // keyed window pass — no range-join pair explosion; see JoinOps)
     "join_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ev.withColumn("last_click_ts",
-          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.api.JoinOps.asofJoin(purchases, clicks, "user_id", "ts",
+          rightCols = Seq("ts"), inclusive = false)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("last_click_ts"))
         .orderBy(col("event_id"))
     }),
 

@@ -44,9 +44,19 @@ object StreamingJobs {
     */
   def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
+    val prevAqe = spark.conf.get(aqeKey)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    // AQE off for microbatch jobs: stateful operators disable it anyway,
+    // and stateless stages pay a full AQE replan per microbatch (extra
+    // stage barriers + plan serialization) — measured 3-4x slower
+    // across this suite's AvailableNow jobs.
+    spark.conf.set(aqeKey, "false")
+    try body finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(aqeKey, prevAqe)
+    }
   }
 
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

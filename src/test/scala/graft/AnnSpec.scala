@@ -76,6 +76,25 @@ class AnnSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L), s"distinct doc collided: $pairs")
   }
 
+  test("simhash pairs near-duplicates within the Hamming ball, not only exact") {
+    import spark.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_simhash_near_test"
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, base),                          // 40 shared tokens
+      (2L, base + " extraword"),           // one token added -> few sign flips
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")) // disjoint vocab
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("dedup_simhash")(spark, tmp).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup (1 token off) must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"disjoint doc paired: $pairs")
+    val hamming = rows.collectFirst {
+      case r if (r.getLong(0), r.getLong(1)) == (1L, 2L) => r.getAs[Int]("hamming")
+    }.get
+    assert(hamming >= 0 && hamming <= 2, s"hamming=$hamming out of declared ball")
+  }
+
   test("langid picks the language whose markers dominate crafted text") {
     import spark.implicits._
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_langid_test"
@@ -87,6 +106,26 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(preds(1L) == "en", s"got $preds")
     assert(preds(2L) == "de", s"got $preds")
+  }
+
+  test("langid is discriminative on the real corpus: continuous, non-tied scores") {
+    // The synthetic corpus draws every lang's text from ONE shared
+    // English-ish vocabulary (token shares ≈ the 43% base rate for every
+    // token — label is independent of text), so majority-class accuracy
+    // is the information-theoretic ceiling. What the scorer must NOT do
+    // is tie: scores must vary with each document's character statistics.
+    val out = graft.api.TextOps.langId(
+      graft.Tables.documents(spark, sf), "doc_id", "text").collect()
+    val scores = out.map(_.getAs[Double]("pred_score")).distinct
+    assert(scores.length > out.length / 4,
+      s"scores collapse to ${scores.length} distinct values over ${out.length} docs")
+    val joined = SparkEntry.queries("text_langid")(spark, sf).collect()
+    val acc = joined.count(r => r.getAs[String]("pred_lang") == r.getAs[String]("true_lang"))
+      .toDouble / joined.length
+    val majority = joined.groupBy(_.getAs[String]("true_lang")).values.map(_.size).max
+      .toDouble / joined.length
+    assert(acc >= majority * 0.8,
+      s"accuracy $acc far below the majority-class ceiling $majority on label-random text")
   }
 
   test("emb_neardup pairs all have cos >= 0.45 and appear in both directions-free form") {

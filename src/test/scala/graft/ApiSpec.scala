@@ -67,9 +67,28 @@ class ApiSpec extends AnyFunSuite {
     assert(strict.filter(col("passes_quality")).count() === 1) // only the 5-token doc
   }
 
+  test("asofJoin picks the latest preceding right row, inclusive and strict") {
+    import spark.implicits._
+    val trades = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 15L))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(("A", 10L, 1.0), ("A", 15L, 2.0), ("B", 99L, 9.0))
+      .toDF("sym", "ts", "px")
+    def run(incl: Boolean) = graft.api.JoinOps
+      .asofJoin(trades, quotes, "sym", "ts", rightCols = Seq("ts", "px"), inclusive = incl)
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble)).toMap
+    val incl = run(true)
+    assert(incl(1L) === Some(1.0))  // quote at ts=10 matches ts=10 inclusively
+    assert(incl(2L) === Some(2.0))  // latest of the two preceding quotes
+    assert(incl(3L) === None)       // B's only quote is in the future
+    val strict = run(false)
+    assert(strict(1L) === None)     // same-ts quote excluded when strict
+    assert(strict(2L) === Some(2.0))
+  }
+
   test("langId accepts custom profiles") {
     val out = TextOps.langId(docs, "doc_id", "text",
-      profiles = Seq("xx" -> Seq("x y"), "aa" -> Seq("a b")))
+      profiles = Seq("xx" -> Seq("x y" -> 1.0), "aa" -> Seq("a b" -> 1.0)))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(4L) === "xx")
     assert(out(1L) === "aa")
