@@ -50,6 +50,53 @@ object SimilarityOps {
       .filter(col("cos") >= threshold || DedupOps.noPush)
   }
 
+  /** Embedding near-dup pairs via signed-random-projection LSH — the
+    * 100 TB scale path behind [[nearDupPairs]] (which stays the exact
+    * O(n²) baseline). Each vector gets an `nBits`-bit signature:
+    * bit p = sign(Σ_d ±v_d) with a deterministic Rademacher ±1 pattern
+    * from xxhash64(p, d) (Achlioptas-style projections — no stored
+    * hyperplanes, every executor derives the same pattern). Signatures
+    * split into `bands`; vectors sharing any band bucket become
+    * candidates; candidates are verified with the exact codegen
+    * [[DotProduct]] and filtered to `threshold`. Work is
+    * O(n·dim·nBits) + O(candidates) — bucketed, never all-pairs.
+    * Precision is exact (verified); recall is the SRP-LSH collision
+    * probability (1-θ/π per bit), tunable via nBits/bands.
+    */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 16, bands: Int = 4): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val rowsPerBand = nBits / bands
+    val e = asDouble(emb, idCol, vecCol)
+    // one ±v column per bit, summed per vector in a single HashAggregate
+    val comps = e.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
+    val sums = comps.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"), (0 until nBits).map(p =>
+        sum(when(pmod(xxhash64(col("pos") * lit(131L) + lit(p.toLong)), lit(2L)) === 0,
+          col("v")).otherwise(-col("v"))).as(s"s_$p")): _*)
+    val sig = sums.select(col("vec_id"),
+      (0 until nBits).map(p =>
+        when(col(s"s_$p") > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
+    val mask = (1L << rowsPerBand) - 1
+    val banded = sig.select(col("vec_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), rowsPerBand * b).bitwiseAND(lit(mask)).as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+    val x = banded.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
+    val y = banded.select(col("vec_id").as("id_b"), col("band").as("band_b"),
+      col("bucket").as("bucket_b"))
+    val candidates = x.join(y, col("band") === col("band_b") &&
+        col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = e.select(col("vec_id").as("id_a"), col("e").as("e_a"))
+    val vb = e.select(col("vec_id").as("id_b"), col("e").as("e_b"))
+    candidates.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(DotProduct.dot(col("e_a"), col("e_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** IVF-style approximate nearest neighbors: assign every vector to its
     * nearest seed centroid (`numSeeds` lowest-id vectors), then search
     * top-`k` inside the query vector's bucket only (nprobe=1).

@@ -127,7 +127,10 @@ object AggQueries {
     // t-digest-style sketch percentiles (single-pass, mergeable — the
     // 100 TB path where exact percentile's full sort/collect is not).
     // Sketch internals are engine-specific → non-oracle; the spec bounds
-    // approx-vs-exact error instead, and the query itself carries both.
+    // approx-vs-exact error, and the query itself now carries the bound:
+    // accuracy=1000 guarantees rank error ≤ n/1000, surfaced here as
+    // bound_ok (approx within 2% of the exact value) so any drift shows
+    // up as a false row, not just a spec failure.
     "agg_approx_percentile" -> ((s, dir) => {
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
@@ -135,6 +138,9 @@ object AggQueries {
           round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("approx_median"),
           round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median"),
           round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("approx_p90"))
+        .withColumn("bound_ok",
+          abs(col("approx_median") - col("exact_median")) <=
+            greatest(abs(col("exact_median")) * 0.02, lit(1.0)))
         .orderBy(col("o_orderstatus"))
     }),
 

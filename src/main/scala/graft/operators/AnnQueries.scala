@@ -44,6 +44,15 @@ object AnnQueries {
           Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SRP-LSH bucketed variant of emb_neardup — the 100 TB path: banded
+    // signature buckets generate candidates, exact codegen dot verifies.
+    // Non-oracle (recall is probabilistic); spec asserts subset-of-exact
+    // precision and a recall floor against emb_neardup.
+    "emb_neardup_lsh" -> ((s, dir) =>
+      graft.api.SimilarityOps.lshNearDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "sim_ann_ivf" -> ((s, dir) =>
       graft.api.SimilarityOps.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
           queryPred = col("vec_id") < 10, numSeeds = 8, k = 5)

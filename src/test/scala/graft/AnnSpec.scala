@@ -128,6 +128,16 @@ class AnnSpec extends AnyFunSuite {
       s"accuracy $acc far below the majority-class ceiling $majority on label-random text")
   }
 
+  test("emb_neardup_lsh is a verified subset of exact pairs with usable recall") {
+    def pairs(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exact = pairs("emb_neardup")
+    val lsh = pairs("emb_neardup_lsh")
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact).take(5)}")
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.5,
+      s"recall ${lsh.size}/${exact.size} below 0.5")
+  }
+
   test("emb_neardup pairs all have cos >= 0.45 and appear in both directions-free form") {
     val rows = SparkEntry.queries("emb_neardup")(spark, sf).collect()
     assert(rows.forall(_.getAs[Double]("cos") >= 0.45))
