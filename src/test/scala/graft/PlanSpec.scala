@@ -63,6 +63,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("join_asof is one keyed exchange + window, never a range join") {
+    val p = plan("join_asof")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"as-of must not pair-scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not explode candidate pairs:\n$p")
+    // exactly one exchange of the unioned input on the join key
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 keyed shuffle, got $shuffles:\n$p")
+  }
+
+  test("emb_neardup_lsh joins banded buckets, never all pairs") {
+    val p = plan("emb_neardup_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH path must not contain an all-pairs join:\n$p")
+    assert(p.toLowerCase.contains("dotproduct"), s"verify stage must use codegen dot:\n$p")
+  }
+
+  test("dedup_simhash buckets by signature bands, never all pairs") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded SimHash must not contain an all-pairs join:\n$p")
+    assert(p.contains("bit_count"), s"Hamming verify must be bit_count(xor):\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg hot path") {
     // AQE finalizes the physical plan lazily — execute first
     val df = SparkEntry.queries("agg_basic")(spark, sf)
