@@ -15,7 +15,12 @@ object Conf {
     */
   def recommended(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      // AQE: runtime coalescing, skew-join splitting, runtime replans
+      // AQE: runtime coalescing, skew-join splitting, runtime replans.
+      // Load-bearing for the pair-scan joins (measured 9x on the dedup
+      // BNLJ self-joins) — keep ON for batch. Streaming jobs pin it off
+      // per microbatch run themselves (StreamingJobs.withStatePartitions):
+      // stateful ops disable it anyway and stateless stages would pay a
+      // full replan every microbatch (measured 3-4x).
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
