@@ -222,14 +222,21 @@ object DedupOps {
     * O(candidates), driven by bucket occupancy, not O(n²).
     */
   def simhashPairs(documents: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 2): DataFrame = {
+      maxHamming: Int = 2, bucketCap: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4 bands of 8 bits guarantee recall only for maxHamming <= 3")
     val sig = simhashSignatures(documents, idCol, textCol)
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    val banded0 = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL)).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    // skip degenerate mega-buckets (m docs in one band bucket = m²/2
+    // candidate pairs) — same guard as minhashCandidates.bucketCap. A
+    // pair lost here is only lost if EVERY shared band is degenerate.
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+    val banded = banded0.withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= bucketCap)
+      .drop("bucket_n")
     val x = banded.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"),
       col("band"), col("bucket"))
     val y = banded.select(col("doc_id").as("id_b"), col("simhash").as("sig_b"),

@@ -46,6 +46,21 @@ object TextOps {
           .as("distinct_ratio"),
         (size(col("toks")) >= minTokens && col(nCharsCol) >= minChars).as("passes_quality"))
 
+  /** Whitespace vs BPE-style token counts per document. The BPE-ish
+    * pattern mirrors GPT-2-style pre-tokenization classes (contraction,
+    * letter run, digit run, single other-symbol) — the cheap first-order
+    * estimate of LLM token cost, all codegen (regexp_extract_all), no
+    * UDF. The pattern sticks to syntax RE2 (DuckDB) and java.util.regex
+    * (Spark) interpret identically, so it is oracle-checkable.
+    */
+  def tokenCounts(documents: DataFrame, idCol: String, textCol: String,
+      pattern: String = bpePattern): DataFrame =
+    documents.select(col(idCol),
+      size(toks(textCol)).as("n_tokens_ws"),
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(1))).as("n_tokens_bpe"))
+
+  val bpePattern: String = "('[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])"
+
   /** Position-weighted integer rolling fingerprint — exact and
     * partial-aggregation-friendly (pure int64 arithmetic).
     */

@@ -48,6 +48,12 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // whitespace vs BPE-ish-regex token counts (LLM token-cost estimate)
+    "text_tokens_bpe" -> ((s, dir) => {
+      graft.api.TextOps.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       graft.api.TextOps.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -122,6 +128,12 @@ object LlmQueries {
         |    FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)))
         |WHERE bigram IS NOT NULL
         |GROUP BY bigram ORDER BY bigram""".stripMargin,
+
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  len(str_split(text, ' ')) AS n_tokens_ws,
+        |  len(regexp_extract_all(text, '(''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

@@ -54,10 +54,52 @@ object MiscQueries {
           coalesce(col("maybe_status"), lit("none")).as("status_or_none"))
         .na.drop(Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // batch gaps-and-islands sessionization (30-min inactivity gap) —
+    // the oracle-checked batch twin of stream_session: lag + running sum
+    // of session-break flags, one shuffle on user_id shared by both
+    // windows and the final groupBy. Timestamps emitted as epoch seconds
+    // so the ns(DuckDB)/µs(Spark) storage precisions cannot drift.
+    "sessionize_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess", when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_timestamp(min(col("ts"))).as("sess_start_s"),
+          unix_timestamp(max(col("ts"))).as("sess_end_s"))
+        .orderBy(col("user_id"), col("sess_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "sessionize_batch" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM y)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start_s,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS sess_end_s
+        |FROM z GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
+
     "sample_hash" ->
       """SELECT CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
         |    THEN 'val' ELSE 'train' END AS split,
