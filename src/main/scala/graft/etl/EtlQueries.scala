@@ -36,6 +36,22 @@ object EtlQueries {
           round(col("purchase"), 6).as("purchase"),
           round(col("view"), 6).as("view"))
         .orderBy(col("user_id"))
+    }),
+
+    // upsert/merge without a table format: updates win, everything else
+    // survives — updates ∪ (base ⟕anti updates). At scale both sides
+    // shuffle once on the key; with a real lakehouse format this becomes
+    // MERGE INTO, but the plan shape (anti-join + union) is the same.
+    "etl_upsert" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"))
+      updates
+        .unionByName(base.join(updates.select(col("o_orderkey")),
+          Seq("o_orderkey"), "left_anti"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -49,6 +65,16 @@ object EtlQueries {
         |WHERE o_orderstatus IN ('F', 'O', 'P')
         |GROUP BY bucket, o_orderstatus
         |ORDER BY bucket, o_orderstatus""".stripMargin,
+
+    "etl_upsert" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 100.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT * FROM updates
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "etl_pivot_elements" ->
       """SELECT user_id,

@@ -89,6 +89,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bit_count"), s"Hamming verify must be bit_count(xor):\n$p")
   }
 
+  test("sessionize_batch shares one keyed exchange across windows and agg") {
+    val p = plan("sessionize_batch")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1,
+      s"lag window, running-sum window and groupBy must all reuse the single user_id shuffle; got $keyed:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg hot path") {
     // AQE finalizes the physical plan lazily — execute first
     val df = SparkEntry.queries("agg_basic")(spark, sf)

@@ -70,6 +70,39 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: asofJoin equals the naive range-join + argmax formulation") {
+    // left rows (key, ts); right rows (key, ts, px) with colliding keys
+    // and ts so inclusive/strict boundaries and no-match cases all occur
+    val leftGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 12L)
+    } yield (k, t))
+    val rightGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 12L)
+      p <- Gen.choose(1.0, 9.0)
+    } yield (k, t, p))
+    check(Prop.forAll(leftGen, rightGen, Gen.oneOf(true, false)) { (ls, rs, incl) =>
+      import spark.implicits._
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "key", "ts")
+      val right = rs.toDF("key", "ts", "px")
+      val got = graft.api.JoinOps
+        .asofJoin(left, right, "key", "ts", rightCols = Seq("ts", "px"), inclusive = incl)
+        .collect()
+        .map(r => r.getAs[Long]("lid") ->
+          (Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong),
+           Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble))).toMap
+      // naive reference: max-(ts,px) right row at or before each left ts
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.filter(r => r._1 == k && (if (incl) r._2 <= t else r._2 < t))
+        i.toLong -> (if (cands.isEmpty) (None, None) else {
+          val best = cands.maxBy(r => (r._2, r._3))
+          (Some(best._2), Some(best._3))
+        })
+      }.toMap
+      got == expected
+    })
+  }
+
   test("property: DotProduct matches the composable zip_with formulation") {
     val vecGen = Gen.listOfN(8, Gen.choose(-10.0, 10.0))
     check(Prop.forAll(vecGen, vecGen) { (xs, ys) =>
