@@ -38,6 +38,19 @@ object StreamingDeclared {
       StreamingJobs.tumbling(s, stagedEventsDir(dir), sinkName("q_stream_tumbling"))
         .orderBy(col("user_id"), col("win_start"))),
 
+    // stream-static enrichment join; single-microbatch AvailableNow run
+    // makes the result deterministic → oracle-checked directly
+    "stream_static_join" -> ((s, dir) =>
+      StreamingJobs.streamStaticJoin(s, stagedEventsDir(dir),
+          s"$dir/customer.parquet", sinkName("q_stream_static_join"))
+        .orderBy(col("c_mktsegment"))),
+
+    // stream-stream watermarked inner join with a time-bounded condition
+    "stream_stream_join" -> ((s, dir) =>
+      StreamingJobs.streamStreamJoin(s, stagedEventsDir(dir),
+          sinkName("q_stream_stream_join"))
+        .orderBy(col("click_id"), col("purchase_id"))),
+
     "stream_session" -> ((s, dir) =>
       StreamingJobs.sessionWindows(s, stagedEventsDir(dir), sinkName("q_stream_session"))
         .orderBy(col("user_id"), col("sess_start"))),
@@ -90,6 +103,19 @@ object StreamingDeclared {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'click'
+        |  AND b.event_type = 'purchase'
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     "stream_rate" ->
       """SELECT CAST(value % 10 AS BIGINT) AS bucket,
         |       count(*) AS n,

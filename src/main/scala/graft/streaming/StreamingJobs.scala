@@ -105,6 +105,49 @@ object StreamingJobs {
     withStatePartitions(spark, 8) { runToMemory(agg, sinkName, OutputMode.Complete()) }
   }
 
+  /** Stream-static enrichment join: the event stream joins a static
+    * dimension frame (re-read per microbatch by Spark; broadcast when
+    * small) and aggregates per segment. The canonical "enrich events
+    * with a dim table" shape — at scale the static side is a broadcast
+    * per microbatch, the stream side never shuffles for the join.
+    */
+  def streamStaticJoin(spark: SparkSession, eventsDir: String,
+      customerParquet: String, sinkName: String): DataFrame = {
+    val events = readEventsStream(spark, eventsDir)
+    val cust = spark.read.parquet(customerParquet)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = events.join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+    withStatePartitions(spark, 8) { runToMemory(agg, sinkName, OutputMode.Complete()) }
+  }
+
+  /** Stream-stream inner join with watermarks on both sides and a time
+    * bound in the join condition: purchases within 10 minutes after a
+    * click, per user. The watermark + range bound is what lets Spark
+    * expire join state — without both, stream-stream join state grows
+    * forever; with them, state is bounded by the watermark horizon.
+    */
+  def streamStreamJoin(spark: SparkSession, eventsDir: String,
+      sinkName: String): DataFrame = {
+    val clicks = readEventsStream(spark, eventsDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = readEventsStream(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+    withStatePartitions(spark, 8) { runToMemory(joined, sinkName, OutputMode.Append()) }
+  }
+
   /** Streaming exact dedup on event_id bounded by a watermark; returns
     * the running query for multi-batch driving.
     */
