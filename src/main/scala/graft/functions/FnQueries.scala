@@ -109,6 +109,18 @@ object FnQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // regex surface: replace-all, group extract, match predicate — all
+    // patterns restricted to syntax RE2 (DuckDB) and java.util.regex
+    // agree on
+    "fn_regex" -> ((s, dir) => {
+      Tables.part(s, dir).select(
+          col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          col("p_name").rlike("^[a-z]+ ").as("starts_word"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "fn_json" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(
@@ -195,6 +207,13 @@ object FnQueries {
         |  p_brand AS sm_b,
         |  p_type AS sm_t,
         |  2 AS sm_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_regex" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_matches(p_name, '^[a-z]+ ') AS starts_word
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_json" ->

@@ -147,6 +147,20 @@ object AggQueries {
     "dedup_exact" -> ((s, dir) =>
       graft.api.DedupOps.exact(Tables.documents(s, dir), "text", "doc_id")
         .orderBy(col("doc_id")))
+,
+    // argmax/argmin aggregation. Ties on price are broken by folding the
+    // key into one exact int64 ordinal (price has ≤2dp; ordinal stays
+    // under 2^53 so the arithmetic is exact in both engines).
+    "agg_minmax_by" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("ord",
+          (col("o_totalprice") * 100).cast("bigint") * 1000000 + col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("max_by(o_orderkey, ord)").as("biggest_order"),
+          expr("min_by(o_orderkey, ord)").as("smallest_order"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    })
   )
 
   // agg_percentile carries both exact and approx medians on the Spark side;
@@ -225,6 +239,15 @@ object AggQueries {
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "agg_minmax_by" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey, ord) AS biggest_order,
+        |  arg_min(o_orderkey, ord) AS smallest_order,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM (SELECT *, CAST(o_totalprice * 100 AS BIGINT) * 1000000 + o_orderkey AS ord
+        |      FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

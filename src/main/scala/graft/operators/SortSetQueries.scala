@@ -55,6 +55,23 @@ object SortSetQueries {
       Tables.part(s, dir).select(col("p_partkey").as("partkey"))
         .except(Tables.lineitem(s, dir).select(col("l_partkey").as("partkey")))
         .orderBy(col("partkey"))
+    }),
+
+    // bag semantics: multiplicities min() / subtract, not dedup
+    "set_intersect_all" -> ((s, dir) => {
+      Tables.lineitem(s, dir).select(col("l_partkey").as("partkey"))
+        .intersectAll(Tables.lineitem(s, dir)
+          .filter(col("l_quantity") > 25).select(col("l_partkey").as("partkey")))
+        .groupBy(col("partkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("partkey"))
+    }),
+
+    "set_except_all" -> ((s, dir) => {
+      Tables.lineitem(s, dir).select(col("l_partkey").as("partkey"))
+        .exceptAll(Tables.lineitem(s, dir)
+          .filter(col("l_quantity") > 25).select(col("l_partkey").as("partkey")))
+        .groupBy(col("partkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("partkey"))
     })
   )
 
@@ -91,6 +108,20 @@ object SortSetQueries {
       """SELECT p_partkey AS partkey FROM part
         |EXCEPT
         |SELECT l_partkey AS partkey FROM lineitem
-        |ORDER BY partkey""".stripMargin
+        |ORDER BY partkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT partkey, count(*) AS n FROM (
+        |  SELECT l_partkey AS partkey FROM lineitem
+        |  INTERSECT ALL
+        |  SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 25)
+        |GROUP BY partkey ORDER BY partkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT partkey, count(*) AS n FROM (
+        |  SELECT l_partkey AS partkey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 25)
+        |GROUP BY partkey ORDER BY partkey""".stripMargin
   )
 }
