@@ -132,20 +132,28 @@ object StreamingJobs {
       sinkName: String): DataFrame = {
     val clicks = readEventsStream(spark, eventsDir)
       .filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "10 minutes")
     val purchases = readEventsStream(spark, eventsDir)
       .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
+    val joined = clickPurchaseJoin(clicks, purchases)
+    withStatePartitions(spark, 8) { runToMemory(joined, sinkName, OutputMode.Append()) }
+  }
+
+  /** The watermarked time-bounded click⋈purchase join over any two
+    * events-shaped streams (`event_id`, `ts`, `user_id`) — exposed so
+    * specs can drive it batch-by-batch through MemoryStreams.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "10 minutes")
-    val joined = clicks.join(purchases,
+    c.join(p,
         col("c_user") === col("p_user") &&
         col("purchase_ts") > col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
-    withStatePartitions(spark, 8) { runToMemory(joined, sinkName, OutputMode.Append()) }
   }
 
   /** Streaming exact dedup on event_id bounded by a watermark; returns

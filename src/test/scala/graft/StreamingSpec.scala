@@ -95,6 +95,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join emits only same-user pairs inside the 10-min bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingJobs.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("st_ssjoin_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: u7 click at 10:00 → purchase 10:05 matches
+      clicks.addData(Ev(1, t("2024-01-01 10:00:00"), 7))
+      purchases.addData(Ev(101, t("2024-01-01 10:05:00"), 7))
+      q.processAllAvailable()
+      // batch 2: purchase 10:30 is outside 10 min of the click; a
+      // different user's purchase at a matching time must not pair
+      purchases.addData(Ev(102, t("2024-01-01 10:30:00"), 7),
+        Ev(103, t("2024-01-01 10:02:00"), 8))
+      q.processAllAvailable()
+      // batch 3: a second click right before an existing purchase —
+      // state from earlier purchases must still be joinable
+      clicks.addData(Ev(2, t("2024-01-01 10:28:00"), 7))
+      q.processAllAvailable()
+      val pairs = spark.table("st_ssjoin_spec").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+      assert(pairs === Set((1L, 101L), (2L, 102L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running count matches batch counts") {
     val streamed = StreamingJobs.statefulRunningCount(spark, eventsDir, "st_state_spec")
     // keep the last emitted count per user (Update mode may emit per batch)
