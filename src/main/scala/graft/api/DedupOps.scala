@@ -34,8 +34,9 @@ object DedupOps {
       .select(col(idCol), col("n_copies"))
 
   /** All pairs with token-set Jaccard ≥ num/den. Exact results at any
-    * vocabulary size: 64-bit dictionary bitmasks with bit_count in the
-    * hot path, per-pair array intersect fallback beyond 64 tokens.
+    * vocabulary size: tokens become 64-bit xxhash64 ids (collision odds
+    * ~n²·2⁻⁶⁴ per document — astronomically rare) and the per-pair
+    * intersect is a codegen two-pointer merge over sorted long arrays.
     * Size-band blocking (|A|/|B| ∈ [num/den, den/num]) prunes the
     * self-join. At very large corpora run [[minhashCandidates]] first
     * and verify only candidates with this.
@@ -50,38 +51,20 @@ object DedupOps {
     * [[shingleSets]], or any other unit of comparison.
     */
   def nearJaccardPairsOnSets(sets: DataFrame, num: Int, den: Int): DataFrame = {
-    // Dictionary-encode every element (broadcast dict join) so each doc
-    // becomes a SORTED INT array: the per-pair merge is then primitive
-    // getInt + compare, measured ~100x cheaper per element than
-    // UTF8String access on the same sets. Docs whose ids all fit in 64
-    // bits additionally get an exact bitmask (bit_count(and) per pair).
-    val docs = sets.select(col("doc_id"), col("ts"))
-    // Dense alphabetical ids WITHOUT a global row_number() window (that
-    // plan is "WindowExec: No Partition Defined" — the whole vocabulary
-    // lands on one task at scale). sort() is a parallel range-partitioned
-    // sort and zipWithIndex preserves partition order, so ids equal the
-    // global alphabetical rank — same ids as the old window, every
-    // partition doing its share.
-    val sparkSession = sets.sparkSession
-    val dict = {
-      import sparkSession.implicits._
-      docs.select(explode(col("ts")).as("tok")).distinct()
-        .sort(col("tok")).as[String].rdd.zipWithIndex()
-        .map { case (t, i) => (t, i.toInt) }.toDF("tok", "tok_id")
-    }
-    val prepared = docs.select(col("doc_id"), explode(col("ts")).as("tok"))
-      .join(broadcast(dict), "tok")
-      .groupBy(col("doc_id"))
-      .agg(
-        sort_array(collect_list(col("tok_id"))).as("ids"),
-        expr("bit_or(CASE WHEN tok_id < 64 THEN shiftleft(CAST(1 AS BIGINT), tok_id) ELSE 0 END)").as("mask"),
-        max(col("tok_id")).as("max_id"))
-      .select(col("doc_id"), col("ids"), size(col("ids")).as("n"),
-        col("mask"), (col("max_id") < 64).as("valid"))
-      // both self-join sides + the dict consumer re-derive this frame;
-      // uncached, the whole tokenize/dict/aggregate lineage re-executes
-      // per use (measured 14s vs 3s on materialized sets at sf0.1).
-      // A few ints + one int array per doc — safe to pin.
+    // Element identity = xxhash64(element): each doc becomes a SORTED
+    // LONG array in ONE codegen projection — no vocabulary dictionary,
+    // no broadcast (a 100 TB corpus vocabulary exceeds any broadcast
+    // limit), no shuffle to prepare. The per-pair merge is primitive
+    // getLong + compare, ~100x cheaper per element than UTF8String
+    // access on the same sets. array_distinct collapses the ~2⁻⁶⁴
+    // in-doc hash collisions so |set| stays exact.
+    val prepared = sets
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(col("ts"), t => xxhash64(t)))).as("ids"))
+      .select(col("doc_id"), col("ids"), size(col("ids")).as("n"))
+      // both self-join sides re-derive this frame; uncached, the whole
+      // tokenize/hash lineage re-executes per use. One long array per
+      // doc — safe to pin.
       .cache()
     // BNLJ parallelism == streamed-side partition count, and the tiny
     // prepared frame otherwise arrives in 1-2 partitions (AQE coalesces
@@ -89,15 +72,13 @@ object DedupOps {
     // out to all cores; at cluster scale it spreads it over executors
     val par = sets.sparkSession.sparkContext.defaultParallelism
     val a = prepared.repartition(par).select(col("doc_id").as("id_a"),
-      col("ids").as("ids_a"), col("n").as("n_a"), col("mask").as("m_a"),
-      col("valid").as("v_a"))
+      col("ids").as("ids_a"), col("n").as("n_a"))
     val b = prepared.select(col("doc_id").as("id_b"), col("ids").as("ids_b"),
-      col("n").as("n_b"), col("mask").as("m_b"), col("valid").as("v_b"))
+      col("n").as("n_b"))
     a.join(b, col("id_a") < col("id_b") &&
         col("n_b") * den >= col("n_a") * num && col("n_a") * den >= col("n_b") * num)
-      .withColumn("inter", when(col("v_a") && col("v_b"),
-          bit_count(col("m_a").bitwiseAND(col("m_b"))))
-        .otherwise(graft.functions.SortedIntersectSize(col("ids_a"), col("ids_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("ids_a"), col("ids_b")))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .filter(col("inter") * den >= col("uni") * num || noPush)
       .select(col("id_a"), col("id_b"),
@@ -169,10 +150,15 @@ object DedupOps {
       num: Int = 4, den: Int = 5,
       numHashes: Int = 16, bands: Int = 4, bucketCap: Int = 50): DataFrame = {
     val candidates = minhashCandidates(documents, idCol, textCol, numHashes, bands, bucketCap)
+    // same xxhash64 token ids as nearJaccardPairsOnSets (no dictionary,
+    // no shuffle); cached because BOTH candidate-join sides consume it —
+    // uncached, the tokenize/hash lineage re-executes per side.
     val docs = documents
       .select(col(idCol).as("doc_id"),
-        sort_array(array_distinct(split(col(textCol), " "))).as("ts"))
+        sort_array(array_distinct(
+          transform(split(col(textCol), " "), t => xxhash64(t)))).as("ts"))
       .withColumn("n", size(col("ts")))
+      .cache()
     candidates
       .join(docs.select(col("doc_id").as("id_a"), col("ts").as("ts_a"), col("n").as("n_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("ts").as("ts_b"), col("n").as("n_b")), "id_b")

@@ -16,6 +16,21 @@ object SimilarityOps {
     df.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("e"))
 
+  /** One `(dot, -centroid_id)` struct per driver-held centroid, over the
+    * row's `e` column. `array_max` of this array IS nearest-centroid
+    * assignment — a pure whole-stage-codegen projection with ZERO
+    * exchanges (struct ordering: max dot, then lowest id). Centroids are
+    * k·dim doubles on the driver (the MLlib pattern), so the options
+    * inline as literals however large the corpus; `array_sort` of the
+    * same array yields multi-probe rankings. This replaces the old
+    * crossJoin + row_number window (a full sort + shuffle of n×k rows).
+    */
+  private def centroidOptions(centroids: Array[(Long, Array[Double])]): org.apache.spark.sql.Column =
+    array(centroids.map { case (cid, v) =>
+      struct(DotProduct.dot(col("e"), typedLit(v.toSeq)).as("d"),
+        lit(-cid).as("nc"))
+    }.toIndexedSeq: _*)
+
   /** Brute-force global top-k most similar pairs. Exact baseline —
     * quadratic; use [[ivfTopK]] at scale.
     */
@@ -99,19 +114,19 @@ object SimilarityOps {
 
   /** IVF-style approximate nearest neighbors: assign every vector to its
     * nearest seed centroid (`numSeeds` lowest-id vectors), then search
-    * top-`k` inside the query vector's bucket only (nprobe=1).
+    * top-`k` inside the query vector's bucket only (nprobe=1). Seeds are
+    * collected to the driver (numSeeds·dim doubles — tiny) so assignment
+    * is a shuffle-free codegen projection, see [[centroidOptions]].
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, numSeeds: Int, k: Int): DataFrame = {
     val e = asDouble(emb, idCol, vecCol)
-    val seeds = e.orderBy(col("vec_id")).limit(numSeeds)
-      .select(col("vec_id").as("seed_id"), col("e").as("seed_e"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("seed_dot"), col("seed_id"))
-    val assigned = e.crossJoin(broadcast(seeds))
-      .withColumn("seed_dot", DotProduct.dot(col("e"), col("seed_e")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("seed_id").as("bucket"))
+    val seeds: Array[(Long, Array[Double])] =
+      e.orderBy(col("vec_id")).limit(numSeeds).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val assigned = e
+      .withColumn("best", array_max(centroidOptions(seeds)))
+      .select(col("vec_id"), col("e"), (-col("best.nc")).as("bucket"))
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("e").as("q_e"), col("bucket"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
@@ -145,21 +160,13 @@ object SimilarityOps {
       .collect().zipWithIndex
       .map { case (r, i) => i -> normalize(r.getSeq[Double](1).toArray) }
     for (_ <- 1 to iters) {
-      val cDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(centroids.toSeq.map { case (cid, v) =>
-          org.apache.spark.sql.Row(cid, v.toSeq) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cluster",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("c_e",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)))))
-      val w = Window.partitionBy(col("vec_id")).orderBy(desc("dot"), col("cluster"))
-      val assigned = e.crossJoin(broadcast(cDf))
-        .withColumn("dot", DotProduct.dot(col("e"), col("c_e")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("e"), col("cluster"))
+      // assignment is a shuffle-free projection over the driver-held
+      // centroids ([[centroidOptions]]) — each Lloyd iteration is then
+      // exactly one job: scan → assign → two-level mean agg → collect
+      val assigned = e
+        .withColumn("best", array_max(centroidOptions(
+          centroids.map { case (cid, v) => (cid.toLong, v) })))
+        .select(col("vec_id"), col("e"), (-col("best.nc")).cast("int").as("cluster"))
       val means = assigned
         .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("m"))
@@ -185,29 +192,21 @@ object SimilarityOps {
   def kmeansIvfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int,
       nClusters: Int, iters: Int, nprobe: Int): DataFrame = {
-    val spark = emb.sparkSession
     val centroids = kmeansCentroids(emb, idCol, vecCol, nClusters, iters)
-    val cDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(centroids.toSeq.map { case (cid, v) =>
-        org.apache.spark.sql.Row(cid, v.toSeq) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cluster",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("c_e",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)))))
     val e = asDouble(emb, idCol, vecCol)
-    val scored = e.crossJoin(broadcast(cDf))
-      .withColumn("c_dot", DotProduct.dot(col("e"), col("c_e")))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(desc("c_dot"), col("cluster"))
-    val assigned = scored
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("cluster"))
-    val probes = scored.filter(queryPred)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("e").as("q_e"), col("cluster"))
+    val opts = centroidOptions(centroids.map { case (cid, v) => (cid.toLong, v) })
+    // full-corpus assignment AND multi-probe ranking are both pure
+    // projections over the driver-held centroids: array_max for the
+    // argmax, sorted-descending slice + explode for the nprobe nearest
+    // clusters. No crossJoin, no window, no exchange until the bucket
+    // join itself.
+    val assigned = e
+      .withColumn("best", array_max(opts))
+      .select(col("vec_id"), col("e"), (-col("best.nc")).cast("int").as("cluster"))
+    val probes = e.filter(queryPred)
+      .withColumn("probe", explode(slice(reverse(array_sort(opts)), 1, nprobe)))
+      .select(col("vec_id").as("q_id"), col("e").as("q_e"),
+        (-col("probe.nc")).cast("int").as("cluster"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
     probes.join(assigned, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -148,6 +148,29 @@ object AggQueries {
       graft.api.DedupOps.exact(Tables.documents(s, dir), "text", "doc_id")
         .orderBy(col("doc_id")))
 ,
+    // mergeable distinct-count sketches — the 100 TB dedup-accounting
+    // shape: each frame (here: two halves of lineitem, in production two
+    // days/shards) builds an HLL sketch INDEPENDENTLY, the binary
+    // sketches union without touching the raw data, and the estimate
+    // comes off the merged sketch. Non-oracle (sketch bytes are
+    // engine-specific); the query surfaces bound_ok (merged estimate
+    // within the lgK=12 ±~1.6% band of exact) so drift shows as a false
+    // row, and AggSpec asserts it.
+    "sketch_hll_merge" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.filter(col("l_orderkey") % 2 === 0)
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk_a"))
+      val b = li.filter(col("l_orderkey") % 2 === 1)
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk_b"))
+      a.crossJoin(b)
+        .select(hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("merged_est"))
+        .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_parts")))
+        .withColumn("bound_ok",
+          abs(col("merged_est") - col("exact_parts")) <= col("exact_parts") * 0.05)
+        .select(col("merged_est").cast("bigint").as("merged_est"),
+          col("exact_parts"), col("bound_ok"))
+    }),
+
     // argmax/argmin aggregation. Ties on price are broken by folding the
     // key into one exact int64 ordinal (price has ≤2dp; ordinal stays
     // under 2^53 so the arithmetic is exact in both engines).

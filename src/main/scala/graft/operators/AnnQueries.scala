@@ -60,10 +60,13 @@ object AnnQueries {
 
     // trained coarse quantizer + multi-probe: Lloyd-iterated k-means
     // centroids (cosine), queries probe their 2 nearest clusters —
-    // recall strictly >= the seed-bucket nprobe=1 variant above
+    // recall strictly >= the seed-bucket nprobe=1 variant above.
+    // One declared Lloyd iteration: each iteration is a full
+    // assign+mean job chain (the suite's most contention-exposed shape);
+    // convergence over more iters is spec territory, not the demo's.
     "sim_ann_kmeans" -> ((s, dir) =>
       graft.api.SimilarityOps.kmeansIvfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-          queryPred = col("vec_id") < 10, k = 5, nClusters = 8, iters = 2, nprobe = 2)
+          queryPred = col("vec_id") < 10, k = 5, nClusters = 8, iters = 1, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))),
 
     "dedup_simhash" -> ((s, dir) =>

@@ -56,6 +56,41 @@ object MiscQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // correlated scalar subqueries through Catalyst's decorrelation
+    // (RewriteCorrelatedScalarSubquery): orders 1.5x above their
+    // customer's average price. The predicate is written in exact
+    // integer/decimal arithmetic (price*2*count > 3*sum) so the
+    // comparison cannot flip on double summation-order ulp drift.
+    // Decorrelated plan = ONE aggregate over o_custkey + a join back —
+    // no per-row re-scan, which is why this survives 100 TB.
+    "subquery_correlated" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_sq_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM graft_sq_orders o
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+          |    (SELECT count(*) FROM graft_sq_orders o2
+          |     WHERE o2.o_custkey = o.o_custkey)
+          |  > 3 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |         FROM graft_sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // explicit salted skew join: events.user_id is the canonical hot-key
+    // column; the salted form spreads each key over 8 reducers and must
+    // return exactly the plain join's rows — which the plain-SQL oracle
+    // checks. SkewJoinSpec additionally asserts bounded per-salt size.
+    "join_skew_salted" -> ((s, dir) => {
+      graft.operators.SkewJoin.saltedEquiJoin(
+          Tables.events(s, dir), Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_mktsegment")),
+          "user_id", "c_custkey", saltBuckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // batch gaps-and-islands sessionization (30-min inactivity gap) —
     // the oracle-checked batch twin of stream_session: lag + running sum
     // of session-break flags, one shuffle on user_id shared by both
@@ -91,14 +126,28 @@ object MiscQueries {
         |  FROM x),
         |z AS (
         |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM y)
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start_s,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS sess_end_s
         |FROM z GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_id""".stripMargin,
+
+    "subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+        |    (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |  > 3 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "sample_hash" ->
       """SELECT CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'

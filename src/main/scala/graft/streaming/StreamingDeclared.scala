@@ -7,8 +7,12 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 /** §2.9 streaming jobs as declared queries: each stages the events file
   * into a directory, runs the REAL streaming engine (FileStreamSource →
   * state store → memory sink, Trigger.AvailableNow) and returns the sink
-  * table. Non-oracle (DuckDB has no streams) — the driver records a
-  * rows-only check; semantics (watermark drops, stream==batch) are
+  * table. A single-file AvailableNow run is ONE deterministic microbatch,
+  * so every job whose final sink state equals a batch query over the same
+  * file is oracle-checked with that batch SQL (tumbling/session/dedup/
+  * watermark/static-join/stream-join/rate). Only the per-batch-emission
+  * jobs (mapGroupsWithState / transformWithState update mode) stay
+  * non-oracle; multi-batch semantics (late drops, incremental state) are
   * spec-tested with crafted MemoryStream batches in StreamingSpec.
   */
 object StreamingDeclared {
@@ -61,8 +65,10 @@ object StreamingDeclared {
 
     "stream_watermark_late" -> ((s, dir) => {
       // single-batch file run: nothing is late, but the watermarked
-      // append-mode pipeline (state + eviction logic) executes for real;
-      // late-drop behavior itself is spec-tested batch-by-batch
+      // append-mode pipeline (state + eviction logic) executes for real —
+      // only windows closed under the final watermark (max ts − 10 min)
+      // are emitted, which the oracle reproduces; late-drop behavior
+      // itself is spec-tested batch-by-batch
       val name = sinkName("q_stream_watermark")
       StreamingJobs.withStatePartitions(s, 8) {
         val q = StreamingJobs.watermarkedTumblingQuery(
@@ -103,6 +109,51 @@ object StreamingDeclared {
   )
 
   val oracle: Map[String, String] = Map(
+    // complete-mode tumbling agg over one file == batch time_bucket agg
+    "stream_tumbling" ->
+      """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |  count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY user_id, win_start
+        |ORDER BY user_id, win_start""".stripMargin,
+
+    // session_window(30 min) == gaps-and-islands; Spark's session end is
+    // last event + gap
+    "stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM y)
+        |SELECT user_id, min(ts) AS sess_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS sess_end, count(*) AS n
+        |FROM z GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    // event_id is unique in the table, so watermarked dropDuplicates
+    // over one batch passes every row through
+    "stream_dedup" ->
+      """SELECT event_id, user_id, ts FROM events ORDER BY event_id""".stripMargin,
+
+    // append mode emits exactly the windows closed under the final
+    // watermark = max(ts) - 10 min (window end <= watermark)
+    "stream_watermark_late" ->
+      """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |  count(*) AS n
+        |FROM events
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+        |  <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |GROUP BY user_id, win_start
+        |ORDER BY user_id, win_start""".stripMargin,
+
     "stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey

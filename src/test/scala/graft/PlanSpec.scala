@@ -51,10 +51,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("join_anti").contains("LeftAnti"), plan("join_anti"))
   }
 
-  test("dedup_near compares pairs on long masks, not arrays, in the hot path") {
-    val p = SparkEntry.queries("dedup_near")(spark, sf)
-      .queryExecution.optimizedPlan.toString
-    assert(p.contains("bit_count"), p)
+  test("dedup_near merges hashed id arrays in codegen and broadcasts NO vocabulary") {
+    val qe = SparkEntry.queries("dedup_near")(spark, sf).queryExecution
+    val opt = qe.optimizedPlan.toString
+    assert(opt.contains("sortedintersectsize"), opt)
+    // the old dictionary-encode path exploded every token and broadcast
+    // the whole vocabulary (a hard ceiling at 100 TB corpora). The
+    // xxhash64-id path has NO Generate stage and the only broadcast left
+    // is the pair-join's own build side.
+    val phys = qe.executedPlan.toString
+    assert(!phys.contains("Generate"),
+      s"dedup_near must not explode tokens through a dictionary join:\n$phys")
+    val broadcasts = "BroadcastExchange".r.findAllIn(phys).length
+    assert(broadcasts <= 1,
+      s"only the pair-join build side may broadcast, got $broadcasts:\n$phys")
+  }
+
+  test("sim_ann_ivf assigns buckets as a shuffle-free projection, not a crossJoin+window") {
+    val p = plan("sim_ann_ivf")
+    // nearest-seed assignment = array_max over per-seed dot structs,
+    // fused into the scan's codegen stage — the old shape was a
+    // BroadcastNestedLoopJoin crossJoin followed by a row_number sort
+    assert(p.contains("array_max"), s"assignment should be an array_max projection:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no seed crossJoin may remain in the assignment path:\n$p")
   }
 
   test("sim_cosine_topk uses the custom codegen dot product and top-k fusion") {

@@ -22,6 +22,24 @@ class SkewBucketSpec extends AnyFunSuite {
     assert(salted.nonEmpty)
   }
 
+  test("salting spreads the hot key across all buckets (bounded reducer share)") {
+    import spark.implicits._
+    val big = (1 to 800).map(i => (1L, i)).toDF("k", "v")
+    val small = Seq((1L, "dim_1")).toDF("sk", "name")
+    // per-(key,salt) share after salting: the hot key must occupy all 8
+    // buckets with no bucket above ~2x the even share — this is exactly
+    // the reducer-size bound that saves the join at 100x skew
+    val salted = big.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .groupBy(col("k"), col("__salt")).count().collect()
+    assert(salted.length === 8, s"hot key must land in all 8 salt buckets: ${salted.length}")
+    assert(salted.map(_.getAs[Long]("count")).max <= 200,
+      "no salt bucket may carry more than 2x the even share")
+    // and the declared query's salted result matches the plain join
+    val viaApi = SkewJoin.saltedEquiJoin(big, small, "k", "sk", 8).count()
+    assert(viaApi === 800)
+  }
+
   test("bucketed join plan has no shuffle exchange (broadcast disabled)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
