@@ -121,6 +121,20 @@ object FnQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // bitwise surface: and/or/xor, shifts, popcount — the hash/bucket/
+    // flag arithmetic every fingerprinting pipeline leans on
+    "fn_bitwise" -> ((s, dir) => {
+      Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("bor"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+          shiftleft(col("o_orderkey"), 3).as("shl"),
+          shiftright(col("o_orderkey"), 2).as("shr"),
+          bit_count(col("o_orderkey")).as("popcount"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "fn_json" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(
@@ -215,6 +229,16 @@ object FnQueries {
         |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
         |  regexp_matches(p_name, '^[a-z]+ ') AS starts_word
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  xor(o_orderkey, o_custkey) AS bxor,
+        |  o_orderkey << 3 AS shl,
+        |  o_orderkey >> 2 AS shr,
+        |  CAST(bit_count(o_orderkey) AS INT) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_json" ->
       """SELECT event_id,

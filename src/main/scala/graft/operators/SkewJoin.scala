@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed keys.
@@ -19,7 +19,21 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   def saltedEquiJoin(big: DataFrame, small: DataFrame,
-      bigKey: String, smallKey: String, saltBuckets: Int): DataFrame = {
+      bigKey: String, smallKey: String, saltBuckets: Int): DataFrame =
+    saltedEquiJoin(big, small, bigKey, smallKey, saltBuckets, lit(true))
+
+  /** [[saltedEquiJoin]] with an extra (typically non-equi) predicate
+    * evaluated inside the join — the theta-range shape: equi key carries
+    * the skew (one hot user), the range bound prunes pairs. The salt
+    * spreads the hot key's pair work over `saltBuckets` reducers while
+    * the predicate still evaluates once per candidate pair. This is the
+    * explicit fallback for when AQE skew-join is unavailable (streaming,
+    * or a non-adaptive engine build); with AQE on, prefer the plain join
+    * and `spark.sql.adaptive.skewJoin.enabled`.
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, saltBuckets: Int,
+      extraCond: Column): DataFrame = {
     require(saltBuckets > 0)
     val salted = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
@@ -27,7 +41,7 @@ object SkewJoin {
       explode(array((0 until saltBuckets).map(lit): _*)))
     salted.join(replicated,
         salted("__salt") === replicated("__salt") &&
-          salted(bigKey) === replicated(smallKey))
+          salted(bigKey) === replicated(smallKey) && extraCond)
       .drop("__salt")
   }
 }

@@ -74,6 +74,23 @@ object WindowQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // first_value / last_value / nth_value over an explicit full-partition
+    // frame (default frame stops at CURRENT ROW, which makes last_value a
+    // trap — pin ROWS UNBOUNDED..UNBOUNDED on both engines)
+    "win_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("first_order", first(col("o_orderkey")).over(w))
+        .withColumn("last_order", last(col("o_orderkey")).over(w))
+        .withColumn("second_order", nth_value(col("o_orderkey"), 2).over(w))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("first_order"), col("last_order"), col("second_order"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "win_distribution" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
       Tables.customer(s, dir)
@@ -127,6 +144,16 @@ object WindowQueries {
         |    RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS DOUBLE) AS same_day_sum
         |FROM (SELECT *, datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
         |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
 
     "win_distribution" ->

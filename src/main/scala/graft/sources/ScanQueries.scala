@@ -59,6 +59,17 @@ object ScanQueries {
         .orderBy(col("r_regionkey"))
     }),
 
+    // ORC source+sink path (the second columnar format Spark ships with
+    // a vectorized reader for); lossless for int/string/double columns
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val path = tmp("supplier_orc")
+      Tables.supplier(s, dir).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          Tables.dec2(col("s_acctbal")).cast("double").as("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "sink_parquet_partitioned" -> ((s, dir) => {
       val path = tmp("li_part")
       Tables.lineitem(s, dir)
@@ -91,6 +102,11 @@ object ScanQueries {
 
     "src_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "src_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "sink_parquet_partitioned" ->
       """SELECT l_returnflag, count(*) AS n,

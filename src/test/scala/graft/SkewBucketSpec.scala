@@ -40,6 +40,23 @@ class SkewBucketSpec extends AnyFunSuite {
     assert(viaApi === 800)
   }
 
+  test("salted theta-range self-join equals the plain range join (join_theta_range shape)") {
+    // the declared join_theta_range puts each user's full event volume on
+    // one reducer; this is its salted twin — identical result, hot user
+    // spread over 4 salt buckets
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val a = ev.select(col("event_id").as("id_a"), col("user_id").as("u_a"), col("ts").as("ts_a"))
+    val b = ev.select(col("event_id").as("id_b"), col("user_id").as("u_b"), col("ts").as("ts_b"))
+    val range = col("ts_b") > col("ts_a") &&
+      col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES")
+    val plain = a.join(b, col("u_a") === col("u_b") && range)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = SkewJoin.saltedEquiJoin(a, b, "u_a", "u_b", 4, range)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
   test("bucketed join plan has no shuffle exchange (broadcast disabled)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
