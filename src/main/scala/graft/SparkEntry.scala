@@ -31,7 +31,8 @@ object SparkEntry {
     (graft.etl.EtlQueries.queries, graft.etl.EtlQueries.oracle),
     (graft.sources.BucketQueries.queries, graft.sources.BucketQueries.oracle),
     (graft.streaming.StreamingDeclared.queries, graft.streaming.StreamingDeclared.oracle),
-    (MiscQueries.queries, MiscQueries.oracle)
+    (MiscQueries.queries, MiscQueries.oracle),
+    (TsQueries.queries, TsQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -135,6 +135,19 @@ object FnQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // cryptographic digests — content addressing / stable sharding keys
+    // (md5 and sha-256 are bit-identical across engines; the md5 prefix
+    // doubles as a portable uniform hash for splits, cf. sample_hash)
+    "fn_hash" -> ((s, dir) => {
+      Tables.customer(s, dir).select(
+          col("c_custkey"),
+          md5(col("c_name")).as("md5_name"),
+          sha2(col("c_name"), 256).as("sha256_name"),
+          substring(md5(col("c_name")), 1, 8).as("md5_prefix"),
+          length(sha2(col("c_name"), 256)).as("sha_len"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "fn_json" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(
@@ -239,6 +252,14 @@ object FnQueries {
         |  o_orderkey >> 2 AS shr,
         |  CAST(bit_count(o_orderkey) AS INT) AS popcount
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_hash" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS md5_name,
+        |  sha256(c_name) AS sha256_name,
+        |  substring(md5(c_name), 1, 8) AS md5_prefix,
+        |  length(sha256(c_name)) AS sha_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "fn_json" ->
       """SELECT event_id,

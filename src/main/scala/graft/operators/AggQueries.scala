@@ -171,6 +171,49 @@ object AggQueries {
           col("exact_parts"), col("bound_ok"))
     }),
 
+    // deterministic mode: most frequent priority per status, ties broken
+    // by priority string order (native mode() picks an arbitrary tie
+    // winner — unusable under a hash-match oracle, so mode is derived
+    // from count + row_number; same two-phase agg shape at scale)
+    "agg_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(desc("n"), asc("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // boolean aggregates: universal/existential predicates per group
+    "agg_bool" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bool_and(col("l_quantity") > 0).as("all_qty_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_disc_gt9"),
+          bool_and(col("l_tax") <= 0.08).as("all_tax_le8"),
+          count_if(col("l_discount") === 0.0).as("n_no_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // fixed-width-bucket histogram of order totals: floor division to the
+    // bucket lower bound — a single two-phase hash agg, shuffle volume =
+    // number of buckets (the scalable way to histogram 100 TB)
+    "agg_histogram" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("bucket_lo",
+          (floor(col("o_totalprice") / 20000) * 20000).cast("bigint"))
+        .groupBy(col("bucket_lo"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bucket_lo"))
+    }),
+
     // argmax/argmin aggregation. Ties on price are broken by folding the
     // key into one exact int64 ordinal (price has ≤2dp; ordinal stays
     // under 2^53 so the arithmetic is exact in both engines).
@@ -263,6 +306,33 @@ object AggQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderpriority, n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_qty_pos,
+        |  bool_or(l_discount > 0.09) AS any_disc_gt9,
+        |  bool_and(l_tax <= 0.08) AS all_tax_le8,
+        |  CAST(count_if(l_discount = 0.0) AS BIGINT) AS n_no_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000) * 20000 AS BIGINT) AS bucket_lo,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
 
     "agg_minmax_by" ->
       """SELECT o_orderstatus,

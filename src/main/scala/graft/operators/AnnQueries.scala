@@ -69,6 +69,24 @@ object AnnQueries {
           queryPred = col("vec_id") < 10, k = 5, nClusters = 8, iters = 1, nprobe = 2)
         .orderBy(col("q_id"), col("rank"))),
 
+    // int8 symmetric quantization (scale 127 — valid because vectors are
+    // unit-norm, so |v| <= 1): 4x smaller vectors for the ANN candidate
+    // pass, exact re-rank stays on the float column. floor(x*127 + 0.5)
+    // instead of round() — identical IEEE ops in both engines, no
+    // round-half-mode ambiguity. max_err <= 1/254 by construction.
+    "emb_quantize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .withColumn("q", expr(
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127 + 0.5) AS INT))"))
+        .select(col("vec_id"),
+          array_join(col("q").cast("array<string>"), ",").as("q_csv"),
+          round(expr(
+            """aggregate(
+              |  zip_with(embedding, q, (v, qi) -> abs(CAST(v AS DOUBLE) - CAST(qi AS DOUBLE) / 127)),
+              |  CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, x))""".stripMargin), 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       graft.api.DedupOps.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
@@ -93,6 +111,19 @@ object AnnQueries {
         |  round(list_sum(list_transform(range(1, 65),
         |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), 6) AS self_cos
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 127 + 0.5) AS INT)) AS qs
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  array_to_string(qs, ',') AS q_csv,
+        |  round(list_aggregate(list_transform(range(1, 65),
+        |    i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(qs[i] AS DOUBLE) / 127)),
+        |    'max'), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "emb_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -95,6 +95,42 @@ object LlmQueries {
           Tables.embeddings(s, dir), "vec_id", "embedding", "label")
         .orderBy(col("vec_id"))),
 
+    // PII scrubbing: regex redaction of emails/phones before training.
+    // The corpus has no PII, so each doc is salted with a synthetic
+    // email+phone derived from its id, then scrubbed — proving the
+    // patterns strip exactly what they should (has_pii_after == false).
+    // Patterns restricted to RE2/java.util.regex common syntax.
+    "text_pii_scrub" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._]+@[a-z0-9.-]+"
+      val phoneRe = "\\+1-[0-9]{3}-[0-9]+"
+      Tables.documents(s, dir)
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"), col("doc_id").cast("string")))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("clean"),
+          col("dirty").rlike(emailRe).as("had_email"),
+          regexp_replace(regexp_replace(col("dirty"), emailRe, ""), phoneRe, "")
+            .rlike(emailRe).as("has_pii_after"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // overlapping token chunking (window 8, stride 4) — how a corpus is
+    // cut into training sequences. explode(sequence(...)) keeps the work
+    // distributed: each doc expands to ceil(n/stride) rows with no
+    // driver-side loop, and chunk boundaries never cross documents.
+    "doc_chunk" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 1, 4)")).as("st"))
+        .select(col("doc_id"), col("st").cast("long").as("start"),
+          array_join(expr("slice(toks, st + 1, 8)"), " ").as("chunk"),
+          size(expr("slice(toks, st + 1, 8)")).as("n_chunk_toks"))
+        .orderBy(col("doc_id"), col("start"))
+    }),
+
     "multimodal_join" -> ((s, dir) => {
       Tables.documents(s, dir)
         .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
@@ -209,6 +245,33 @@ object LlmQueries {
         |  FROM dots)
         |SELECT vec_id, c_label AS pred_label FROM ranked WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1-555-' || CAST(doc_id AS VARCHAR) AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(dirty, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]+', '<PHONE>', 'g') AS clean,
+        |  regexp_matches(dirty, '[a-z0-9._]+@[a-z0-9.-]+') AS had_email,
+        |  regexp_matches(
+        |    regexp_replace(regexp_replace(dirty, '[a-z0-9._]+@[a-z0-9.-]+', '', 'g'),
+        |      '\+1-[0-9]{3}-[0-9]+', '', 'g'),
+        |    '[a-z0-9._]+@[a-z0-9.-]+') AS has_pii_after
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "doc_chunk" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks) - 1, 4)) AS start
+        |  FROM t)
+        |SELECT doc_id, start,
+        |  array_to_string(list_slice(toks, start + 1, start + 8), ' ') AS chunk,
+        |  len(list_slice(toks, start + 1, start + 8)) AS n_chunk_toks
+        |FROM st ORDER BY doc_id, start""".stripMargin,
 
     "multimodal_join" ->
       """SELECT lang, count(*) AS n,

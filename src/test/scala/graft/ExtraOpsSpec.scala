@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Targeted assertions for the round-3 additions: time-series gap-fill /
+  * LOCF, deterministic mode, boolean aggregates, histograms, digests,
+  * PII scrubbing, token chunking, and int8 embedding quantization.
+  */
+class ExtraOpsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("ts_gapfill emits a complete (priority x day) spine with zero-filled gaps") {
+    val df = SparkEntry.queries("ts_gapfill")(spark, sf).cache()
+    val nPrios = df.select("prio").distinct().count()
+    val nDays = df.select("day").distinct().count()
+    assert(nDays === 90, "Jan 1 .. Mar 31 1995 inclusive")
+    assert(df.count() === nPrios * nDays, "spine must be dense")
+    // sf0.001 has ~1500 orders over ~2400 days -> most slots in the window
+    // are empty and must appear as explicit zero rows
+    assert(df.filter(col("n") === 0 && col("total") === 0.0).count() > 0)
+    df.unpersist()
+  }
+
+  test("ts_locf fills every null from the user's most recent prior value") {
+    val df = SparkEntry.queries("ts_locf")(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    assert(df.count() === ev.count(), "LOCF is row-preserving")
+    // a filled value is null only if the user had no prior non-click event;
+    // re-derive with a self-consistent two-pass check: nulls remaining in
+    // filled_v must be leading rows of their user's series
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val firstFill = df.withColumn("saw_value",
+      count(col("filled_v")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    assert(firstFill.filter(col("filled_v").isNull && col("saw_value") > 0).count() === 0)
+    df.unpersist()
+  }
+
+  test("agg_mode returns exactly one deterministic winner per status") {
+    val rows = SparkEntry.queries("agg_mode")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("agg_histogram buckets partition the orders exactly") {
+    val df = SparkEntry.queries("agg_histogram")(spark, sf)
+    val total = df.agg(sum(col("n"))).head().getLong(0)
+    assert(total === Tables.orders(spark, sf).count())
+    // per-bucket min/max must fall inside the bucket bounds
+    val bad = df.filter(col("lo") < col("bucket_lo") ||
+      col("hi") >= col("bucket_lo") + 20000).count()
+    assert(bad === 0)
+  }
+
+  test("fn_hash digests have canonical hex shapes") {
+    val df = SparkEntry.queries("fn_hash")(spark, sf)
+    assert(df.filter(length(col("md5_name")) =!= 32).count() === 0)
+    assert(df.filter(col("sha_len") =!= 64).count() === 0)
+    assert(df.filter(col("md5_name").rlike("^[0-9a-f]{32}$")).count() === df.count())
+  }
+
+  test("text_pii_scrub removes every salted email and phone") {
+    val df = SparkEntry.queries("text_pii_scrub")(spark, sf).cache()
+    assert(df.filter(col("has_pii_after")).count() === 0)
+    assert(df.filter(!col("had_email")).count() === 0)
+    assert(df.filter(!col("clean").contains("<EMAIL>")).count() === 0)
+    assert(df.filter(!col("clean").contains("<PHONE>")).count() === 0)
+    df.unpersist()
+  }
+
+  test("doc_chunk covers every token with stride-4 windows of <= 8 tokens") {
+    val df = SparkEntry.queries("doc_chunk")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+    // chunks per doc == number of stride starts: floor((n-1)/4) + 1
+    val perDoc = df.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
+      max(col("n_chunk_toks")).as("max_ct"), min(col("n_chunk_toks")).as("min_ct"))
+    val joined = perDoc.join(docs, "doc_id")
+    assert(joined.filter(col("n_chunks") =!=
+      (floor((col("n_toks") - 1) / 4) + 1)).count() === 0)
+    assert(df.filter(col("n_chunk_toks") > 8 || col("n_chunk_toks") < 1).count() === 0)
+    // full-window chunks dominate; the tail chunks shrink
+    assert(joined.filter(col("max_ct") > col("n_toks"))
+      .count() === 0)
+    df.unpersist()
+  }
+
+  test("emb_quantize error is bounded by half a quantization step") {
+    val df = SparkEntry.queries("emb_quantize")(spark, sf)
+    // |v - q/127| <= 0.5/127 for |v| <= 1 under floor(x*127 + 0.5)
+    assert(df.filter(col("max_err") > 0.5 / 127 + 1e-9).count() === 0)
+    // quantized csv has exactly 64 entries
+    assert(df.filter(size(split(col("q_csv"), ",")) =!= 64).count() === 0)
+  }
+
+  test("agg_bool universal/existential flags hold on the data contract") {
+    val rows = SparkEntry.queries("agg_bool")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("all_qty_pos"), "l_quantity domain is 1..50")
+      assert(r.getAs[Boolean]("all_tax_le8"), "l_tax domain is 0.00..0.08")
+    }
+  }
+}
