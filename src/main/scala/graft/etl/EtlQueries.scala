@@ -42,6 +42,31 @@ object EtlQueries {
     // survives — updates ∪ (base ⟕anti updates). At scale both sides
     // shuffle once on the key; with a real lakehouse format this becomes
     // MERGE INTO, but the plan shape (anti-join + union) is the same.
+    // SCD Type-2 dimension merge: an update feed (here: odd custkeys get
+    // a new segment) expires the current row (valid_to set, is_current
+    // false) and appends the new version. The plan is two projections of
+    // one scan + union — no join, no shuffle until the final sort; with a
+    // real change feed the expire step becomes the same anti/semi join as
+    // etl_upsert. History stays append-only, which is what makes SCD2 the
+    // lakehouse-friendly dimension pattern at 100 TB.
+    "etl_scd2" -> ((s, dir) => {
+      val eff = "2024-06-01"
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val changed = col("c_custkey") % 2 === 1
+      val expired = cust.select(
+        col("c_custkey"), col("c_mktsegment").as("segment"),
+        lit("1990-01-01").cast("date").as("valid_from"),
+        when(changed, lit(eff).cast("date")).otherwise(lit(null).cast("date")).as("valid_to"),
+        (!changed).as("is_current"))
+      val fresh = cust.filter(changed).select(
+        col("c_custkey"), lit("UPDATED").as("segment"),
+        lit(eff).cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+      expired.unionByName(fresh)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
     "etl_upsert" -> ((s, dir) => {
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -75,6 +100,17 @@ object EtlQueries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "etl_scd2" ->
+      """SELECT c_custkey, c_mktsegment AS segment,
+        |  DATE '1990-01-01' AS valid_from,
+        |  CASE WHEN c_custkey % 2 = 1 THEN DATE '2024-06-01' END AS valid_to,
+        |  c_custkey % 2 = 0 AS is_current
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'UPDATED', DATE '2024-06-01', NULL, true
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "etl_pivot_elements" ->
       """SELECT user_id,

@@ -22,6 +22,18 @@ object LlmQueries {
 
   private def toks = split(col("text"), " ")
 
+  /** Overlapping token chunks (window 8, stride 4) for every document —
+    * shared by doc_chunk (declared output) and doc_pack (packing input).
+    */
+  private def chunkFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, size(toks) - 1, 4)")).as("st"))
+      .select(col("doc_id"), col("st").cast("long").as("start"),
+        array_join(expr("slice(toks, st + 1, 8)"), " ").as("chunk"),
+        size(expr("slice(toks, st + 1, 8)")).as("n_chunk_toks"))
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> ((s, dir) => {
       graft.api.TextOps.tokenFrequencies(Tables.documents(s, dir), "text")
@@ -120,15 +132,27 @@ object LlmQueries {
     // cut into training sequences. explode(sequence(...)) keeps the work
     // distributed: each doc expands to ceil(n/stride) rows with no
     // driver-side loop, and chunk boundaries never cross documents.
-    "doc_chunk" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"),
-          explode(expr("sequence(0, size(toks) - 1, 4)")).as("st"))
-        .select(col("doc_id"), col("st").cast("long").as("start"),
-          array_join(expr("slice(toks, st + 1, 8)"), " ").as("chunk"),
-          size(expr("slice(toks, st + 1, 8)")).as("n_chunk_toks"))
-        .orderBy(col("doc_id"), col("start"))
+    "doc_chunk" -> ((s, dir) =>
+      chunkFrame(s, dir).orderBy(col("doc_id"), col("start"))),
+
+    // concatenate-and-cut sequence packing (budget 64 tokens): chunks are
+    // streamed in deterministic (doc_id, start) order within 8 hash
+    // shards, a running token cumsum assigns each chunk its pack id and
+    // offset — the pretraining batch-packing shape. One window pass per
+    // shard; shard count scales out the sequential cumsum at 100 TB, and
+    // packs never cross shards, so workers can pack shards independently.
+    "doc_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"), col("start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunkFrame(s, dir)
+        .withColumn("shard", col("doc_id") % 8)
+        .withColumn("cum_before",
+          sum(col("n_chunk_toks")).over(w) - col("n_chunk_toks"))
+        .select(col("shard"), col("doc_id"), col("start"), col("n_chunk_toks"),
+          floor(col("cum_before") / 64).cast("long").as("pack_id"),
+          (col("cum_before") % 64).as("pack_offset"))
+        .orderBy(col("shard"), col("doc_id"), col("start"))
     }),
 
     "multimodal_join" -> ((s, dir) => {
@@ -272,6 +296,28 @@ object LlmQueries {
         |  array_to_string(list_slice(toks, start + 1, start + 8), ' ') AS chunk,
         |  len(list_slice(toks, start + 1, start + 8)) AS n_chunk_toks
         |FROM st ORDER BY doc_id, start""".stripMargin,
+
+    "doc_pack" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks) - 1, 4)) AS start
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, start,
+        |    len(list_slice(toks, start + 1, start + 8)) AS n_chunk_toks,
+        |    doc_id % 8 AS shard
+        |  FROM st),
+        |cum AS (
+        |  SELECT shard, doc_id, start, n_chunk_toks,
+        |    CAST(sum(n_chunk_toks) OVER (PARTITION BY shard ORDER BY doc_id, start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_chunk_toks AS cum_before
+        |  FROM ch)
+        |SELECT shard, doc_id, start, n_chunk_toks,
+        |  CAST(floor(cum_before / 64) AS BIGINT) AS pack_id,
+        |  cum_before % 64 AS pack_offset
+        |FROM cum ORDER BY shard, doc_id, start""".stripMargin,
 
     "multimodal_join" ->
       """SELECT lang, count(*) AS n,

@@ -24,6 +24,23 @@ object MiscQueries {
         .orderBy(col("split"))
     }),
 
+    // stratified deterministic sampling: exactly 20 customers per market
+    // segment, chosen by content-hash order — balanced class sampling
+    // that is reproducible and join-stable (same rows selected on every
+    // engine and every run, unlike rand()-based sampling). One window
+    // pass; at scale the md5 order costs nothing extra over the shuffle
+    // the partitioning already pays.
+    "sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("c_mktsegment"), col("c_custkey"), col("rn"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
     "join_right_outer" -> ((s, dir) => {
       Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right")
@@ -154,6 +171,15 @@ object MiscQueries {
         |    THEN 'val' ELSE 'train' END AS split,
         |  count(*) AS n
         |FROM orders GROUP BY split ORDER BY split""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT c_mktsegment, c_custkey, rn FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 20
+        |ORDER BY c_mktsegment, rn""".stripMargin,
 
     "join_right_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,

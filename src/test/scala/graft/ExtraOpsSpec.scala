@@ -94,6 +94,47 @@ class ExtraOpsSpec extends AnyFunSuite {
     assert(df.filter(size(split(col("q_csv"), ",")) =!= 64).count() === 0)
   }
 
+  test("etl_scd2 keeps exactly one current row per key and dates chain") {
+    val df = SparkEntry.queries("etl_scd2")(spark, sf).cache()
+    val nKeys = Tables.customer(spark, sf).count()
+    val current = df.filter(col("is_current"))
+    assert(current.count() === nKeys, "every key has exactly one current row")
+    assert(current.select("c_custkey").distinct().count() === nKeys)
+    // expired rows must carry a valid_to, current rows must not
+    assert(df.filter(col("is_current") && col("valid_to").isNotNull).count() === 0)
+    assert(df.filter(!col("is_current") && col("valid_to").isNull).count() === 0)
+    df.unpersist()
+  }
+
+  test("sample_stratified draws exactly min(20, group size) per segment") {
+    val df = SparkEntry.queries("sample_stratified")(spark, sf).cache()
+    val sizes = Tables.customer(spark, sf)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("g"))
+    val got = df.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val bad = got.join(sizes, "c_mktsegment")
+      .filter(col("n") =!= least(lit(20L), col("g"))).count()
+    assert(bad === 0)
+    // determinism: same rows on a re-run
+    val again = SparkEntry.queries("sample_stratified")(spark, sf)
+    assert(df.exceptAll(again).count() === 0)
+    df.unpersist()
+  }
+
+  test("doc_pack is a gapless token stream per shard") {
+    val df = SparkEntry.queries("doc_pack")(spark, sf).cache()
+    // offsets restart correctly: pack_id * 64 + pack_offset must equal the
+    // running cumsum before each chunk — i.e. consecutive chunks tile the
+    // stream with no token gaps or overlaps
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"), col("start"))
+    val recon = df.withColumn("stream_pos", col("pack_id") * 64 + col("pack_offset"))
+      .withColumn("prev_end",
+        lag(col("stream_pos") + col("n_chunk_toks"), 1, 0).over(w))
+    assert(recon.filter(col("stream_pos") =!= col("prev_end")).count() === 0)
+    assert(df.filter(col("pack_offset") < 0 || col("pack_offset") >= 64).count() === 0)
+    df.unpersist()
+  }
+
   test("agg_bool universal/existential flags hold on the data contract") {
     val rows = SparkEntry.queries("agg_bool")(spark, sf).collect()
     assert(rows.nonEmpty)
