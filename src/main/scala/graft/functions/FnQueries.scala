@@ -148,6 +148,39 @@ object FnQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // binary/text encodings: base64 + hex + roundtrips, char/ascii,
+    // reverse/translate — the serialization surface an interchange
+    // pipeline leans on (all codegen'd built-ins, bit-identical across
+    // engines)
+    "fn_encode" -> ((s, dir) => {
+      Tables.part(s, dir).select(
+          col("p_partkey"),
+          base64(col("p_brand").cast("binary")).as("b64"),
+          unbase64(base64(col("p_brand").cast("binary"))).cast("string").as("b64_rt"),
+          hex(col("p_brand")).as("hexed"),
+          unhex(hex(col("p_brand"))).cast("string").as("hex_rt"),
+          ascii(col("p_type")).as("first_ascii"),
+          reverse(col("p_brand")).as("reversed"),
+          translate(lower(col("p_type")), "aeiou", "AEIOU").as("upvoweled"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // URL parsing: parse_url components checked against the ground truth
+    // the URL was constructed from (DuckDB 1.0 has no parse_url — the
+    // oracle recomputes components from the same inputs)
+    "fn_url" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id").cast("string"),
+          lit("?lang="), col("lang")))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("qlang"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"))
+        .orderBy(col("doc_id"))
+    }),
+
     "fn_json" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(
@@ -260,6 +293,27 @@ object FnQueries {
         |  substring(md5(c_name), 1, 8) AS md5_prefix,
         |  length(sha256(c_name)) AS sha_len
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_encode" ->
+      """SELECT p_partkey,
+        |  base64(CAST(p_brand AS BLOB)) AS b64,
+        |  CAST(from_base64(base64(CAST(p_brand AS BLOB))) AS VARCHAR) AS b64_rt,
+        |  hex(p_brand) AS hexed,
+        |  CAST(unhex(hex(p_brand)) AS VARCHAR) AS hex_rt,
+        |  ascii(p_type) AS first_ascii,
+        |  reverse(p_brand) AS reversed,
+        |  translate(lower(p_type), 'aeiou', 'AEIOU') AS upvoweled
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_url" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+        |    || '?lang=' || lang AS url,
+        |  source || '.example.com' AS host,
+        |  '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+        |  lang AS qlang,
+        |  'https' AS proto
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "fn_json" ->
       """SELECT event_id,

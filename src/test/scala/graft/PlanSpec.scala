@@ -116,6 +116,37 @@ class PlanSpec extends AnyFunSuite {
       s"lag window, running-sum window and groupBy must all reuse the single user_id shuffle; got $keyed:\n$p")
   }
 
+  test("ts_gapfill broadcasts the generated spine against pre-aggregated facts") {
+    val p = plan("ts_gapfill")
+    // the fact side must be aggregated BEFORE the spine join (two
+    // HashAggregates: partial+final), and the join must broadcast —
+    // never shuffle the raw fact table against a calendar
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("ts_locf and doc_pack are single-keyed-exchange window passes") {
+    for (q <- Seq("ts_locf", "doc_pack")) {
+      val p = plan(q)
+      val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(keyed == 1, s"$q must shuffle once on its partition key; got $keyed:\n$p")
+    }
+  }
+
+  test("text_pii_scrub and doc_chunk stay shuffle-free before the output sort") {
+    for (q <- Seq("text_pii_scrub", "doc_chunk")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q is row-local work; only the output rangepartitioning sort may shuffle:\n$p")
+    }
+  }
+
+  test("sample_stratified prunes to min(20,g) inside the window exchange") {
+    val p = plan("sample_stratified")
+    // WindowGroupLimit pushes the rn<=20 bound below the full window sort
+    assert(p.contains("WindowGroupLimit"), s"rank limit must prune pre-window:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-agg hot path") {
     // AQE finalizes the physical plan lazily — execute first
     val df = SparkEntry.queries("agg_basic")(spark, sf)
