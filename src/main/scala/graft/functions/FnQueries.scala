@@ -135,6 +135,42 @@ object FnQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // trigonometric/angular surface. The input is folded to an exact
+    // rational in [0,1) (floor % 1000 / 1000) so no argument lands near a
+    // tan singularity — libm ulp differences stay far below the 6dp round.
+    "fn_trig" -> ((s, dir) => {
+      val x = (floor(col("o_totalprice")).cast("bigint") % 1000).cast("double") / 1000.0
+      Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          round(sin(x), 6).as("sin_x"),
+          round(cos(x), 6).as("cos_x"),
+          round(tan(x), 6).as("tan_x"),
+          round(atan2(x, lit(2.0)), 6).as("atan2_x"),
+          round(degrees(x), 6).as("deg_x"),
+          round(radians(x), 6).as("rad_x"),
+          round(hypot(x, lit(1.0)), 6).as("hyp_x"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // higher-order array surface #2: exists/forall predicates, zip_with
+    // pairing, position/remove — complements fn_array's
+    // transform/filter/aggregate
+    "fn_array2" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          exists(col("toks"), x => x === "spark").as("has_spark"),
+          forall(col("toks"), x => length(x) > 2).as("all_long"),
+          array_join(zip_with(
+            slice(col("toks"), 1, 3),
+            transform(slice(col("toks"), 1, 3), x => length(x).cast("string")),
+            (a, b) => concat(a, lit(":"), b)), ",").as("tagged3"),
+          array_position(col("toks"), "spark").as("spark_pos"),
+          size(array_remove(col("toks"), "the")).as("n_no_the"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cryptographic digests — content addressing / stable sharding keys
     // (md5 and sha-256 are bit-identical across engines; the md5 prefix
     // doubles as a portable uniform hash for splits, cf. sample_hash)
@@ -285,6 +321,31 @@ object FnQueries {
         |  o_orderkey >> 2 AS shr,
         |  CAST(bit_count(o_orderkey) AS INT) AS popcount
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_trig" ->
+      """SELECT o_orderkey,
+        |  round(sin(x), 6) AS sin_x,
+        |  round(cos(x), 6) AS cos_x,
+        |  round(tan(x), 6) AS tan_x,
+        |  round(atan2(x, 2.0), 6) AS atan2_x,
+        |  round(degrees(x), 6) AS deg_x,
+        |  round(radians(x), 6) AS rad_x,
+        |  round(sqrt(x * x + 1.0), 6) AS hyp_x
+        |FROM (SELECT o_orderkey,
+        |        CAST(CAST(floor(o_totalprice) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS x
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "fn_array2" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(toks, x -> x = 'spark')) > 0 AS has_spark,
+        |  len(list_filter(toks, x -> NOT (length(x) > 2))) = 0 AS all_long,
+        |  array_to_string(list_transform(range(1, least(len(toks), 3) + 1),
+        |    i -> toks[i] || ':' || CAST(length(toks[i]) AS VARCHAR)), ',') AS tagged3,
+        |  coalesce(list_position(toks, 'spark'), 0) AS spark_pos,
+        |  len(list_filter(toks, x -> x != 'the')) AS n_no_the
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "fn_hash" ->
       """SELECT c_custkey,

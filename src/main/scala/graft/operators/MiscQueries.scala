@@ -93,6 +93,22 @@ object MiscQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // SQL LATERAL correlated subquery (top-2 orders per customer) —
+    // Catalyst decorrelates the per-row ORDER BY/LIMIT into a windowed
+    // rank over ONE shuffle of orders, not a per-customer re-scan; the
+    // classic top-N-per-key, through the lateral-join SQL surface
+    "join_lateral" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_lat_cust")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_lat_orders")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM graft_lat_cust c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM graft_lat_orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    }),
+
     // explicit salted skew join: events.user_id is the canonical hot-key
     // column; the salted form spreads each key over 8 reducers and must
     // return exactly the plain join's rows — which the plain-SQL oracle
@@ -160,6 +176,14 @@ object MiscQueries {
         |  > 3 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "join_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
 
     "join_skew_salted" ->
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 6) AS sum_value

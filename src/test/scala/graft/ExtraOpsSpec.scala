@@ -135,6 +135,39 @@ class ExtraOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("join_lateral returns at most 2 orders per customer, the top-priced ones") {
+    val df = SparkEntry.queries("join_lateral")(spark, sf).cache()
+    val perCust = df.groupBy("c_custkey").agg(count(lit(1)).as("n"))
+    assert(perCust.filter(col("n") > 2).count() === 0)
+    // cross-check against the window formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val expected = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+    assert(df.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(df).count() === 0)
+    df.unpersist()
+  }
+
+  test("fn_trig inputs stay inside [0,1) away from singularities") {
+    val df = SparkEntry.queries("fn_trig")(spark, sf)
+    assert(df.filter(col("tan_x") < 0 || col("tan_x") > 1.5574078).count() === 0)
+    assert(df.filter(col("hyp_x") < 1.0 || col("hyp_x") > 1.4142136).count() === 0)
+  }
+
+  test("fn_array2 positions and removals agree with direct recomputation") {
+    val df = SparkEntry.queries("fn_array2")(spark, sf)
+    val bad = df.join(
+        Tables.documents(spark, sf).select(col("doc_id"),
+          split(col("text"), " ").as("toks")), "doc_id")
+      .filter(
+        (col("spark_pos") > 0) =!= col("has_spark") ||
+        col("n_no_the") > size(col("toks")))
+    assert(bad.count() === 0)
+  }
+
   test("agg_bool universal/existential flags hold on the data contract") {
     val rows = SparkEntry.queries("agg_bool")(spark, sf).collect()
     assert(rows.nonEmpty)
