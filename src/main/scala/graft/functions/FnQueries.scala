@@ -171,6 +171,26 @@ object FnQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // VARIANT semi-structured navigation (Spark 4's open JSON type):
+    // parse once, extract typed values by path. At 100 TB this is the
+    // schema-on-read path for heterogeneous event payloads — the variant
+    // binary encoding is columnar-shreddable, so extraction stays in the
+    // scan instead of re-parsing JSON strings per query. Missing paths
+    // yield NULL (not errors), matching json_extract semantics.
+    "fn_variant" -> ((s, dir) => {
+      val v = parse_json(col("props"))
+      val nested = parse_json(
+        concat(lit("""{"a":{"b":"""), col("props"), lit("}}")))
+      Tables.events(s, dir).select(
+          col("event_id"),
+          variant_get(v, "$.k", "bigint").as("k_int"),
+          variant_get(v, "$.k", "double").as("k_dbl"),
+          variant_get(nested, "$.a.b.k", "bigint").as("nested_k"),
+          variant_get(v, "$.missing", "bigint").as("missing_val"),
+          variant_get(v, "$.missing", "bigint").isNull.as("missing_is_null"))
+        .orderBy(col("event_id"))
+    }),
+
     // cryptographic digests — content addressing / stable sharding keys
     // (md5 and sha-256 are bit-identical across engines; the md5 prefix
     // doubles as a portable uniform hash for splits, cf. sample_hash)
@@ -346,6 +366,15 @@ object FnQueries {
         |  coalesce(list_position(toks, 'spark'), 0) AS spark_pos,
         |  len(list_filter(toks, x -> x != 'the')) AS n_no_the
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) AS k_dbl,
+        |  CAST(json_extract('{"a":{"b":' || props || '}}', '$.a.b.k') AS BIGINT) AS nested_k,
+        |  CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_val,
+        |  json_extract(props, '$.missing') IS NULL AS missing_is_null
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_hash" ->
       """SELECT c_custkey,

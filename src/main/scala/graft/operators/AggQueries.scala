@@ -171,6 +171,27 @@ object AggQueries {
           col("exact_parts"), col("bound_ok"))
     }),
 
+    // mergeable EXACT distinct via roaring-style bitmaps: each
+    // (group, bucket) builds a fixed-width bitmap of key positions,
+    // partial bitmaps OR-merge associatively (demonstrated across an
+    // even/odd split — the cross-frame accounting shape), and the final
+    // count is a sum of per-bucket popcounts. Unlike count(DISTINCT) this
+    // never re-shuffles raw keys to one reducer per group: work after the
+    // first pass is O(buckets), not O(rows) — the 100 TB exact-distinct
+    // pattern when HLL's approximation is not acceptable.
+    "agg_bitmap_distinct" -> ((s, dir) => {
+      val halves = Tables.lineitem(s, dir)
+        .withColumn("half", pmod(col("l_orderkey"), lit(2)))
+        .groupBy(col("l_returnflag"), col("half"),
+          expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").as("bm"))
+      halves.groupBy(col("l_returnflag"), col("bkt"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm2"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm2)")).cast("bigint").as("n_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // deterministic mode: most frequent priority per status, ties broken
     // by priority string order (native mode() picks an arbitrary tie
     // winner — unusable under a hash-match oracle, so mode is derived
@@ -232,6 +253,10 @@ object AggQueries {
   // agg_percentile carries both exact and approx medians on the Spark side;
   // approx_percentile with a huge accuracy equals exact on these data.
   val oracle: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

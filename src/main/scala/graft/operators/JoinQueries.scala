@@ -103,6 +103,40 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // runtime bloom-filter join: a selective predicate on the build side
+    // (urgent orders) is turned into a bloom filter that pre-filters the
+    // probe side's scan BEFORE the shuffle — at 100 TB this drops ~80% of
+    // lineitem rows from the exchange. The injection thresholds are sized
+    // for clusters, so they are scoped down here during planning only
+    // (forced via queryExecution) and restored so no other declared query
+    // sees them; the bound plan keeps its bloom filter (asserted in
+    // PlanSpec: might_contain on the probe side).
+    "join_bloom" -> ((s, dir) => {
+      val conf = s.conf
+      val keys = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      val prev = keys.map(k => k -> conf.getOption(k)).toMap
+      keys.take(2).foreach(conf.set(_, "-1"))
+      conf.set(keys(2), "0")
+      conf.set(keys(3), "100MB")
+      try {
+        val df = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(Tables.dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+          .orderBy(col("l_returnflag"))
+        df.queryExecution.executedPlan // bind the physical plan now
+        df
+      } finally prev.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    }),
+
     "join_interval" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey") &&
@@ -114,6 +148,13 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_bloom" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -70,6 +70,45 @@ object ScanQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // static partition pruning: write hive-partitioned parquet, read back
+    // with a literal partition predicate. At 100 TB the filter must never
+    // touch non-matching partitions — the scan lists 1 of 5 directories
+    // (PartitionFilters in the plan, asserted in PlanSpec), so cost is
+    // proportional to the selected partition, not the table.
+    "scan_partition_prune" -> ((s, dir) => {
+      val path = tmp("orders_by_prio")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartition(col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // dynamic partition pruning: the partition predicate is only known at
+    // runtime (it comes from the dim side of a join). Catalyst plants a
+    // DynamicPruningSubquery on the fact scan, so at 100 TB the fact table
+    // reads only the partitions the filtered dim actually selects —
+    // without the user ever writing the partition filter. Plan-asserted.
+    "join_dpp" -> ((s, dir) => {
+      val path = tmp("orders_dpp")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartition(col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+      val fact = s.read.parquet(path)
+      val dim = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pr")).distinct()
+        .filter(col("pr").isin("1-URGENT", "2-HIGH"))
+      fact.join(dim, col("o_orderpriority") === col("pr"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "sink_parquet_partitioned" -> ((s, dir) => {
       val path = tmp("li_part")
       Tables.lineitem(s, dir)
@@ -107,6 +146,17 @@ object ScanQueries {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "scan_partition_prune" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_dpp" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "sink_parquet_partitioned" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -168,6 +168,34 @@ class ExtraOpsSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("fn_variant extraction agrees with get_json_object on the raw strings") {
+    val df = SparkEntry.queries("fn_variant")(spark, sf).cache()
+    assert(df.filter(!col("missing_is_null")).count() === 0)
+    assert(df.filter(col("missing_val").isNotNull).count() === 0)
+    val direct = Tables.events(spark, sf).select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("k_direct"))
+    val bad = df.join(direct, "event_id")
+      .filter(col("k_int") =!= col("k_direct") || col("nested_k") =!= col("k_direct"))
+    assert(bad.count() === 0)
+    df.unpersist()
+  }
+
+  test("agg_bitmap_distinct merged bitmap counts equal exact count distinct") {
+    val got = SparkEntry.queries("agg_bitmap_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+  }
+
+  test("join_dpp and scan_partition_prune read back exactly the selected partitions") {
+    val pruned = SparkEntry.queries("scan_partition_prune")(spark, sf)
+    assert(pruned.select(countDistinct(col("o_orderpriority"))).first().getLong(0) === 1)
+    val dpp = SparkEntry.queries("join_dpp")(spark, sf).collect()
+    assert(dpp.map(_.getString(0)).toSet === Set("1-URGENT", "2-HIGH"))
+  }
+
   test("agg_bool universal/existential flags hold on the data contract") {
     val rows = SparkEntry.queries("agg_bool")(spark, sf).collect()
     assert(rows.nonEmpty)

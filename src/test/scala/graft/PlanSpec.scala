@@ -147,6 +147,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"rank limit must prune pre-window:\n$p")
   }
 
+  test("scan_partition_prune pushes the literal predicate to PartitionFilters") {
+    val p = plan("scan_partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"partition predicate must prune directories, not filter rows:\n$p")
+    assert(p.contains("= 1-URGENT"), p)
+  }
+
+  test("join_dpp plants a dynamic pruning subquery on the fact scan") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"the dim filter must reach the fact scan as runtime partition pruning:\n$p")
+  }
+
+  test("join_bloom injects a runtime bloom filter on the probe side") {
+    val df = SparkEntry.queries("join_bloom")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"probe side must be pre-filtered by the build-side bloom filter:\n$opt")
+    // scoped planning confs must be restored for subsequent queries
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold") != "0")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+  }
+
   test("whole-stage codegen covers the scan-agg hot path") {
     // AQE finalizes the physical plan lazily — execute first
     val df = SparkEntry.queries("agg_basic")(spark, sf)
