@@ -67,6 +67,33 @@ object EtlQueries {
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
+    // data-quality audit — the gate every ingest pipeline runs before
+    // promoting a batch. All per-column checks (nulls, domain ranges,
+    // duplicate keys) fold into ONE scan of each table via conditional
+    // aggregation; the referential orphan check is the only join (anti,
+    // keyed, broadcast-able when the parent key set is small). Output is
+    // the canonical (check, n_bad) shape a quality dashboard ingests.
+    "etl_dq_checks" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val orderChecks = o.agg(
+          count_if(col("o_custkey").isNull).as("null_custkey"),
+          count_if(col("o_totalprice") <= 0).as("nonpos_price"),
+          count_if(col("o_orderdate") > lit("2026-01-01").cast("timestamp")).as("future_orderdate"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"))
+        .select(expr(
+          """stack(4,
+            |  'null_custkey', null_custkey,
+            |  'nonpos_price', nonpos_price,
+            |  'future_orderdate', future_orderdate,
+            |  'dup_orderkey', dup_orderkey) AS (check_name, n_bad)""".stripMargin))
+      val orphans = Tables.lineitem(s, dir)
+        .join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("orphan_lineitem").as("check_name"), col("n_bad"))
+      orderChecks.unionByName(orphans).orderBy(col("check_name"))
+    }),
+
     "etl_upsert" -> ((s, dir) => {
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -81,6 +108,20 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'null_custkey' AS check_name, count(*) FILTER (WHERE o_custkey IS NULL) AS n_bad FROM orders
+        |  UNION ALL
+        |  SELECT 'nonpos_price', count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+        |  UNION ALL
+        |  SELECT 'future_orderdate', count(*) FILTER (WHERE o_orderdate > TIMESTAMP '2026-01-01') FROM orders
+        |  UNION ALL
+        |  SELECT 'dup_orderkey', count(*) - count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'orphan_lineitem', count(*) FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |ORDER BY check_name""".stripMargin,
+
     "etl_pipeline" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
         |  o_orderstatus,

@@ -155,6 +155,33 @@ object LlmQueries {
         .orderBy(col("shard"), col("doc_id"), col("start"))
     }),
 
+    // TF-IDF top-3 salient terms per document — the classic corpus
+    // relevance/quality signal. Two shuffles total, both ∝ vocabulary
+    // after map-side combine: (doc,term) term frequencies, then term
+    // document frequencies; the df table joins back shuffle-to-shuffle
+    // (at 100 TB the vocabulary side is far too big to broadcast), and
+    // the corpus size N is a 1-row broadcast. Ranking sorts by the
+    // ROUNDED score so engine ulp differences in ln() cannot flip ties.
+    "doc_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("tfidf"), asc("tok"))
+      tf.join(df, "tok").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     "multimodal_join" -> ((s, dir) => {
       Tables.documents(s, dir)
         .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
@@ -169,6 +196,24 @@ object LlmQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "doc_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+        |SELECT doc_id, rnk, tok, tfidf FROM (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, tok) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
     "text_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(str_split(text, ' ')) AS token FROM documents)

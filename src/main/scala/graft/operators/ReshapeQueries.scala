@@ -26,6 +26,23 @@ object ReshapeQueries {
         .orderBy(col("l_linestatus"))
     }),
 
+    // nested build → flatten roundtrip: collect each order's lines into a
+    // sorted array<struct> (the one-document-per-entity export shape for
+    // training data / JSON feeds), then explode it back flat with inline.
+    // One keyed shuffle builds the nesting; inline is a generator —
+    // shuffle-free. The roundtrip is oracled against the plain join it
+    // must reproduce exactly.
+    "reshape_nested" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber"), col("l_quantity")))).as("items"))
+      Tables.orders(s, dir)
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), inline(col("items")))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))
+    }),
+
     "reshape_unpivot" -> ((s, dir) => {
       Tables.part(s, dir)
         .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
@@ -43,6 +60,11 @@ object ReshapeQueries {
         |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
         |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "reshape_nested" ->
+      """SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
 
     "reshape_unpivot" ->
       """SELECT p_partkey, attr, val FROM (

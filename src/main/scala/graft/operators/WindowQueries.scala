@@ -91,6 +91,26 @@ object WindowQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // time-interval range frame: per-user moving sum over the trailing 10
+    // minutes of event time. The frame bound is exact integer µs on both
+    // engines (no float epoch, no truncation drift), and the summed value
+    // is cast to decimal so window-order addition is associative-exact.
+    // One keyed shuffle; the frame scan is O(rows in window) per row.
+    "win_time_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-600000000L, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("trail_sum",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("trail_sum"), 6).as("trail_sum"), col("trail_n"))
+        .orderBy(col("event_id"))
+    }),
+
     "win_distribution" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
       Tables.customer(s, dir)
@@ -155,6 +175,15 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "win_time_range" ->
+      """SELECT event_id, user_id, ts_us,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS trail_sum,
+        |  count(*) OVER w AS trail_n
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "win_distribution" ->
       """SELECT c_custkey, c_mktsegment,

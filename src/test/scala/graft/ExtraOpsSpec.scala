@@ -196,6 +196,41 @@ class ExtraOpsSpec extends AnyFunSuite {
     assert(dpp.map(_.getString(0)).toSet === Set("1-URGENT", "2-HIGH"))
   }
 
+  test("doc_tfidf keeps at most 3 terms per doc with descending scores") {
+    val df = SparkEntry.queries("doc_tfidf")(spark, sf).cache()
+    assert(df.groupBy("doc_id").count().filter(col("count") > 3).count() === 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("rnk"))
+    val nonMono = df.withColumn("prev", lag(col("tfidf"), 1).over(w))
+      .filter(col("prev").isNotNull && col("tfidf") > col("prev"))
+    assert(nonMono.count() === 0)
+    df.unpersist()
+  }
+
+  test("etl_dq_checks reports every audit with zero violations on the clean testdata") {
+    val rows = SparkEntry.queries("etl_dq_checks")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === Set(
+      "null_custkey", "nonpos_price", "future_orderdate", "dup_orderkey", "orphan_lineitem"))
+    assert(rows.forall(_.getLong(1) === 0L), rows.mkString(","))
+  }
+
+  test("reshape_nested roundtrip equals the flat join it encodes") {
+    val got = SparkEntry.queries("reshape_nested")(spark, sf)
+    val want = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("l_linenumber"), col("l_quantity"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("win_time_range singleton frames equal their own value") {
+    val df = SparkEntry.queries("win_time_range")(spark, sf)
+    val lone = df.filter(col("trail_n") === 1)
+      .join(Tables.events(spark, sf).select(col("event_id"), col("value")), "event_id")
+      .filter(abs(col("trail_sum") - round(col("value"), 6)) > 1e-9)
+    assert(lone.count() === 0)
+  }
+
   test("agg_bool universal/existential flags hold on the data contract") {
     val rows = SparkEntry.queries("agg_bool")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -170,6 +170,28 @@ class PlanSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
   }
 
+  test("win_time_range is a single keyed exchange with a running range frame") {
+    val p = plan("win_time_range")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1, s"expected 1 user_id shuffle, got $keyed:\n$p")
+    assert(p.contains("RangeFrame, -600000000"), p)
+  }
+
+  test("reshape_nested flattens through a generator, not a second shuffle") {
+    val p = plan("reshape_nested")
+    assert(p.contains("Generate inline"), s"flatten must be a generator:\n$p")
+  }
+
+  test("doc_tfidf broadcasts only the 1-row corpus count") {
+    val p = plan("doc_tfidf")
+    // the df (vocabulary) side must NOT be a broadcast build at scale —
+    // at test scale AQE may still choose broadcast, so assert only that
+    // the corpus-count crossJoin stays a 1-row broadcast nest and the
+    // aggregation is two-phase
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("whole-stage codegen covers the scan-agg hot path") {
     // AQE finalizes the physical plan lazily — execute first
     val df = SparkEntry.queries("agg_basic")(spark, sf)
