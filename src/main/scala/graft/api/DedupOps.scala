@@ -234,4 +234,52 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Connected components over near-dup pairs: every doc that appears in
+    * a pair gets `component_id` = the smallest doc id reachable through
+    * the pair graph. This is the canonical step AFTER pair generation —
+    * near-dup is transitive only through clustering, and keep-one-per-
+    * component (`doc_id == component_id`) is the dedup decision.
+    *
+    * Min-label propagation: labels only ever decrease, so Σ(label) is a
+    * strictly decreasing convergence witness (one scalar per iteration,
+    * the k-means driver pattern — no label frame is ever collected).
+    * Each iteration is one keyed join + agg on the cached edge list
+    * (O(E) shuffle); `localCheckpoint` keeps lineage flat so plan size
+    * is constant across iterations. Rounds ≈ component diameter —
+    * near-dup clusters are dense (diameter 2-3 in practice); a
+    * worst-case path graph costs O(n) rounds, where the large-star/
+    * small-star variant (same join shape, O(log n) rounds) takes over.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .cache()
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("lab"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("lab"))).first().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = edges
+        .join(labels.select(col("node").as("b2"), col("lab").as("nb_lab")),
+          col("b") === col("b2"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nb_lab")).as("nb_min"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nb_min"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("lab"))).first().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lab").as("component_id"))
+  }
 }

@@ -86,6 +86,18 @@ object LlmQueries {
           num = 3, den = 5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // connected components over the shingle-Jaccard pair graph — the
+    // clustering step that turns pairwise near-dup hits into dedup
+    // groups (keep doc_id == component_id, drop the rest). Oracled
+    // against a DuckDB recursive transitive closure of the same pairs.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = graft.api.DedupOps.nearJaccardPairsOnSets(
+        graft.api.DedupOps.shingleSets(Tables.documents(s, dir), "doc_id", "text", 2),
+        num = 3, den = 5)
+      graft.api.DedupOps.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash/LSH candidates — non-oracle (engine-internal hashes); spec
     // asserts exact duplicates are recovered
     "dedup_minhash" -> ((s, dir) =>
@@ -287,6 +299,30 @@ object LlmQueries {
         |WHERE len(list_intersect(a.ts, b.ts)) * 5
         |  >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_components" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS ts
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2),
+        |s AS (SELECT doc_id, ts, len(ts) AS n FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |    AND b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
+        |  WHERE len(list_intersect(a.ts, b.ts)) * 5
+        |    >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r)
+        |SELECT node AS doc_id, min(r) AS component_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "sim_cosine_topk" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -231,6 +231,23 @@ class ExtraOpsSpec extends AnyFunSuite {
     assert(lone.count() === 0)
   }
 
+  test("dedup_components gives both endpoints of every pair one label, min-anchored") {
+    val comp = SparkEntry.queries("dedup_components")(spark, sf).cache()
+    assert(comp.filter(col("component_id") > col("doc_id")).count() === 0)
+    val pairs = graft.api.DedupOps.nearJaccardPairsOnSets(
+      graft.api.DedupOps.shingleSets(Tables.documents(spark, sf), "doc_id", "text", 2), 3, 5)
+    val la = comp.select(col("doc_id").as("id_a"), col("component_id").as("c_a"))
+    val lb = comp.select(col("doc_id").as("id_b"), col("component_id").as("c_b"))
+    val split = pairs.join(la, "id_a").join(lb, "id_b")
+      .filter(col("c_a") =!= col("c_b"))
+    assert(split.count() === 0)
+    // every component's anchor is a member of the component
+    val anchors = comp.select(col("component_id").as("cid")).distinct()
+      .join(comp, col("cid") === col("doc_id"), "left_anti")
+    assert(anchors.count() === 0)
+    comp.unpersist()
+  }
+
   test("agg_bool universal/existential flags hold on the data contract") {
     val rows = SparkEntry.queries("agg_bool")(spark, sf).collect()
     assert(rows.nonEmpty)
