@@ -191,6 +191,21 @@ object FnQueries {
         .orderBy(col("event_id"))
     }),
 
+    // timezone conversions (IANA zones, DST-correct). Only the
+    // instant→local direction is declared: local→instant is ambiguous
+    // during DST fall-back and engines may legally disagree on the
+    // chosen offset; instant→local is total and unique.
+    "fn_tz" -> ((s, dir) => {
+      val ny = from_utc_timestamp(col("ts"), "America/New_York")
+      Tables.events(s, dir).select(
+          col("event_id"),
+          ny.as("ny_local"),
+          from_utc_timestamp(col("ts"), "Asia/Tokyo").as("tokyo_local"),
+          hour(ny).as("ny_hour"),
+          ny.cast("date").as("ny_date"))
+        .orderBy(col("event_id"))
+    }),
+
     // cryptographic digests — content addressing / stable sharding keys
     // (md5 and sha-256 are bit-identical across engines; the md5 prefix
     // doubles as a portable uniform hash for splits, cf. sample_hash)
@@ -366,6 +381,14 @@ object FnQueries {
         |  coalesce(list_position(toks, 'spark'), 0) AS spark_pos,
         |  len(list_filter(toks, x -> x != 'the')) AS n_no_the
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "fn_tz" ->
+      """SELECT event_id,
+        |  timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS ny_local,
+        |  timezone('Asia/Tokyo', CAST(ts AS TIMESTAMPTZ)) AS tokyo_local,
+        |  CAST(date_part('hour', timezone('America/New_York', CAST(ts AS TIMESTAMPTZ))) AS INT) AS ny_hour,
+        |  CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS DATE) AS ny_date
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_variant" ->
       """SELECT event_id,

@@ -192,6 +192,33 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // approx_top_k heavy-hitters sketch (Spark 4): with distinct values
+    // below the sketch capacity the estimates are EXACT, so the declared
+    // query is oracle-checked against true counts; at 100 TB the same
+    // one-pass mergeable sketch replaces the full groupBy+sort. Output is
+    // re-sorted (est desc, item) so within-top-k sketch ordering ties
+    // cannot flip rows; k=3's boundary (3003 vs 2996) is tie-free.
+    "agg_approx_top_k" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .agg(expr("approx_top_k(o_orderpriority, 3)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("est"))
+        .orderBy(desc("est"), col("item"))
+    }),
+
+    // ordered string aggregation (listagg/string_agg surface): collect +
+    // in-group sort + join. The sort is per-group (array_sort of an
+    // already-grouped list), not a global sort — grouped-concat stays one
+    // shuffle at any scale; unbounded group sizes are the caller's risk,
+    // same as in every engine.
+    "agg_string" -> ((s, dir) => {
+      Tables.nation(s, dir)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // deterministic mode: most frequent priority per status, ties broken
     // by priority string order (native mode() picks an arbitrary tie
     // winner — unusable under a hash-match oracle, so mode is derived
@@ -253,6 +280,17 @@ object AggQueries {
   // agg_percentile carries both exact and approx medians on the Spark side;
   // approx_percentile with a huge accuracy equals exact on these data.
   val oracle: Map[String, String] = Map(
+    "agg_string" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "agg_approx_top_k" ->
+      """SELECT o_orderpriority AS item, count(*) AS est
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY est DESC, item LIMIT 3""".stripMargin,
+
     "agg_bitmap_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -103,6 +103,31 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // bucketed range join — the 100 TB plan for join_theta_range's
+    // "events within 10 minutes per user" shape. Binning event time into
+    // 10-minute buckets and replicating the left side into (bin, bin+1)
+    // turns the inequality join into an EQUI-join on (user, bin): hash-
+    // partitionable, AQE-skew-splittable, no per-user full pairing. Each
+    // qualifying pair matches in exactly one replica (b's bin is fixed),
+    // so no distinct pass is needed. Oracled against the same SQL as the
+    // theta form — identical rows, scalable plan.
+    "join_range_binned" -> ((s, dir) => {
+      val binUs = 600000000L // 10 minutes in microseconds
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val a = ev.select(col("event_id").as("id_a"), col("user_id").as("u_a"),
+          col("us").as("us_a"))
+        .withColumn("bin", explode(array(
+          floor(col("us_a") / binUs), floor(col("us_a") / binUs) + 1)))
+      val b = ev.select(col("event_id").as("id_b"), col("user_id").as("u_b"),
+          col("us").as("us_b"))
+        .withColumn("bin_b", floor(col("us_b") / binUs))
+      a.join(b, col("u_a") === col("u_b") && col("bin") === col("bin_b") &&
+          col("us_b") > col("us_a") && col("us_b") <= col("us_a") + binUs)
+        .select(col("id_a"), col("id_b"), col("u_a").as("user_id"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // runtime bloom-filter join: a selective predicate on the build side
     // (urgent orders) is turned into a bloom filter that pre-filters the
     // probe side's scan BEFORE the shuffle — at 100 TB this drops ~80% of
@@ -199,6 +224,13 @@ object JoinQueries {
         |ORDER BY r_name, n_name""".stripMargin,
 
     "join_theta_range" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "join_range_binned" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id

@@ -194,6 +194,27 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // corpus vocabulary profile: vocabulary size, hapax legomena, total
+    // token mass, and how much of it the top-100 terms cover (the Zipf
+    // head). One vocabulary-bounded shuffle; the top-100 slice is a
+    // TakeOrderedAndProject (k rows per partition), NOT a global sort —
+    // the shape that still works when the vocabulary is billions of terms.
+    "text_vocab_stats" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val totals = counts.agg(
+        count(lit(1)).as("vocab_size"),
+        count_if(col("n") === 1).as("n_hapax"),
+        sum(col("n")).as("total_tokens"))
+      val top100 = counts.orderBy(desc("n"), asc("tok")).limit(100)
+        .agg(sum(col("n")).as("top_n"))
+      totals.crossJoin(top100)
+        .select(col("vocab_size"), col("n_hapax"), col("total_tokens"),
+          round(col("top_n").cast("double") / col("total_tokens"), 6).as("top100_share"))
+    }),
+
     "multimodal_join" -> ((s, dir) => {
       Tables.documents(s, dir)
         .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
@@ -299,6 +320,23 @@ object LlmQueries {
         |WHERE len(list_intersect(a.ts, b.ts)) * 5
         |  >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_vocab_stats" ->
+      """WITH c AS (
+        |  SELECT tok, count(*) AS n FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |tot AS (
+        |  SELECT count(*) AS vocab_size,
+        |    count(*) FILTER (WHERE n = 1) AS n_hapax,
+        |    CAST(sum(n) AS BIGINT) AS total_tokens
+        |  FROM c),
+        |top100 AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS top_n FROM (
+        |    SELECT n FROM c ORDER BY n DESC, tok LIMIT 100))
+        |SELECT vocab_size, n_hapax, total_tokens,
+        |  round(CAST(top_n AS DOUBLE) / total_tokens, 6) AS top100_share
+        |FROM tot CROSS JOIN top100""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE d AS (

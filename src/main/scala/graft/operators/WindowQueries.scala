@@ -111,6 +111,22 @@ object WindowQueries {
         .orderBy(col("event_id"))
     }),
 
+    // IGNORE NULLS navigation: lag/lead/last skipping null measurements
+    // (sensor-style sparse series). Nulls injected deterministically
+    // (every 3rd order) so both engines see the same gaps.
+    "win_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("v",
+          when(col("o_orderkey") % 3 =!= 0, col("o_totalprice")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+          lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_v"),
+          last(col("v"), ignoreNulls = true).over(wRun).as("locf_v"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "win_distribution" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
       Tables.customer(s, dir)
@@ -174,6 +190,17 @@ object WindowQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "win_ignore_nulls" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(v, 1 IGNORE NULLS) OVER w AS prev_v,
+        |  lead(v, 1 IGNORE NULLS) OVER w AS next_v,
+        |  last_value(v IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_v
+        |FROM (SELECT o_orderkey, o_custkey,
+        |        CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice END AS v
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
     "win_time_range" ->

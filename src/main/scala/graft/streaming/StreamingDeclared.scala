@@ -90,6 +90,17 @@ object StreamingDeclared {
       StreamingJobs.rateDemo(s, 10000, sinkName("q_stream_rate"))
         .orderBy(col("bucket"))),
 
+    // foreachBatch sink: complete-mode totals snapshotted via idempotent
+    // overwrite (format-free MERGE INTO); declared result is the
+    // read-back of the landed table, so sink + read path are both checked
+    "stream_foreachbatch" -> ((s, dir) => {
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_rt",
+        sinkName("stream_feb")).toString
+      StreamingJobs.foreachBatchUpsert(s, stagedEventsDir(dir), out)
+        .orderBy(col("user_id"))
+    }),
+
     "stream_dedup" -> ((s, dir) => {
       val name = sinkName("q_stream_dedup")
       StreamingJobs.withStatePartitions(s, 8) {
@@ -137,6 +148,11 @@ object StreamingDeclared {
         |  max(ts) + INTERVAL 30 MINUTE AS sess_end, count(*) AS n
         |FROM z GROUP BY user_id, sid
         |ORDER BY user_id, sess_start""".stripMargin,
+
+    // single-batch complete-mode snapshot == batch per-user totals
+    "stream_foreachbatch" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // event_id is unique in the table, so watermarked dropDuplicates
     // over one batch passes every row through

@@ -216,6 +216,32 @@ object StreamingJobs {
     }
   }
 
+  /** foreachBatch sink — the production streaming-ETL pattern: each
+    * microbatch lands through arbitrary batch-writer code. Complete-mode
+    * per-user totals are snapshotted with an idempotent overwrite (the
+    * format-free equivalent of MERGE INTO keyed on user_id — reruns of a
+    * batch id converge to the same table, which is what makes foreachBatch
+    * exactly-once end to end). Returns the read-back of the final
+    * snapshot, so the whole write path is part of the checked query.
+    */
+  def foreachBatchUpsert(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val agg = readEventsStream(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Unbounded-source demo on the deterministic `rate-micro-batch`
     * source: batch 0 is exactly `rowsPerBatch` rows with values
     * 0..rowsPerBatch-1 at a fixed start timestamp, so a Trigger.Once run

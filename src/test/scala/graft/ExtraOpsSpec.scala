@@ -248,6 +248,65 @@ class ExtraOpsSpec extends AnyFunSuite {
     comp.unpersist()
   }
 
+  test("fn_tz conversions keep the Tokyo-NY offset at 13 or 14 hours") {
+    val df = SparkEntry.queries("fn_tz")(spark, sf)
+    val offs = df.select(
+        ((unix_timestamp(col("tokyo_local")) - unix_timestamp(col("ny_local"))) / 3600).as("off"))
+      .distinct().collect().map(_.getDouble(0)).toSet
+    assert(offs.subsetOf(Set(13.0, 14.0)), offs)
+    assert(df.filter(col("ny_hour") < 0 || col("ny_hour") > 23).count() === 0)
+  }
+
+  test("text_vocab_stats invariants: hapax <= vocab, share in (0,1]") {
+    val r = SparkEntry.queries("text_vocab_stats")(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_hapax") <= row.getAs[Long]("vocab_size"))
+    assert(row.getAs[Double]("top100_share") > 0 && row.getAs[Double]("top100_share") <= 1.0)
+  }
+
+  test("agg_approx_top_k returns exact counts for the 3 heaviest priorities") {
+    val got = SparkEntry.queries("agg_approx_top_k")(spark, sf).collect()
+    assert(got.length === 3)
+    val exact = Tables.orders(spark, sf).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n")).orderBy(desc("n"), col("o_orderpriority"))
+      .limit(3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.map(r => r.getString(0) -> r.getLong(1)).toMap === exact)
+  }
+
+  test("stream_foreachbatch snapshot is idempotent across reruns") {
+    val a = SparkEntry.queries("stream_foreachbatch")(spark, sf).collect()
+    val b = SparkEntry.queries("stream_foreachbatch")(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("join_range_binned equals the theta-range join row set") {
+    val binned = SparkEntry.queries("join_range_binned")(spark, sf)
+    val theta = SparkEntry.queries("join_theta_range")(spark, sf)
+    assert(binned.exceptAll(theta).count() === 0)
+    assert(theta.exceptAll(binned).count() === 0)
+  }
+
+  test("win_ignore_nulls locf equals the last non-null running value") {
+    val df = SparkEntry.queries("win_ignore_nulls")(spark, sf)
+    // rows whose own v is non-null must have locf_v == o_totalprice
+    val own = df.join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice")), "o_orderkey")
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .filter(col("locf_v") =!= col("o_totalprice"))
+    assert(own.count() === 0)
+  }
+
+  test("agg_string concatenates each region's nations sorted and complete") {
+    val rows = SparkEntry.queries("agg_string")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === Tables.nation(spark, sf).count())
+    rows.foreach { r =>
+      val parts = r.getAs[String]("nations").split(",").toSeq
+      assert(parts === parts.sorted)
+      assert(parts.length === r.getAs[Long]("n"))
+    }
+  }
+
   test("agg_bool universal/existential flags hold on the data contract") {
     val rows = SparkEntry.queries("agg_bool")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -192,6 +192,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("join_range_binned is an equi-join on (user, bin), not a theta pair scan") {
+    val p = plan("join_range_binned")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"binned range join must stay an equi-join:\n$p")
+    // the range predicate must ride the equi-join as a post-condition,
+    // visible as join keys containing bin and user columns
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the scan-agg hot path") {
     // AQE finalizes the physical plan lazily — execute first
     val df = SparkEntry.queries("agg_basic")(spark, sf)
