@@ -20,6 +20,22 @@ object ScanQueries {
   private def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_rt/$name"
 
+  /** Hive-partitioned orders staging, written once per (JVM, sfDir) and
+    * shared by scan_partition_prune and join_dpp — their declared
+    * behavior is the PRUNED READ (static and dynamic); the write path
+    * itself is sink_parquet_partitioned's contract.
+    */
+  private val stagedPrune = scala.collection.concurrent.TrieMap[String, String]()
+  private def ordersByPrioDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    stagedPrune.getOrElseUpdate(dir, {
+      val path = tmp(s"orders_by_prio_${Integer.toHexString(dir.hashCode)}")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartition(col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+      path
+    })
+
   val queries: Map[String, Q] = Map(
     "scan_project" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -76,12 +92,7 @@ object ScanQueries {
     // (PartitionFilters in the plan, asserted in PlanSpec), so cost is
     // proportional to the selected partition, not the table.
     "scan_partition_prune" -> ((s, dir) => {
-      val path = tmp("orders_by_prio")
-      Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-        .repartition(col("o_orderpriority"))
-        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
-      s.read.parquet(path)
+      s.read.parquet(ordersByPrioDir(s, dir))
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
@@ -93,12 +104,7 @@ object ScanQueries {
     // reads only the partitions the filtered dim actually selects —
     // without the user ever writing the partition filter. Plan-asserted.
     "join_dpp" -> ((s, dir) => {
-      val path = tmp("orders_dpp")
-      Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-        .repartition(col("o_orderpriority"))
-        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
-      val fact = s.read.parquet(path)
+      val fact = s.read.parquet(ordersByPrioDir(s, dir))
       val dim = Tables.orders(s, dir)
         .select(col("o_orderpriority").as("pr")).distinct()
         .filter(col("pr").isin("1-URGENT", "2-HIGH"))
