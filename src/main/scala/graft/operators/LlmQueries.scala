@@ -86,6 +86,23 @@ object LlmQueries {
           num = 3, den = 5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // normalization-then-exact dedup: casefold + punctuation/whitespace
+    // canonicalization BEFORE hashing, so trivially-reformatted copies
+    // collapse without any similarity machinery. One groupBy on the
+    // normalized content hash (map-side combine) — the cheap first rung
+    // of the dedup ladder, run before near-dup at 100 TB.
+    "dedup_norm" -> ((s, dir) => {
+      val norm = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), norm.as("norm_text"))
+        .groupBy(col("norm_text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
     // connected components over the shingle-Jaccard pair graph — the
     // clustering step that turns pairwise near-dup hits into dedup
     // groups (keep doc_id == component_id, drop the rest). Oracled
@@ -337,6 +354,14 @@ object LlmQueries {
         |SELECT vocab_size, n_hapax, total_tokens,
         |  round(CAST(top_n AS DOUBLE) / total_tokens, 6) AS top100_share
         |FROM tot CROSS JOIN top100""".stripMargin,
+
+    "dedup_norm" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |        regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |          ' +', ' ', 'g') AS norm_text
+        |      FROM documents)
+        |GROUP BY norm_text ORDER BY keep_id""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE d AS (

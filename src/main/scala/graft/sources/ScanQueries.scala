@@ -115,6 +115,24 @@ object ScanQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // schema evolution read: two parquet batches with different schemas
+    // (the second adds a column) merged by the reader — the lakehouse
+    // append-with-new-column case. mergeSchema unions the footers;
+    // missing columns surface as NULLs, never as read errors.
+    "scan_schema_merge" -> ((s, dir) => {
+      val path = tmp("nation_evolve")
+      val n = Tables.nation(s, dir)
+      n.select(col("n_nationkey"), col("n_name"))
+        .where(col("n_nationkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$path/batch=old")
+      n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .where(col("n_nationkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$path/batch=new")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     "sink_parquet_partitioned" -> ((s, dir) => {
       val path = tmp("li_part")
       Tables.lineitem(s, dir)
@@ -163,6 +181,11 @@ object ScanQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "scan_schema_merge" ->
+      """SELECT n_nationkey, n_name,
+        |  CASE WHEN n_nationkey % 2 = 1 THEN n_regionkey END AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "sink_parquet_partitioned" ->
       """SELECT l_returnflag, count(*) AS n,

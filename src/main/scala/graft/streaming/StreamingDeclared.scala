@@ -42,6 +42,13 @@ object StreamingDeclared {
       StreamingJobs.tumbling(s, stagedEventsDir(dir), sinkName("q_stream_tumbling"))
         .orderBy(col("user_id"), col("win_start"))),
 
+    // real streaming sliding window (1h size, 30min slide): every event
+    // lands in exactly 2 windows; complete-mode single-batch run equals
+    // the union of the two tumbling grids the oracle reproduces
+    "stream_sliding" -> ((s, dir) =>
+      StreamingJobs.sliding(s, stagedEventsDir(dir), sinkName("q_stream_sliding"))
+        .orderBy(col("user_id"), col("win_start"))),
+
     // stream-static enrichment join; single-microbatch AvailableNow run
     // makes the result deterministic → oracle-checked directly
     "stream_static_join" -> ((s, dir) =>
@@ -148,6 +155,18 @@ object StreamingDeclared {
         |  max(ts) + INTERVAL 30 MINUTE AS sess_end, count(*) AS n
         |FROM z GROUP BY user_id, sid
         |ORDER BY user_id, sess_start""".stripMargin,
+
+    // sliding(1h, 30min) == union of the two tumbling grids (offset 0
+    // and 30 min); window start = bucket start of the offset grid
+    "stream_sliding" ->
+      """SELECT user_id, win_start, count(*) AS n FROM (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start FROM events
+        |  UNION ALL
+        |  SELECT user_id,
+        |    time_bucket(INTERVAL '1 hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE
+        |  FROM events)
+        |GROUP BY user_id, win_start
+        |ORDER BY user_id, win_start""".stripMargin,
 
     // single-batch complete-mode snapshot == batch per-user totals
     "stream_foreachbatch" ->

@@ -216,6 +216,19 @@ object StreamingJobs {
     }
   }
 
+  /** Sliding 1h/30min per-user counts — each event contributes to
+    * exactly size/slide = 2 overlapping windows; state is keyed by
+    * (user, window) like tumbling, just 2× the window rows.
+    */
+  def sliding(spark: SparkSession, dir: String,
+      sinkName: String = "stream_sliding"): DataFrame = {
+    val agg = readEventsStream(spark, dir)
+      .groupBy(col("user_id"), window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("window.start").as("win_start"), col("n"))
+    withStatePartitions(spark, 8) { runToMemory(agg, sinkName, OutputMode.Complete()) }
+  }
+
   /** foreachBatch sink — the production streaming-ETL pattern: each
     * microbatch lands through arbitrary batch-writer code. Complete-mode
     * per-user totals are snapshotted with an idempotent overwrite (the
@@ -260,6 +273,9 @@ object StreamingJobs {
       val q = agg.writeStream
         .format("memory").queryName(sinkName)
         .outputMode(OutputMode.Complete())
+        // deliberately the deprecated Once (not AvailableNow): the rate
+        // source is unbounded, and Once is the API that pins the run to
+        // EXACTLY one microbatch — the determinism the oracle needs
         .trigger(Trigger.Once())
         .start()
       q.awaitTermination()

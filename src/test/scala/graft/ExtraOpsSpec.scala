@@ -307,6 +307,27 @@ class ExtraOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_norm groups cover every document exactly once") {
+    val df = SparkEntry.queries("dedup_norm")(spark, sf)
+    assert(df.agg(sum(col("n_copies"))).first().getLong(0) ===
+      Tables.documents(spark, sf).count())
+    assert(df.select(countDistinct(col("keep_id"))).first().getLong(0) === df.count())
+  }
+
+  test("scan_schema_merge fills the added column with nulls for old batches") {
+    val df = SparkEntry.queries("scan_schema_merge")(spark, sf).cache()
+    assert(df.count() === Tables.nation(spark, sf).count())
+    assert(df.filter(col("n_nationkey") % 2 === 0 && col("n_regionkey").isNotNull).count() === 0)
+    assert(df.filter(col("n_nationkey") % 2 === 1 && col("n_regionkey").isNull).count() === 0)
+    df.unpersist()
+  }
+
+  test("stream_sliding puts every event in exactly two windows") {
+    val df = SparkEntry.queries("stream_sliding")(spark, sf)
+    assert(df.agg(sum(col("n"))).first().getLong(0) ===
+      2L * Tables.events(spark, sf).count())
+  }
+
   test("agg_bool universal/existential flags hold on the data contract") {
     val rows = SparkEntry.queries("agg_bool")(spark, sf).collect()
     assert(rows.nonEmpty)
