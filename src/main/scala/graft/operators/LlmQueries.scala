@@ -115,6 +115,23 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the end artifact of corpus dedup: the keep-list. Pairs →
+    // components → drop every non-anchor member (keep doc_id ==
+    // component_id, plus all never-paired docs via the anti-join). This
+    // is the frame a training run actually consumes.
+    "dedup_keep" -> ((s, dir) => {
+      val pairs = graft.api.DedupOps.nearJaccardPairsOnSets(
+        graft.api.DedupOps.shingleSets(Tables.documents(s, dir), "doc_id", "text", 2),
+        num = 3, den = 5)
+      val drop = graft.api.DedupOps
+        .connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .filter(col("component_id") =!= col("doc_id"))
+        .select(col("doc_id"))
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(drop, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash/LSH candidates — non-oracle (engine-internal hashes); spec
     // asserts exact duplicates are recovered
     "dedup_minhash" -> ((s, dir) =>
@@ -362,6 +379,35 @@ object LlmQueries {
         |          ' +', ' ', 'g') AS norm_text
         |      FROM documents)
         |GROUP BY norm_text ORDER BY keep_id""".stripMargin,
+
+    "dedup_keep" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS ts
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2),
+        |s AS (SELECT doc_id, ts, len(ts) AS n FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |    AND b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
+        |  WHERE len(list_intersect(a.ts, b.ts)) * 5
+        |    >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r),
+        |comp AS (
+        |  SELECT node AS doc_id, min(r) AS component_id
+        |  FROM reach GROUP BY node)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT doc_id FROM comp WHERE component_id <> doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE d AS (

@@ -328,6 +328,19 @@ class ExtraOpsSpec extends AnyFunSuite {
       2L * Tables.events(spark, sf).count())
   }
 
+  test("dedup_keep = all docs minus non-anchor component members") {
+    val keep = SparkEntry.queries("dedup_keep")(spark, sf)
+    val comp = SparkEntry.queries("dedup_components")(spark, sf).cache()
+    val nonAnchor = comp.filter(col("component_id") =!= col("doc_id")).count()
+    assert(keep.count() === Tables.documents(spark, sf).count() - nonAnchor)
+    // every component anchor survives
+    val lostAnchors = comp.filter(col("component_id") === col("doc_id"))
+      .select(col("doc_id"))
+      .join(keep.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    assert(lostAnchors.count() === 0)
+    comp.unpersist()
+  }
+
   test("agg_bool universal/existential flags hold on the data contract") {
     val rows = SparkEntry.queries("agg_bool")(spark, sf).collect()
     assert(rows.nonEmpty)
