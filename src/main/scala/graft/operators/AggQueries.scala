@@ -206,6 +206,19 @@ object AggQueries {
         .orderBy(desc("est"), col("item"))
     }),
 
+    // grouping()/grouping_id() over rollup: the only way to tell a
+    // subtotal row's NULL from a data NULL — required by any BI layer
+    // consuming rollup output. Same single-shuffle expand as agg_rollup.
+    "agg_grouping_id" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // ordered string aggregation (listagg/string_agg surface): collect +
     // in-group sort + join. The sort is per-group (array_sort of an
     // already-grouped list), not a global sort — grouped-concat stays one
@@ -280,6 +293,14 @@ object AggQueries {
   // agg_percentile carries both exact and approx medians on the Spark side;
   // approx_percentile with a huge accuracy equals exact on these data.
   val oracle: Map[String, String] = Map(
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
     "agg_string" ->
       """SELECT n_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
