@@ -191,6 +191,23 @@ object FnQueries {
         .orderBy(col("event_id"))
     }),
 
+    // string surface #2: positional split/slice plus levenshtein (the
+    // edit-distance primitive behind fuzzy entity matching) — all
+    // codegen built-ins, deterministic across engines
+    "fn_string2" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          rpad(col("p_brand"), 12, "*").as("rpadded"),
+          expr("repeat(substring(p_type, 1, 2), 3)").as("repeated"),
+          expr("split_part(p_type, ' ', 2)").as("type_word2"),
+          expr("left(p_name, 4)").as("left4"),
+          expr("right(p_name, 3)").as("right3"),
+          instr(col("p_name"), "a").as("first_a"),
+          levenshtein(col("p_brand"), col("p_type")).as("lev_bt"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // timezone conversions (IANA zones, DST-correct). Only the
     // instant→local direction is declared: local→instant is ambiguous
     // during DST fall-back and engines may legally disagree on the
@@ -381,6 +398,17 @@ object FnQueries {
         |  coalesce(list_position(toks, 'spark'), 0) AS spark_pos,
         |  len(list_filter(toks, x -> x != 'the')) AS n_no_the
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "fn_string2" ->
+      """SELECT p_partkey,
+        |  rpad(p_brand, 12, '*') AS rpadded,
+        |  repeat(substring(p_type, 1, 2), 3) AS repeated,
+        |  split_part(p_type, ' ', 2) AS type_word2,
+        |  left(p_name, 4) AS left4,
+        |  right(p_name, 3) AS right3,
+        |  instr(p_name, 'a') AS first_a,
+        |  levenshtein(p_brand, p_type) AS lev_bt
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_tz" ->
       """SELECT event_id,
