@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling curves: runMain graft.ScaleBench [factor].
+  *
+  * Deterministically synthesizes a `factor`x (default 10x) corpus from
+  * the sf0.1 tables — `factor` stacked copies with id offsets and
+  * per-copy content perturbation chosen so the DUPLICATE/JOIN STRUCTURE
+  * repeats per copy instead of multiplying across copies:
+  *  - documents: every token of copy c>0 gets a `~c` suffix — within-copy
+  *    Jaccard/minhash/simhash structure is identical to copy 0, cross-copy
+  *    similarity collapses to ~0, so pair counts scale linearly like a
+  *    corpus that is genuinely 10x bigger (not 100x denser).
+  *  - embeddings: copy c's vectors are rotated c dimensions — norms and
+  *    within-copy geometry preserved, cross-copy cosine decorrelated.
+  *  - events/customer: ids offset by c·10⁹, event ts shifted c days —
+  *    per-user session/range structure repeats per copy.
+  * Then times the scale-path query family at 1x vs `factor`x and the
+  * documented O(n²) exact baselines at 1x vs 2x (the contrast), printing
+  * one JSON line. A scale-path query is healthy when t(10x)/t(1x) stays
+  * near-linear (≤ ~12x); the quadratic baselines are expected at ~4x for
+  * 2x data. Both reps of every timing are reported; min is the headline
+  * (same host-freeze rationale as Bench).
+  */
+object ScaleBench {
+
+  private val Stride = 1000000000L
+
+  private def synthesize(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    val ready = java.nio.file.Paths.get(outDir, "_READY")
+    if (java.nio.file.Files.exists(ready)) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    def copies(df: DataFrame)(tf: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(c => tf(df, c)).reduce(_ unionAll _)
+
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    copies(docs) { (df, c) =>
+      df.select(
+        (col("doc_id") + lit(c * Stride)).as("doc_id"),
+        (if (c == 0) col("text")
+         else array_join(transform(split(col("text"), " "),
+           t => concat(t, lit(s"~$c"))), " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    copies(emb) { (df, c) =>
+      df.select(
+        (col("vec_id") + lit(c * Stride)).as("vec_id"),
+        (if (c == 0) col("embedding")
+         else expr(s"concat(slice(embedding, ${c + 1}, size(embedding) - $c), " +
+           s"slice(embedding, 1, $c))")).as("embedding"),
+        col("label"))
+    }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet") // ts: raw long ns
+    copies(ev) { (df, c) =>
+      df.select(
+        (col("event_id") + lit(c * Stride)).as("event_id"),
+        (col("ts") + lit(c * 86400L * 1000000000L)).as("ts"),
+        (col("user_id") + lit(c * Stride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val cust = spark.read.parquet(s"$baseDir/customer.parquet")
+    copies(cust) { (df, c) =>
+      df.select((col("c_custkey") + lit(c * Stride)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    java.nio.file.Files.createFile(ready)
+  }
+
+  /** Queries whose staged artifacts must be wiped before timing so both
+    * scales measure full compute (dedup_keep intentionally NOT listed —
+    * it is declared as the consumer of the staged components frame, and
+    * its scaling is the anti-join on top).
+    */
+  private def wipeStaging(): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    tmp.listFiles((_, n) => n.startsWith("graft_components_v1_"))
+      .foreach { d => d.listFiles().foreach(_.delete()); d.delete() }
+  }
+
+  // scale-path family: these must stay near-linear at 10x
+  private val scaleFamily = Seq(
+    "dedup_norm", "dedup_minhash", "dedup_pipeline", "dedup_simhash",
+    "dedup_components", "dedup_keep", "dedup_components_logstar",
+    "emb_neardup_lsh", "sim_ann_ivf", "sim_ann_kmeans",
+    "join_range_binned", "join_skew_salted", "sessionize_batch",
+    "doc_tfidf", "text_tokens", "doc_pack")
+
+  // documented O(n²) exact baselines: expected ~4x at 2x data — the
+  // contrast that motivates their scale twins above
+  private val quadFamily = Seq(
+    "dedup_near", "dedup_ngram", "sim_cosine_topk", "emb_neardup")
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val root = "/tmp/graft_scale"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    synthesize(spark, baseDir, s"$root/x$factor", factor)
+    synthesize(spark, baseDir, s"$root/x2", 2)
+
+    def time(name: String, dir: String): (Double, Double) = {
+      def once(): Double = {
+        if (name.startsWith("dedup_components")) wipeStaging()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        val d = (System.nanoTime() - t0) / 1e9
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        d
+      }
+      // dedup_keep must see a staged frame, like in the declared suite
+      if (name == "dedup_keep") {
+        wipeStaging()
+        SparkEntry.queries("dedup_components")(spark, dir).count()
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+      }
+      val a = once(); val b = once()
+      System.err.println(f"[scale] $name%-26s $dir%-22s $a%7.2f / $b%7.2f s")
+      (a, b)
+    }
+
+    def runSet(names: Seq[String], bigDir: String, f: Int): String =
+      names.map { n =>
+        val (a1, b1) = time(n, baseDir)
+        val (a2, b2) = time(n, bigDir)
+        val t1 = math.min(a1, b1); val tN = math.min(a2, b2)
+        val ratio = if (t1 > 0) tN / t1 else -1.0
+        f""""$n":{"t1":$t1%.3f,"t$f":$tN%.3f,"ratio":$ratio%.2f}"""
+      }.mkString("{", ",", "}")
+
+    val scaleJson = runSet(scaleFamily, s"$root/x$factor", factor)
+    val quadJson = runSet(quadFamily, s"$root/x2", 2)
+    println(s"""{"metric":"scale_curves","base":"$baseDir","factor":$factor,""" +
+      s""""scale_paths":$scaleJson,"quad_baselines_x2":$quadJson}""")
+    spark.stop()
+  }
+}

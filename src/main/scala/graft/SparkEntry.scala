@@ -30,6 +30,7 @@ object SparkEntry {
     (ReshapeQueries.queries, ReshapeQueries.oracle),
     (graft.etl.EtlQueries.queries, graft.etl.EtlQueries.oracle),
     (graft.sources.BucketQueries.queries, graft.sources.BucketQueries.oracle),
+    (graft.sources.StatsQueries.queries, graft.sources.StatsQueries.oracle),
     (graft.streaming.StreamingDeclared.queries, graft.streaming.StreamingDeclared.oracle),
     (MiscQueries.queries, MiscQueries.oracle),
     (TsQueries.queries, TsQueries.oracle)

@@ -260,8 +260,15 @@ object DedupOps {
       .agg(min(col("b")).as("m"))
       .select(col("node"), least(col("node"), col("m")).as("lab"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("lab"))).first().getLong(0)
-    var converged = false
+    // sum(lab) over ZERO rows is a single NULL — a pair-free corpus must
+    // return the empty label frame, not NPE on getLong. Decimal sum: a
+    // long sum of n 63-bit ids overflows (ANSI-mode error) long before n
+    // is large; decimal(38) holds any realistic corpus.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("lab").cast("decimal(38,0)"))).first().get(0))
+        .map(_.asInstanceOf[java.math.BigDecimal])
+    var prevSum = labelSum(labels)
+    var converged = prevSum.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
       val prop = edges
@@ -273,13 +280,125 @@ object DedupOps {
         .select(col("node"),
           least(col("lab"), coalesce(col("nb_min"), col("lab"))).as("lab"))
         .localCheckpoint()
-      val s = next.agg(sum(col("lab"))).first().getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next
       iter += 1
     }
     edges.unpersist()
+    // silent partial labels would mis-drop docs downstream (dedup_keep);
+    // a diameter > maxIters graph must fail loudly — or use the O(log n)
+    // [[connectedComponentsLogStar]] whose rounds don't grow with diameter
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no convergence after $maxIters rounds " +
+          "(component diameter exceeds maxIters); use connectedComponentsLogStar")
     labels.select(col("node").as("doc_id"), col("lab").as("component_id"))
+  }
+
+  /** O(log n)-round connected components: alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — public algorithm). Same output contract as
+    * [[connectedComponents]]; use when components can be long chains
+    * (min-label propagation needs diameter rounds — O(n) on a path graph;
+    * star-contraction collapses the same path in O(log n)).
+    *
+    * Each round is two join+agg passes over the current edge set (same
+    * shuffle shape per round as min-label, ~2x the per-round work):
+    *  - large-star: per node u, hook every LARGER neighbor v > u onto
+    *    m = min(N(u) ∪ {u});
+    *  - small-star: per node v (grouping its smaller-or-equal neighbors),
+    *    hook them and v onto the group minimum.
+    * Both steps preserve connectivity and never create new components;
+    * at fixpoint the edge set is a star forest rooted at each component's
+    * minimum id. Convergence witness: (count, Σ xxhash64(u,v)) of the
+    * deduped edge set — order-independent, two scalars per round, no
+    * frame ever collected. localCheckpoint flattens lineage per round.
+    */
+  def connectedComponentsLogStar(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    logStarWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponentsLogStar]] plus the executed round count — the
+    * spec hook that pins the O(log n) claim on a path graph.
+    */
+  private[graft] def logStarWithRounds(pairs: DataFrame,
+      maxIters: Int = 25): (DataFrame, Int) = {
+    // ONE materialization of the input pair graph: nodes and the working
+    // edge set both derive from this checkpoint. Without it the pair
+    // lineage (often an expensive similarity self-join) re-executes once
+    // per consumer — measured 4x the whole algorithm's cost at sf0.1.
+    val base = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = base
+      .select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .distinct()
+    var edges = base.filter(col("u") =!= col("v"))
+    // (count, xor-of-hashes): order-independent set fingerprint with no
+    // overflow (a long SUM of 64-bit hashes trips ANSI overflow)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star over the symmetric neighbor view: every edge (u,v),
+      // u < v, is re-emitted from u's group as (min(N(u) ∪ {u}), v) —
+      // edge count is preserved, larger endpoints hook onto local minima
+      val sym = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMin = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val afterLarge = sym.join(largeMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+      // small-star: group each node v's smaller neighbors (edges are
+      // normalized u < v), hook them AND v onto the group minimum
+      val smallMin = afterLarge.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val next = afterLarge.join(smallMin, Seq("v"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionAll(smallMin.select(col("m").as("u"), col("v")))
+        .distinct()
+        .localCheckpoint()
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsLogStar: no fixpoint after $maxIters rounds")
+    // fixpoint edges form stars (u = component minimum), so the label map
+    // is a single agg; never-centered nodes are their own component
+    val lab = edges.groupBy(col("v").as("doc_id"))
+      .agg(min(col("u")).as("component_id"))
+    (nodes.join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("component_id")),
+      iter)
+  }
+
+  /** The dedup keep-list from a pre-computed components frame: keep each
+    * component's anchor (doc_id == component_id) plus every never-paired
+    * doc (left-anti against the drop set). Taking `components` as input —
+    * rather than re-deriving pairs + components from raw text — is the
+    * point: at 100 TB the pair graph is the most expensive artifact in
+    * the pipeline, and the keep-list decision is one anti-join on top of
+    * it, not a reason to rebuild it.
+    */
+  def keepList(docs: DataFrame, components: DataFrame, idCol: String): DataFrame = {
+    val drop = components
+      .filter(col("component_id") =!= col("doc_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
   }
 }

@@ -149,7 +149,14 @@ object SimilarityOps {
     * assignment.
     */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Array[(Int, Array[Double])] = {
+      k: Int, iters: Int, eps: Double = 1e-9): Array[(Int, Array[Double])] =
+    kmeansWithIters(emb, idCol, vecCol, k, iters, eps)._1
+
+  /** [[kmeansCentroids]] plus the number of Lloyd iterations actually
+    * executed — the spec hook that proves early-stop fires.
+    */
+  private[graft] def kmeansWithIters(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, eps: Double = 1e-9): (Array[(Int, Array[Double])], Int) = {
     val spark = emb.sparkSession
     val e = asDouble(emb, idCol, vecCol)
     def normalize(v: Array[Double]): Array[Double] = {
@@ -159,7 +166,13 @@ object SimilarityOps {
     var centroids: Array[(Int, Array[Double])] = e.orderBy(col("vec_id")).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => i -> normalize(r.getSeq[Double](1).toArray) }
-    for (_ <- 1 to iters) {
+    var itersRun = 0
+    var moved = true
+    // early-stop on centroid movement < eps: declared cost is then
+    // data-dependent (converged corpora stop after one confirming pass),
+    // not a fixed iters driver round-trips. Movement is max over k of the
+    // L2 shift — k·dim driver-side doubles, no extra job.
+    while (moved && itersRun < iters) {
       // assignment is a shuffle-free projection over the driver-held
       // centroids ([[centroidOptions]]) — each Lloyd iteration is then
       // exactly one job: scan → assign → two-level mean agg → collect
@@ -176,9 +189,14 @@ object SimilarityOps {
         .collect()
         .map(r => r.getInt(0) -> normalize(r.getSeq[Double](1).toArray))
         .toMap
-      centroids = centroids.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+      val next = centroids.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+      moved = centroids.zip(next).exists { case ((_, a), (_, b)) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum) >= eps
+      }
+      centroids = next
+      itersRun += 1
     }
-    centroids
+    (centroids, itersRun)
   }
 
   /** k-means IVF ANN with multi-probe: build `nClusters` centroids with

@@ -132,34 +132,25 @@ object JoinQueries {
     // (urgent orders) is turned into a bloom filter that pre-filters the
     // probe side's scan BEFORE the shuffle — at 100 TB this drops ~80% of
     // lineitem rows from the exchange. The injection thresholds are sized
-    // for clusters, so they are scoped down here during planning only
-    // (forced via queryExecution) and restored so no other declared query
-    // sees them; the bound plan keeps its bloom filter (asserted in
+    // for clusters, so they are scoped down via a CHILD session
+    // (newSession: own SQLConf, shared SparkContext/cache) — the shared
+    // session's confs are never touched, so concurrently-planned queries
+    // cannot observe the overrides (the set/restore race a shared conf
+    // would have). The bloom filter survives in the plan (asserted in
     // PlanSpec: might_contain on the probe side).
-    "join_bloom" -> ((s, dir) => {
-      val conf = s.conf
-      val keys = Seq(
-        "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
-      val prev = keys.map(k => k -> conf.getOption(k)).toMap
-      keys.take(2).foreach(conf.set(_, "-1"))
-      conf.set(keys(2), "0")
-      conf.set(keys(3), "100MB")
-      try {
-        val df = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"),
-            sum(Tables.dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
-          .orderBy(col("l_returnflag"))
-        df.queryExecution.executedPlan // bind the physical plan now
-        df
-      } finally prev.foreach { case (k, v) =>
-        v.fold(conf.unset(k))(conf.set(k, _))
-      }
+    "join_bloom" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy(col("l_returnflag"))
     }),
 
     "join_interval" -> ((s, dir) => {

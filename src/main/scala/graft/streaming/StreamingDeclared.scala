@@ -32,6 +32,43 @@ object StreamingDeclared {
     dir.toString
   }
 
+  /** Stage the events table as TWO parquet files with distinct mod times
+    * (split by event_id parity) — the input for the multi-microbatch runs:
+    * with maxFilesPerTrigger=1 each file becomes its own microbatch.
+    * Files are written through Spark under nanosAsLong so `ts` stays a
+    * raw long and the streaming schema matches the single-file staging.
+    */
+  private[graft] def stagedEventsSplitDir(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = synchronized {
+    val hash = Integer.toHexString(sfDir.hashCode)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_src2_$hash")
+    if (!java.nio.file.Files.exists(dir.resolve("_READY"))) {
+      java.nio.file.Files.createDirectories(dir)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$sfDir/events.parquet")
+      (0 to 1).foreach { half =>
+        val stage = dir.resolve(s"stage_$half")
+        raw.filter(pmod(col("event_id"), lit(2)) === half)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val src = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $stage"))
+        val dst = dir.resolve(s"events_$half.parquet")
+        java.nio.file.Files.move(src.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // distinct, ordered mod times so the file source sees two
+        // separately-arrived files
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + half * 60000L))
+        stage.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+      java.nio.file.Files.createFile(dir.resolve("_READY"))
+    }
+    dir.toString
+  }
+
   private var sinkCounter = 0
   private def sinkName(base: String): String = synchronized {
     sinkCounter += 1; s"${base}_$sinkCounter"
@@ -40,6 +77,16 @@ object StreamingDeclared {
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> ((s, dir) =>
       StreamingJobs.tumbling(s, stagedEventsDir(dir), sinkName("q_stream_tumbling"))
+        .orderBy(col("user_id"), col("win_start"))),
+
+    // the same tumbling agg driven through TWO real microbatches (two
+    // staged files, maxFilesPerTrigger=1): incremental state across
+    // batches, final complete-mode state oracle-checked against the
+    // batch SQL over the whole table; the ≥2-batch execution is pinned
+    // from query progress in StreamingSpec
+    "stream_tumbling_2batch" -> ((s, dir) =>
+      StreamingJobs.tumblingMultiBatch(s, stagedEventsSplitDir(s, dir),
+          sinkName("q_stream_tumbling_2b"))._1
         .orderBy(col("user_id"), col("win_start"))),
 
     // real streaming sliding window (1h size, 30min slide): every event
@@ -127,6 +174,13 @@ object StreamingDeclared {
   )
 
   val oracle: Map[String, String] = Map(
+    // multi-batch complete-mode state converges to the same batch agg
+    "stream_tumbling_2batch" ->
+      """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |  count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY user_id, win_start
+        |ORDER BY user_id, win_start""".stripMargin,
+
     // complete-mode tumbling agg over one file == batch time_bucket agg
     "stream_tumbling" ->
       """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,

@@ -78,6 +78,39 @@ object StreamingJobs {
     withStatePartitions(spark, 8) { runToMemory(agg, sinkName, OutputMode.Complete()) }
   }
 
+  /** Tumbling 1h per-user counts driven through MULTIPLE real
+    * microbatches: the source directory holds several staged event files
+    * and the scan is throttled to one file per trigger, so the
+    * AvailableNow run executes one microbatch per file against the same
+    * state store — real incremental state, not a single batch-like pass.
+    * Complete-mode final state still equals the batch SQL over the union
+    * of the files (same oracle as stream_tumbling). Returns the sink
+    * table plus the number of non-empty microbatches executed so specs
+    * can pin the ≥2-batch claim from query progress.
+    */
+  def tumblingMultiBatch(spark: SparkSession, dir: String,
+      sinkName: String): (DataFrame, Int) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = src
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("user_id"), col("window.start").as("win_start"), col("n"), col("sum_value"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      (spark.table(sinkName), batches)
+    }
+  }
+
   /** Tumbling agg with a 10-minute watermark in append mode; late rows
     * whose window closed before the watermark are dropped. Generic over
     * any events-shaped streaming source; returns the running query so a

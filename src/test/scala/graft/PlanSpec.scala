@@ -210,4 +210,28 @@ class PlanSpec extends AnyFunSuite {
     // codegen stages render as "*(n) Operator" in the plan string
     assert(p.contains("*(1)"), p)
   }
+
+  test("join_cbo_reorder: stats visible and CBO rotates the selective dim join to the bottom") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("join_cbo_reorder")(spark, sf)
+    val s = df.sparkSession // the CBO child session StatsQueries built
+    // ANALYZE made row counts available to the optimizer (checked via
+    // DESCRIBE — plan.stats from the test thread would read the
+    // fixture session's conf, not the CBO session's)
+    val statsLine = s.sql("DESCRIBE TABLE EXTENDED graft_stats_orders")
+      .filter(col("col_name") === "Statistics").collect()
+    assert(statsLine.nonEmpty && statsLine.head.getString(1).contains("rows"),
+      s"orders rowCount stat missing: ${statsLine.mkString}")
+    // the query is WRITTEN lineitem⋈orders first; with stats + join
+    // reorder the bottom-most join must instead pair orders with the
+    // filtered customer — i.e. its subtree must not touch lineitem
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    val bottom = joins.last // collect is pre-order; last = deepest join
+    val bottomTables = bottom.collectLeaves().map(_.toString).mkString("\n")
+    assert(!bottomTables.contains("graft_stats_lineitem"),
+      s"CBO should join orders⋈σ(customer) first, got:\n$bottom")
+    assert(bottomTables.contains("graft_stats_customer"), bottomTables)
+  }
 }

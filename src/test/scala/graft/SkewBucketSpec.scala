@@ -40,6 +40,42 @@ class SkewBucketSpec extends AnyFunSuite {
     assert(viaApi === 800)
   }
 
+  test("salting bounds real post-shuffle partition sizes on a 90%-one-key frame") {
+    import spark.implicits._
+    // 90% of rows on one key — the adversarial skew shape. Measure the
+    // ACTUAL partition sizes after hashing on (key, salt), exactly the
+    // distribution the salted join's exchange produces, and compare with
+    // the unsalted exchange on the same data.
+    val n = 10000
+    val big = (1 to n).map(i => (if (i <= 9000) 1L else (i % 97).toLong + 2L, i))
+      .toDF("k", "v")
+    val parts = 16
+    def partSizes(df: org.apache.spark.sql.DataFrame): Array[Int] =
+      df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    def saltedSizes(saltBuckets: Int): Array[Int] = partSizes(
+      big.withColumn("__salt",
+          pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
+        .repartition(parts, col("k"), col("__salt")))
+    val unsalted = partSizes(big.repartition(parts, col("k")))
+    val mean = n.toDouble / parts
+    // without salt the hot key pins >=90% of rows on one reducer
+    assert(unsalted.max >= 9000, s"unsalted hot partition: ${unsalted.max}")
+    // salt == partition count (the usual join setting): the hot key is
+    // split 16 ways but several hot (key,salt) combos hash-collide into
+    // one reducer — balls-into-bins max load, ~3-4x mean, still a ~4x cut
+    // over the unsalted 14x
+    val coarse = saltedSizes(parts)
+    assert(coarse.max * 3 <= unsalted.max,
+      s"16-way salting must cut the hot partition >=3x: ${coarse.max} vs ${unsalted.max}")
+    // salt >> partitions (16x finer): per-reducer load is an average over
+    // ~16 combos, collisions smooth out, and the measured bound reaches
+    // the <=2x-mean target that keeps the join alive at 100x skew — salt
+    // granularity, not salting per se, is what bounds the reducer
+    val fine = saltedSizes(parts * 16)
+    assert(fine.max <= (2.0 * mean).toInt,
+      s"fine-salted max ${fine.max} vs mean $mean (sizes: ${fine.mkString(",")})")
+  }
+
   test("salted theta-range self-join equals the plain range join (join_theta_range shape)") {
     // the declared join_theta_range puts each user's full event volume on
     // one reducer; this is its salted twin — identical result, hot user

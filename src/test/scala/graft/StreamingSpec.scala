@@ -148,6 +148,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalCounts === batch)
   }
 
+  test("multi-batch tumbling run executes >= 2 real microbatches and converges to the batch agg") {
+    val splitDir = graft.streaming.StreamingDeclared.stagedEventsSplitDir(spark, sf)
+    val (sink, batches) =
+      StreamingJobs.tumblingMultiBatch(spark, splitDir, "st_tumbling_2b_spec")
+    // the whole point: the state store was updated incrementally across
+    // at least two non-empty microbatches (one per staged file)
+    assert(batches >= 2, s"expected >= 2 non-empty microbatches, saw $batches")
+    val streamed = sink
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("window.start"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("rate-micro-batch demo aggregates exactly batch 0 (values 0..9999)") {
     val out = StreamingJobs.rateDemo(spark, 10000, "st_rate_spec")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
