@@ -67,37 +67,83 @@ object SimilarityOps {
 
   /** Embedding near-dup pairs via signed-random-projection LSH — the
     * 100 TB scale path behind [[nearDupPairs]] (which stays the exact
-    * O(n²) baseline). Each vector gets an `nBits`-bit signature:
-    * bit p = sign(Σ_d ±v_d) with a deterministic Rademacher ±1 pattern
-    * from xxhash64(p, d) (Achlioptas-style projections — no stored
-    * hyperplanes, every executor derives the same pattern). Signatures
-    * split into `bands`; vectors sharing any band bucket become
-    * candidates; candidates are verified with the exact codegen
-    * [[DotProduct]] and filtered to `threshold`. Work is
-    * O(n·dim·nBits) + O(candidates) — bucketed, never all-pairs.
-    * Precision is exact (verified); recall is the SRP-LSH collision
-    * probability (1-θ/π per bit), tunable via nBits/bands.
+    * O(n²) baseline). Compatibility wrapper over
+    * [[lshNearDupPairsBanded]]: `nBits` total bits in `bands` bands.
     */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 16, bands: Int = 4): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
-    val rowsPerBand = nBits / bands
+    lshNearDupPairsBanded(emb, idCol, vecCol, threshold, nBits / bands, bands)
+  }
+
+  /** SRP-LSH sized to the corpus: bucket width grows with log(n) so
+    * per-bucket occupancy — and therefore the candidate count — stays
+    * LINEAR in n, and the band count grows to hold recall at the design
+    * point. A fixed geometry (the wrapper above) is quadratic in
+    * disguise: with buckets fixed, occupancy ∝ n and candidates ∝ n²/
+    * buckets — measured as a SparkContext-killing 50M-pair explosion at
+    * 10x sf0.1. Sizing rule (all constants documented, deterministic):
+    *  - bandBits = log2(n/32) clamped [4,16] → ~32 vectors per bucket;
+    *  - per-bit collision prob at the design similarity s* =
+    *    max(threshold, 0.7): p = 1 − acos(s*)/π (Goemans–Williamson);
+    *  - bands = enough for ≥0.85 recall at s*: ln(0.15)/ln(1−p^bandBits),
+    *    clamped so bands·bandBits ≤ 256 (keeps the sum-aggregate codegen
+    *    within JIT limits).
+    * Recall at similarities below s* degrades smoothly — the standard
+    * LSH amplification trade; candidates stay O(n·bands·occupancy).
+    * The corpus count comes from one cheap count() job; at warehouse
+    * scale, use the catalog row-count statistic instead.
+    */
+  def lshNearDupPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val n = math.max(1L, emb.count())
+    val bandBits = math.max(4, math.min(16,
+      math.ceil(math.log(n / 32.0) / math.log(2)).toInt))
+    val p = 1.0 - math.acos(math.max(threshold, 0.7)) / math.Pi
+    val q = math.pow(p, bandBits)
+    val bands = math.max(4, math.min(256 / bandBits,
+      math.ceil(math.log(0.15) / math.log(1 - q)).toInt))
+    lshNearDupPairsBanded(emb, idCol, vecCol, threshold, bandBits, bands)
+  }
+
+  /** The SRP-LSH core: `bands` independent bands of `bandBits` sign bits
+    * each. Band b, bit i = sign(Σ_d ±v_d) with a deterministic Rademacher
+    * ±1 pattern from xxhash64(global bit, d) (Achlioptas-style
+    * projections — no stored hyperplanes, every executor derives the same
+    * pattern). Bucket values are built per band directly (no packed ≤64-
+    * bit signature), so bands·bandBits is unbounded. Vectors sharing any
+    * band bucket become candidates; `bucketCap` skips degenerate mega-
+    * buckets (m docs = m²/2 pairs — the minhash/simhash guard). All sign
+    * sums compute in ONE HashAggregate pass; candidates are verified with
+    * the exact codegen [[DotProduct]] and filtered to `threshold`.
+    * Precision is exact; recall is the SRP collision probability
+    * (1−θ/π per bit), amplified across bands.
+    */
+  def lshNearDupPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bandBits: Int, bands: Int,
+      bucketCap: Int = 1000): DataFrame = {
+    require(bandBits >= 1 && bands >= 1 && bands * bandBits <= 256,
+      "need 1 <= bandBits, 1 <= bands, bands*bandBits <= 256")
+    val nb = bands * bandBits
     val e = asDouble(emb, idCol, vecCol)
     // one ±v column per bit, summed per vector in a single HashAggregate
     val comps = e.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
     val sums = comps.groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n"), (0 until nBits).map(p =>
-        sum(when(pmod(xxhash64(col("pos") * lit(131L) + lit(p.toLong)), lit(2L)) === 0,
-          col("v")).otherwise(-col("v"))).as(s"s_$p")): _*)
-    val sig = sums.select(col("vec_id"),
-      (0 until nBits).map(p =>
-        when(col(s"s_$p") > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
-    val mask = (1L << rowsPerBand) - 1
-    val banded = sig.select(col("vec_id"),
-        explode(array((0 until bands).map(b =>
+      .agg(count(lit(1)).as("n"), (0 until nb).map(g =>
+        sum(when(pmod(xxhash64(col("pos") * lit(131L) + lit(g.toLong)), lit(2L)) === 0,
+          col("v")).otherwise(-col("v"))).as(s"s_$g")): _*)
+    val banded0 = sums.select(col("vec_id"),
+        explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            shiftright(col("sig"), rowsPerBand * b).bitwiseAND(lit(mask)).as("bucket"))): _*)).as("bb"))
+            (0 until bandBits).map(i =>
+              when(col(s"s_${b * bandBits + i}") > 0, lit(1L << i)).otherwise(lit(0L)))
+              .reduce(_ + _).as("bucket"))
+        }: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+    val banded = banded0.withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= bucketCap)
+      .drop("bucket_n")
     val x = banded.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
     val y = banded.select(col("vec_id").as("id_b"), col("band").as("band_b"),
       col("bucket").as("bucket_b"))

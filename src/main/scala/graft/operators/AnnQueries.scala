@@ -46,10 +46,13 @@ object AnnQueries {
 
     // SRP-LSH bucketed variant of emb_neardup — the 100 TB path: banded
     // signature buckets generate candidates, exact codegen dot verifies.
-    // Non-oracle (recall is probabilistic); spec asserts subset-of-exact
-    // precision and a recall floor against emb_neardup.
+    // Corpus-sized geometry (lshNearDupPairsAuto): bucket width grows
+    // with log(n) so candidates stay linear — the fixed 16-bit/4-band
+    // geometry measured quadratic at 10x sf0.1 (ScaleBench). Non-oracle
+    // (recall is probabilistic); spec asserts subset-of-exact precision
+    // and a recall floor against emb_neardup.
     "emb_neardup_lsh" -> ((s, dir) =>
-      graft.api.SimilarityOps.lshNearDupPairs(
+      graft.api.SimilarityOps.lshNearDupPairsAuto(
           Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("id_a"), col("id_b"))),
 

@@ -148,6 +148,20 @@ object LlmQueries {
         .connectedComponentsLogStar(shinglePairs(s, dir).select(col("id_a"), col("id_b")))
         .orderBy(col("doc_id"))),
 
+    // the 100 TB composition END TO END: LSH candidates → exact-Jaccard
+    // verify (nearDupPipeline, O(candidates)) → log-star clustering
+    // (O(log n) rounds). Everything upstream of the cluster step is
+    // bucketed — this is the components path whose cost ScaleBench shows
+    // scaling linearly, vs dedup_components whose exact banded pair scan
+    // is the documented quadratic baseline. Non-oracle (LSH recall is
+    // engine-specific); spec asserts every cluster refines an exact
+    // component and exact duplicates always cluster.
+    "dedup_components_lsh" -> ((s, dir) =>
+      graft.api.DedupOps.connectedComponentsLogStar(
+          graft.api.DedupOps.nearDupPipeline(Tables.documents(s, dir), "doc_id", "text")
+            .select(col("id_a"), col("id_b")))
+        .orderBy(col("doc_id"))),
+
     // the end artifact of corpus dedup: the keep-list. Consumes the
     // STAGED components frame (computed once per JVM+sfDir, see
     // stagedComponents) — at 100 TB the pair graph is the most expensive

@@ -138,6 +138,38 @@ class AnnSpec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size} below 0.5")
   }
 
+  test("dedup_components_lsh clusters refine exact components and exact duplicates always cluster") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    // ground truth: exact token-Jaccard >= 4/5 pairs -> min-label CC
+    val exact = graft.api.DedupOps.connectedComponents(
+        graft.api.DedupOps.nearJaccardPairs(docs, "doc_id", "text")
+          .select(col("id_a"), col("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = SparkEntry.queries("dedup_components_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // refinement: two docs the LSH path clusters together must belong to
+    // the same exact component (LSH pairs are a verified subset)
+    lsh.groupBy(_._2).values.foreach { grp =>
+      val exactComps = grp.map(d => exact(d._1)).distinct
+      assert(exactComps.size === 1,
+        s"LSH cluster spans exact components: $grp -> $exactComps")
+    }
+    // full recall on EXACT duplicates (identical text => identical
+    // minhash signature => same buckets): every exact-dup group from
+    // dedup_exact with >1 member must appear clustered
+    val dupGroups = docs.groupBy(col("text"))
+      .agg(org.apache.spark.sql.functions.collect_list(col("doc_id")).as("ids"))
+      .filter(org.apache.spark.sql.functions.size(col("ids")) > 1)
+      .collect().map(_.getSeq[Long](1))
+    val lshComp = lsh.toMap
+    dupGroups.foreach { ids =>
+      val comps = ids.map(lshComp.get).distinct
+      assert(comps.size === 1 && comps.head.nonEmpty,
+        s"exact duplicates $ids not clustered: $comps")
+    }
+  }
+
   test("emb_neardup pairs all have cos >= 0.45 and appear in both directions-free form") {
     val rows = SparkEntry.queries("emb_neardup")(spark, sf).collect()
     assert(rows.forall(_.getAs[Double]("cos") >= 0.45))
