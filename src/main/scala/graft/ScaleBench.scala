@@ -89,9 +89,9 @@ object ScaleBench {
   // scale-path family: these must stay near-linear at 10x
   private val scaleFamily = Seq(
     "dedup_norm", "dedup_minhash", "dedup_pipeline", "dedup_simhash",
-    "dedup_components_lsh", "emb_neardup_lsh", "sim_ann_ivf", "sim_ann_kmeans",
-    "join_range_binned", "join_skew_salted", "sessionize_batch",
-    "doc_tfidf", "text_tokens", "doc_pack")
+    "dedup_simhash64", "dedup_components_lsh", "emb_neardup_lsh",
+    "sim_ann_ivf", "sim_ann_kmeans", "join_range_binned", "join_skew_salted",
+    "sessionize_batch", "doc_tfidf", "text_tokens", "doc_pack")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

@@ -170,18 +170,24 @@ object DedupOps {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
-  /** 32-bit sign-aggregated SimHash signature per document (`doc_id`,
-    * `simhash: bigint`). The 32 per-bit ±1 sums are folded into 8 packed
-    * accumulators (four 16-bit set-bit counters per long) plus one token
-    * count — sign(sum) == (2·count_set > n). Shrinks the HashAggregate
-    * from 32 update expressions to 9 (a quarter of the generated code)
-    * and bounds the buffer at 9 longs. 16-bit counters assume < 65536
-    * DISTINCT tokens per document — beyond that, widen to 32-bit fields
-    * (16 accumulators).
+  /** Sign-aggregated SimHash signature per document (`doc_id`,
+    * `simhash: bigint`), `bits` ∈ {32, 64}. The per-bit ±1 sums are
+    * folded into bits/4 packed accumulators (four 16-bit set-bit counters
+    * per long) plus one token count — sign(sum) == (2·count_set > n).
+    * Shrinks the HashAggregate from `bits` update expressions to bits/4+1
+    * (a quarter of the generated code) and bounds the buffer. 16-bit
+    * counters assume < 65536 DISTINCT tokens per document — beyond that,
+    * widen to 32-bit fields. Signature WIDTH is the scale knob: each
+    * band's bucket space is 2^(bits/4), so 32-bit banding is linear to
+    * roughly 25k docs and 64-bit to ~100M (occupancy per bucket is what
+    * drives candidate growth — see simhashPairs).
     */
-  def simhashSignatures(documents: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(documents: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame = {
+    require(bits == 32 || bits == 64, "bits must be 32 or 64")
+    val groups = bits / 4
     def bitExpr(i: Int) = s"pmod(h DIV ${1L << (i % 20)} + h * ${2 * i + 1}, 2)"
-    val packedCols = (0 until 8).map { g =>
+    val packedCols = (0 until groups).map { g =>
       expr((0 until 4).map(j => s"shiftleft(${bitExpr(4 * g + j)}, ${16 * j})")
         .mkString(" + ")).as(s"p_$g")
     }
@@ -190,31 +196,39 @@ object DedupOps {
       .withColumn("h", pmod(xxhash64(col("tok")), lit(1000000007L)))
       .select(col("doc_id") +: packedCols: _*)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"), (0 until 8).map(g => sum(col(s"p_$g")).as(s"s_$g")): _*)
+      .agg(count(lit(1)).as("n_toks"), (0 until groups).map(g => sum(col(s"p_$g")).as(s"s_$g")): _*)
       .select(col("doc_id"),
-        (0 until 32).map { i =>
+        (0 until bits).map { i =>
           val (g, j) = (i / 4, i % 4)
+          // disjoint bit values — bitwise OR, not +, so bit 63 (negative
+          // as a long) can never trip ANSI ADD overflow checks
           when(shiftright(col(s"s_$g"), 16 * j).bitwiseAND(lit(0xFFFFL)) * 2 > col("n_toks"),
             lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+        }.reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` bits (`id_a`, `id_b`,
-    * `hamming`). Bucketed, never all-pairs: the 32-bit signature splits
-    * into 4 bands of 8 bits; a pair differing in ≤ 3 bits agrees exactly
+    * `hamming`). Bucketed, never all-pairs: the signature splits into 4
+    * bands of bits/4 bits; a pair differing in ≤ 3 bits agrees exactly
     * on at least one band (pigeonhole), so banding has full recall for
-    * maxHamming ≤ 3. Candidates from the band-bucket self-join are then
-    * verified with bit_count(xor) — exact precision. Work is
-    * O(candidates), driven by bucket occupancy, not O(n²).
+    * maxHamming ≤ 3 at either width. Candidates from the band-bucket
+    * self-join are then verified with bit_count(xor) — exact precision.
+    * Work is O(candidates), driven by bucket occupancy: 2^(bits/4)
+    * buckets per band, so pick bits=64 once the corpus outgrows ~25k
+    * docs (ScaleBench measured the 32-bit geometry going super-linear
+    * there). Note the Hamming ball tightens as bits grow — the same
+    * maxHamming over a wider signature is a stricter similarity bar.
     */
   def simhashPairs(documents: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 2, bucketCap: Int = 1000): DataFrame = {
-    require(maxHamming <= 3, "4 bands of 8 bits guarantee recall only for maxHamming <= 3")
-    val sig = simhashSignatures(documents, idCol, textCol)
+      maxHamming: Int = 2, bucketCap: Int = 1000, bits: Int = 32): DataFrame = {
+    require(maxHamming <= 3, "4 bands guarantee recall only for maxHamming <= 3")
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    val sig = simhashSignatures(documents, idCol, textCol, bits)
     val banded0 = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL)).as("bucket"))): _*)).as("bb"))
+            shiftright(col("simhash"), bandBits * b).bitwiseAND(lit(mask)).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
     // skip degenerate mega-buckets (m docs in one band bucket = m²/2
     // candidate pairs) — same guard as minhashCandidates.bucketCap. A

@@ -94,6 +94,17 @@ object AnnQueries {
       graft.api.DedupOps.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // 64-bit twin of dedup_simhash — the width that keeps banding linear
+    // past ~25k docs (2^16 buckets per band vs 2^8; ScaleBench measured
+    // the 32-bit geometry at ~12x for 10x data, the ceiling the comment
+    // in DedupOps.simhashPairs documents). Same 4-band pigeonhole recall
+    // guarantee; the Hamming ball is tighter at 64 bits, so pairs are a
+    // subset of the 32-bit pairs (spec-asserted: bits 0-31 coincide).
+    "dedup_simhash64" -> ((s, dir) =>
+      graft.api.DedupOps.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          bits = 64)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // weighted char-n-gram frequency scorer — continuous per-doc scores.
     // NOTE the synthetic corpus's lang label is independent of its text
     // (one shared vocabulary; every token's lang share ≈ base rate), so

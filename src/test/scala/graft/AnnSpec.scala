@@ -138,6 +138,26 @@ class AnnSpec extends AnyFunSuite {
       s"recall ${lsh.size}/${exact.size} below 0.5")
   }
 
+  test("64-bit simhash pairs identical texts and is a subset of the 32-bit pairs") {
+    import spark.implicits._
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_simhash64_test"
+    Seq(
+      (1L, "spark query join sort batch stream window"),
+      (2L, "spark query join sort batch stream window"),
+      (3L, "alpha beta gamma delta epsilon zeta eta")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p64 = SparkEntry.queries("dedup_simhash64")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p64.contains((1L, 2L)), s"identical texts must collide at 64 bits: $p64")
+    assert(!p64.exists(p => p._2 == 3L), s"distinct doc collided: $p64")
+    // bits 0-31 of the 64-bit signature ARE the 32-bit signature, so
+    // hamming64 >= hamming32 and (with full band recall <= 3 bits on
+    // both) the 64-bit pair set refines the 32-bit one
+    def pairs(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs("dedup_simhash64").subsetOf(pairs("dedup_simhash")))
+  }
+
   test("dedup_components_lsh clusters refine exact components and exact duplicates always cluster") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
