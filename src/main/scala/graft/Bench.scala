@@ -58,6 +58,14 @@ object Bench {
       // CacheManager's per-action plan-matching cost and re-serialize
       // into task binaries, which measured as multi-minute random stalls
       try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+      // checkpoint blocks (CC rounds) are RDD-level, not SQL-cache
+      // entries — clearCache leaves them pinned until a full GC runs
+      // ContextCleaner, and across 149 queries that eviction pressure
+      // recompute-storms later cached self-joins (see ScaleBench)
+      try {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () }
       // progress to stderr (driver greps the final stdout JSON line only);
       // epoch-stamped so jstack/GC samples can be attributed to a query
       System.err.println(f"[bench] ${System.currentTimeMillis} $name%-28s $dt%8.2f s")

@@ -132,6 +132,14 @@ object ScaleBench {
           -1.0
         }
         try spark.catalog.clearCache() catch { case _: Throwable => () }
+        // clearCache drops SQL-cache entries only; localCheckpoint blocks
+        // (CC rounds) are RDD-level and otherwise persist until a full GC
+        // runs ContextCleaner — across a 40-timing session they fill
+        // storage memory and evict the caches the self-joins depend on
+        // (measured: dedup_components_lsh 296 s mid-session vs 9 s clean)
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        catch { case _: Throwable => () }
         d
       }
       // dedup_keep must see a staged frame, like in the declared suite

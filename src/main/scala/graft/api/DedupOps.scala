@@ -249,6 +249,32 @@ object DedupOps {
       .distinct()
   }
 
+  /** Eagerly localCheckpoint `df`, returning the checkpointed frame plus
+    * the persistent-RDD ids its blocks pinned (diffed around the eager
+    * materialization). Iterative algorithms pass the ids to
+    * [[freeCheckpoint]] to release round k-1's blocks the moment round k
+    * is materialized. Without this, every round's frame stays pinned
+    * until a full GC lets ContextCleaner run — on a large heap that's
+    * effectively never within a job, so a long CC run (or a multi-query
+    * session of them) fills storage memory and evicts the caches its own
+    * self-joins depend on, recompute-storming the whole session
+    * (ScaleBench measured dedup_components_lsh at 296 s mid-session vs
+    * 9 s clean — same data, same plan). `spark.catalog.clearCache()`
+    * does NOT cover these: checkpoint blocks are RDD-level, not SQL-cache
+    * entries.
+    */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def freeCheckpoint(df: DataFrame, ids: Set[Int]): Unit = {
+    val reg = df.sparkSession.sparkContext.getPersistentRDDs
+    ids.foreach(id => reg.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   /** Connected components over near-dup pairs: every doc that appears in
     * a pair gets `component_id` = the smallest doc id reachable through
     * the pair graph. This is the canonical step AFTER pair generation —
@@ -270,10 +296,10 @@ object DedupOps {
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .cache()
-    var labels = edges.groupBy(col("a").as("node"))
-      .agg(min(col("b")).as("m"))
-      .select(col("node"), least(col("node"), col("m")).as("lab"))
-      .localCheckpoint()
+    var (labels, labelIds) = checkpointTracked(
+      edges.groupBy(col("a").as("node"))
+        .agg(min(col("b")).as("m"))
+        .select(col("node"), least(col("node"), col("m")).as("lab")))
     // sum(lab) over ZERO rows is a single NULL — a pair-free corpus must
     // return the empty label frame, not NPE on getLong. Decimal sum: a
     // long sum of n 63-bit ids overflows (ANSI-mode error) long before n
@@ -284,23 +310,27 @@ object DedupOps {
     var prevSum = labelSum(labels)
     var converged = prevSum.isEmpty
     var iter = 0
-    while (!converged && iter < maxIters) {
-      val prop = edges
-        .join(labels.select(col("node").as("b2"), col("lab").as("nb_lab")),
-          col("b") === col("b2"))
-        .groupBy(col("a").as("node"))
-        .agg(min(col("nb_lab")).as("nb_min"))
-      val next = labels.join(prop, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lab"), coalesce(col("nb_min"), col("lab"))).as("lab"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
+    try {
+      while (!converged && iter < maxIters) {
+        val prop = edges
+          .join(labels.select(col("node").as("b2"), col("lab").as("nb_lab")),
+            col("b") === col("b2"))
+          .groupBy(col("a").as("node"))
+          .agg(min(col("nb_lab")).as("nb_min"))
+        val (next, nextIds) = checkpointTracked(
+          labels.join(prop, Seq("node"), "left")
+            .select(col("node"),
+              least(col("lab"), coalesce(col("nb_min"), col("lab"))).as("lab")))
+        val s = labelSum(next)
+        converged = s == prevSum
+        prevSum = s
+        // round k is materialized — round k-1's blocks are dead weight
+        freeCheckpoint(labels, labelIds)
+        labels = next
+        labelIds = nextIds
+        iter += 1
+      }
+    } finally edges.unpersist(blocking = false)
     // silent partial labels would mis-drop docs downstream (dedup_keep);
     // a diameter > maxIters graph must fail loudly — or use the O(log n)
     // [[connectedComponentsLogStar]] whose rounds don't grow with diameter
@@ -342,15 +372,19 @@ object DedupOps {
     // edge set both derive from this checkpoint. Without it the pair
     // lineage (often an expensive similarity self-join) re-executes once
     // per consumer — measured 4x the whole algorithm's cost at sf0.1.
-    val base = pairs
+    // base stays pinned for the whole call: `nodes` (joined at the end)
+    // derives from it, so its blocks back the RETURNED frame.
+    val (base, _) = checkpointTracked(pairs
       .select(least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val nodes = base
       .select(explode(array(col("u"), col("v"))).as("doc_id"))
       .distinct()
     var edges = base.filter(col("u") =!= col("v"))
+    // ids of the CURRENT round's checkpoint (empty for round 0: it reads
+    // base directly); freed as soon as the following round materializes
+    var edgeIds = Set.empty[Int]
     // (count, xor-of-hashes): order-independent set fingerprint with no
     // overflow (a long SUM of 64-bit hashes trips ANSI overflow)
     def checksum(e: DataFrame): (Long, Long) = {
@@ -376,16 +410,20 @@ object DedupOps {
       // small-star: group each node v's smaller neighbors (edges are
       // normalized u < v), hook them AND v onto the group minimum
       val smallMin = afterLarge.groupBy(col("v")).agg(min(col("u")).as("m"))
-      val next = afterLarge.join(smallMin, Seq("v"))
-        .select(col("m").as("u"), col("u").as("v"))
-        .filter(col("u") =!= col("v"))
-        .unionAll(smallMin.select(col("m").as("u"), col("v")))
-        .distinct()
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        afterLarge.join(smallMin, Seq("v"))
+          .select(col("m").as("u"), col("u").as("v"))
+          .filter(col("u") =!= col("v"))
+          .unionAll(smallMin.select(col("m").as("u"), col("v")))
+          .distinct())
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
+      // free round k-1 (never base); the final round's blocks stay — the
+      // returned label frame reads them
+      freeCheckpoint(edges, edgeIds)
       edges = next
+      edgeIds = nextIds
       iter += 1
     }
     if (!converged)
