@@ -110,12 +110,15 @@ object SimilarityOps {
     * each. Band b, bit i = sign(Σ_d ±v_d) with a deterministic Rademacher
     * ±1 pattern from xxhash64(global bit, d) (Achlioptas-style
     * projections — no stored hyperplanes, every executor derives the same
-    * pattern). Bucket values are built per band directly (no packed ≤64-
-    * bit signature), so bands·bandBits is unbounded. Vectors sharing any
-    * band bucket become candidates; `bucketCap` skips degenerate mega-
-    * buckets (m docs = m²/2 pairs — the minhash/simhash guard). All sign
-    * sums compute in ONE HashAggregate pass; candidates are verified with
-    * the exact codegen [[DotProduct]] and filtered to `threshold`.
+    * pattern). All band buckets compute in the fused codegen
+    * [[graft.functions.SrpBuckets]] — a pure projection, so the signature
+    * stage has ZERO exchanges and stays in whole-stage codegen at any
+    * bands·bandBits (the per-bit sum-aggregate it replaces fell back to
+    * interpreted eval once corpus-sized geometry crossed ~100 aggregate
+    * columns: 78× blowup at 10× data). Vectors sharing any band bucket
+    * become candidates; `bucketCap` skips degenerate mega-buckets (m docs
+    * = m²/2 pairs — the minhash/simhash guard). Candidates are verified
+    * with the exact codegen [[DotProduct]] and filtered to `threshold`.
     * Precision is exact; recall is the SRP collision probability
     * (1−θ/π per bit), amplified across bands.
     */
@@ -124,22 +127,12 @@ object SimilarityOps {
       bucketCap: Int = 1000): DataFrame = {
     require(bandBits >= 1 && bands >= 1 && bands * bandBits <= 256,
       "need 1 <= bandBits, 1 <= bands, bands*bandBits <= 256")
-    val nb = bands * bandBits
     val e = asDouble(emb, idCol, vecCol)
-    // one ±v column per bit, summed per vector in a single HashAggregate
-    val comps = e.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "v")))
-    val sums = comps.groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n"), (0 until nb).map(g =>
-        sum(when(pmod(xxhash64(col("pos") * lit(131L) + lit(g.toLong)), lit(2L)) === 0,
-          col("v")).otherwise(-col("v"))).as(s"s_$g")): _*)
-    val banded0 = sums.select(col("vec_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            (0 until bandBits).map(i =>
-              when(col(s"s_${b * bandBits + i}") > 0, lit(1L << i)).otherwise(lit(0L)))
-              .reduce(_ + _).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+    val banded0 = e
+      .select(col("vec_id"),
+        graft.functions.SrpBuckets.buckets(col("e"), bandBits, bands).as("bks"))
+      .filter(col("bks").isNotNull)
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
     val wB = Window.partitionBy(col("band"), col("bucket"))
     val banded = banded0.withColumn("bucket_n", count(lit(1)).over(wB))
       .filter(col("bucket_n") <= bucketCap)
