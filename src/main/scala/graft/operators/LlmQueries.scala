@@ -291,6 +291,83 @@ object LlmQueries {
           round(col("top_n").cast("double") / col("total_tokens"), 6).as("top100_share"))
     }),
 
+    // BM25 relevance of every document against a fixed query term set —
+    // the retrieval/quality-scoring shape (Robertson k1=1.2, b=0.75,
+    // Lucene idf = ln(1 + (N-df+0.5)/(df+0.5))). Scale: tf is filtered
+    // to the query terms BEFORE its shuffle (volume ∝ matching rows, not
+    // vocabulary); df collapses to |terms| rows and broadcasts; doc
+    // length dl is one map-side-combined shuffle ∝ docs; avgdl/N are
+    // 1-row broadcasts. Per-term scores are rounded to 6dp before the
+    // per-doc sum so engine ulp differences in ln() can't move the total.
+    "doc_bm25" -> ((s, dir) => {
+      val terms = Seq("vector", "stream", "merge")
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .filter(col("tok") =!= "")
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+      val tf = tok.filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("score", round(
+          col("idf") * col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+          6))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("score")), 6).as("bm25"), count(lit(1)).as("n_terms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: which corpus docs share a 5-token
+    // shingle with a held-out benchmark sample (doc_id % 19 == 0 plays
+    // the eval set). The train/test-leak check every training corpus
+    // needs. Scale: shingling is a per-doc projection; the benchmark
+    // side is small by construction and BROADCASTS, so the probe is one
+    // scan of the corpus shingles with no self-join and no shuffle of
+    // the big side before the per-doc count.
+    "text_contamination" -> ((s, dir) => {
+      def shingles(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 5), i -> array_join(slice(t, i + 1, 5), ' '))"))
+          .as("sh"))
+        .distinct()
+      val docs = Tables.documents(s, dir)
+      val bench = shingles(docs.filter(col("doc_id") % 19 === 0))
+        .select(col("doc_id").as("bench_id"), col("sh"))
+      val corpus = shingles(docs.filter(col("doc_id") % 19 =!= 0))
+      corpus.join(broadcast(bench), "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared_shingles"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // domain-mixture accounting: per-source corpus shares and the
+    // sampling weight that would rebalance to a uniform target mix —
+    // how pretraining data mixtures are tuned. One shuffle ∝ #sources
+    // (map-side combined); corpus totals are a 1-row broadcast.
+    "domain_mix" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks)).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens") / col("tot_tokens").cast("double"), 6).as("token_share"),
+          round((lit(1.0) / col("n_sources")) /
+            (col("n_tokens") / col("tot_tokens").cast("double")), 6).as("sample_weight"))
+        .orderBy(col("source"))
+    }),
+
     "multimodal_join" -> ((s, dir) => {
       Tables.documents(s, dir)
         .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
@@ -576,6 +653,55 @@ object LlmQueries {
         |  CAST(floor(cum_before / 64) AS BIGINT) AS pack_id,
         |  cum_before % 64 AS pack_offset
         |FROM cum ORDER BY shard, doc_id, start""".stripMargin,
+
+    "doc_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+        |tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tok2
+        |  WHERE tok IN ('vector', 'stream', 'merge') GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+        |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, round(sum(score), 6) AS bm25, count(*) AS n_terms
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+        |pos AS (
+        |  SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 5)) AS i
+        |  FROM t WHERE len(tk) >= 5),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(tk, i + 1, i + 5), ' ') AS sh
+        |  FROM pos),
+        |bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 19 = 0),
+        |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 19 <> 0)
+        |SELECT doc_id, count(DISTINCT sh) AS n_shared_shingles,
+        |  count(DISTINCT bench_id) AS n_bench_docs
+        |FROM corpus JOIN bench USING (sh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "domain_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |    count(*) AS n_sources FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  round(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS token_share,
+        |  round((1.0 / n_sources) / (n_tokens / CAST(tot_tokens AS DOUBLE)), 6)
+        |    AS sample_weight
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "multimodal_join" ->
       """SELECT lang, count(*) AS n,

@@ -349,4 +349,50 @@ class ExtraOpsSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("all_tax_le8"), "l_tax domain is 0.00..0.08")
     }
   }
+
+  test("doc_bm25 scores exactly the docs containing a query term, all positive") {
+    val df = SparkEntry.queries("doc_bm25")(spark, sf).cache()
+    val expected = Tables.documents(spark, sf)
+      .filter(array_contains(split(col("text"), " "), "vector") ||
+        array_contains(split(col("text"), " "), "stream") ||
+        array_contains(split(col("text"), " "), "merge"))
+      .count()
+    assert(df.count() === expected, "one row per doc matching >= 1 query term")
+    // Lucene idf is ln(1 + x) with x > 0, so every summed score is > 0,
+    // and a doc can match at most the 3 query terms
+    assert(df.filter(col("bm25") <= 0).count() === 0)
+    assert(df.filter(col("n_terms") < 1 || col("n_terms") > 3).count() === 0)
+    df.unpersist()
+  }
+
+  test("text_contamination flags benchmark near-dups and nothing it shouldn't") {
+    val df = SparkEntry.queries("text_contamination")(spark, sf).cache()
+    // no benchmark doc may appear as a contaminated corpus doc
+    assert(df.filter(col("doc_id") % 19 === 0).count() === 0)
+    // shared-shingle counts are bounded by the doc's own shingle count
+    val shingleCounts = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .filter(col("n") >= 5)
+      .select(col("doc_id"), (col("n") - 4).as("max_shingles"))
+    val over = df.join(shingleCounts, "doc_id")
+      .filter(col("n_shared_shingles") > col("max_shingles"))
+    assert(over.count() === 0)
+    assert(df.filter(col("n_bench_docs") < 1).count() === 0)
+    df.unpersist()
+  }
+
+  test("domain_mix weights rebalance token shares to exactly uniform") {
+    val rows = SparkEntry.queries("domain_mix")(spark, sf).collect()
+    val k = rows.length
+    assert(k > 1, "synthetic corpus has multiple sources")
+    // share * weight == 1/k for every source (up to the 6dp rounding)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("token_share")
+      val w = r.getAs[Double]("sample_weight")
+      assert(math.abs(share * w - 1.0 / k) < 1e-4,
+        s"source ${r.getString(0)}: $share * $w != 1/$k")
+    }
+    // shares sum to ~1
+    assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-4)
+  }
 }
