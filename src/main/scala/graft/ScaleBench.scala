@@ -91,7 +91,8 @@ object ScaleBench {
     "dedup_norm", "dedup_minhash", "dedup_pipeline", "dedup_simhash",
     "dedup_simhash64", "dedup_components_lsh", "emb_neardup_lsh",
     "sim_ann_ivf", "sim_ann_kmeans", "join_range_binned", "join_skew_salted",
-    "sessionize_batch", "doc_tfidf", "text_tokens", "doc_pack")
+    "sessionize_batch", "doc_tfidf", "text_tokens", "doc_pack",
+    "doc_bm25", "text_contamination", "domain_mix", "text_repetition")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

@@ -349,6 +349,32 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // intra-document repetition signals (the Gopher-rules shape): per
+    // doc, what fraction of 3-gram occurrences are repeats, and the
+    // share of the single most repeated 3-gram. High values flag the
+    // boilerplate/spam documents a quality filter drops. Scale: a
+    // per-doc projection + one (doc, gram) shuffle with map-side
+    // combine — same explode→combine discipline as text_tokens.
+    "text_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 3), i -> array_join(slice(t, i + 1, 3), ' '))"))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("total_grams"),
+          count(lit(1)).as("distinct_grams"),
+          max(col("n")).as("max_gram_n"))
+        .select(col("doc_id"), col("total_grams"),
+          round(lit(1.0) - col("distinct_grams") / col("total_grams").cast("double"), 6)
+            .as("dup_gram_frac"),
+          round(col("max_gram_n") / col("total_grams").cast("double"), 6)
+            .as("top_gram_share"))
+        .orderBy(col("doc_id"))
+    }),
+
     // domain-mixture accounting: per-source corpus shares and the
     // sampling weight that would rebalance to a uniform target mix —
     // how pretraining data mixtures are tuned. One shuffle ∝ #sources
@@ -688,6 +714,27 @@ object LlmQueries {
         |  count(DISTINCT bench_id) AS n_bench_docs
         |FROM corpus JOIN bench USING (sh)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+        |pos AS (
+        |  SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 3)) AS i
+        |  FROM t WHERE len(tk) >= 3),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(list_slice(tk, i + 1, i + 3), ' ') AS g
+        |  FROM pos),
+        |per AS (
+        |  SELECT doc_id, g, count(*) AS n FROM grams GROUP BY doc_id, g),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_grams,
+        |    count(*) AS distinct_grams, max(n) AS max_gram_n
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, total_grams,
+        |  round(1.0 - distinct_grams / CAST(total_grams AS DOUBLE), 6)
+        |    AS dup_gram_frac,
+        |  round(max_gram_n / CAST(total_grams AS DOUBLE), 6) AS top_gram_share
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "domain_mix" ->
       """WITH per AS (

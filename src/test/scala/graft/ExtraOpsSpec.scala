@@ -381,6 +381,24 @@ class ExtraOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("text_repetition fractions are consistent and bounded") {
+    val df = SparkEntry.queries("text_repetition")(spark, sf).cache()
+    assert(df.count() ===
+      Tables.documents(spark, sf)
+        .filter(size(split(col("text"), " ")) >= 3).count())
+    // dup fraction and top-gram share live in [0, 1); the top gram is
+    // itself counted in the dup mass, so top_share-1/total <= dup_frac
+    assert(df.filter(col("dup_gram_frac") < 0 || col("dup_gram_frac") >= 1).count() === 0)
+    assert(df.filter(col("top_gram_share") <= 0 || col("top_gram_share") > 1).count() === 0)
+    // both sides are 6dp-rounded, so allow one rounding step of jitter
+    val bad = df.filter(
+      col("top_gram_share") - lit(1.0) / col("total_grams") >
+        col("dup_gram_frac") + lit(1.1e-6))
+    assert(bad.count() === 0,
+      "a gram repeated m times contributes m-1 repeats to the dup mass")
+    df.unpersist()
+  }
+
   test("domain_mix weights rebalance token shares to exactly uniform") {
     val rows = SparkEntry.queries("domain_mix")(spark, sf).collect()
     val k = rows.length

@@ -234,4 +234,23 @@ class PlanSpec extends AnyFunSuite {
       s"CBO should join orders⋈σ(customer) first, got:\n$bottom")
     assert(bottomTables.contains("graft_stats_customer"), bottomTables)
   }
+
+  test("doc_bm25 broadcasts df/stats and filters tf before its shuffle") {
+    val p = plan("doc_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df and corpus stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the query-term IN filter must run on the exploded tokens BEFORE the
+    // (doc, tok) aggregate's exchange — shuffle volume ∝ matching rows
+    val filterIdx = p.indexOf("vector")
+    assert(filterIdx >= 0, s"query-term filter missing:\n$p")
+  }
+
+  test("text_contamination broadcasts the benchmark side, no self pair-scan") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"small benchmark shingle set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe must be a hash join on the shingle, not a pair scan:\n$p")
+  }
 }
