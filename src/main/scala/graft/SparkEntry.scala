@@ -33,7 +33,8 @@ object SparkEntry {
     (graft.sources.StatsQueries.queries, graft.sources.StatsQueries.oracle),
     (graft.streaming.StreamingDeclared.queries, graft.streaming.StreamingDeclared.oracle),
     (MiscQueries.queries, MiscQueries.oracle),
-    (TsQueries.queries, TsQueries.oracle)
+    (TsQueries.queries, TsQueries.oracle),
+    (AnalyticsQueries.queries, AnalyticsQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

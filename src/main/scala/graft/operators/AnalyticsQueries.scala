@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Classic multi-join analytics flagships (TPC-H Q3/Q5/Q10 shapes on the
+  * harness tables) plus an iterative PageRank over the co-purchase
+  * graph. Money sums go through decimal(18,2) like join_shuffle so the
+  * revenue totals are bit-identical across engines regardless of
+  * summation order — the same determinism discipline as the rest of the
+  * suite.
+  *
+  * Scale notes:
+  * - the Q3/Q5/Q10 shapes are the canonical AQE playground: dimension
+  *   sides (region/nation/customer-filtered) broadcast, the
+  *   lineitem⋈orders backbone is the one real shuffle, and every filter
+  *   reaches its parquet scan (date + segment predicates are
+  *   scan-pushable).
+  * - PageRank is one O(E) join+agg per iteration — the same shape as
+  *   DedupOps.connectedComponents; 3 fixed iterations keep the declared
+  *   query deterministic and oracle-able (chained SQL CTEs), and the
+  *   lineage stays shallow enough that no checkpoint is needed. The
+  *   library entry point for open-ended iteration with checkpoint
+  *   hygiene is DedupOps' iterate-free-checkpoint pattern.
+  */
+object AnalyticsQueries {
+
+  private def rev = Tables.dec2(col("l_extendedprice")) *
+    (lit(1) - col("l_discount").cast("decimal(4,2)"))
+
+  val queries: Map[String, Q] = Map(
+
+    // Q3: unshipped-revenue top-10 — segment-filtered customers drive a
+    // 3-way join; revenue ranked. Deterministic total order: rounded
+    // revenue desc, then orderkey.
+    "tpch_q3" -> ((s, dir) => {
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1996-03-15").cast("timestamp"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+    }),
+
+    // Q5: local-supplier revenue per nation inside one region-year —
+    // the 6-table join (customer and supplier must share the nation).
+    "tpch_q5" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // Q10: returned-item revenue per customer for one quarter, top-20.
+    "tpch_q10" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+    }),
+
+    // PageRank (damping 0.85, 3 fixed iterations) over the co-purchase
+    // part graph: parts are linked when they ship in the same order.
+    // Edges are symmetric, so every node has in-degree >= 1 and no
+    // dangling-mass correction is needed. Each iteration is one O(E)
+    // join + one node-keyed aggregate; ranks round to 6dp only at the
+    // end (intermediate rounding would compound).
+    "graph_pagerank" -> ((s, dir) => {
+      val le = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = le.join(le.select(col("ok"), col("pk").as("pk2")), "ok")
+        .filter(col("pk") =!= col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+        .distinct()
+        .cache()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val nTotal = nodes.agg(count(lit(1)).as("n"))
+      var pr = nodes.crossJoin(broadcast(nTotal))
+        .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+      for (_ <- 1 to 3) {
+        pr = edges
+          .join(pr.select(col("node").as("src"), col("pr")), "src")
+          .join(deg, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("pr") / col("d")).as("mass"))
+          .crossJoin(broadcast(nTotal))
+          .select(col("node"), (lit(0.15) / col("n") + lit(0.85) * col("mass")).as("pr"))
+      }
+      pr.select(col("node").as("p_partkey"), round(col("pr"), 6).as("pagerank"))
+        .orderBy(desc("pagerank"), col("p_partkey"))
+        .limit(20)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-03-15'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "graph_pagerank" ->
+      """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM le a JOIN le b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+        |pr1 AS (
+        |  SELECT e.dst AS node, 0.15 / min(nn.n) + 0.85 * sum(p.pr / d.d) AS pr
+        |  FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |  CROSS JOIN nn GROUP BY e.dst),
+        |pr2 AS (
+        |  SELECT e.dst AS node, 0.15 / min(nn.n) + 0.85 * sum(p.pr / d.d) AS pr
+        |  FROM edges e JOIN pr1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |  CROSS JOIN nn GROUP BY e.dst),
+        |pr3 AS (
+        |  SELECT e.dst AS node, 0.15 / min(nn.n) + 0.85 * sum(p.pr / d.d) AS pr
+        |  FROM edges e JOIN pr2 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |  CROSS JOIN nn GROUP BY e.dst)
+        |SELECT node AS p_partkey, round(pr, 6) AS pagerank
+        |FROM pr3 ORDER BY pagerank DESC, p_partkey LIMIT 20""".stripMargin
+  )
+}

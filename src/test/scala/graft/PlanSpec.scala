@@ -235,6 +235,28 @@ class PlanSpec extends AnyFunSuite {
     assert(bottomTables.contains("graft_stats_customer"), bottomTables)
   }
 
+  test("tpch_q5 broadcasts every dimension side of the 6-table join") {
+    val p = plan("tpch_q5")
+    // supplier/nation/region (and the region filter through nation) must
+    // all broadcast; the only real shuffle is the lineitem⋈orders backbone
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_pagerank iterations are keyed joins, never pair scans") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins allowed are the 1-row broadcast crosses
+    // that attach the node count N (the doc_tfidf pattern); every
+    // edge-sized join must be keyed
+    val bnlj = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).length
+    val anyBnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(anyBnlj == bnlj, s"non-cross nested loop join in PageRank:\n$p")
+    val keyed = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).length
+    assert(keyed >= 6, s"3 iterations x (pr, deg) joins must be keyed, got $keyed:\n$p")
+  }
+
   test("doc_bm25 broadcasts df/stats and filters tf before its shuffle") {
     val p = plan("doc_bm25")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
