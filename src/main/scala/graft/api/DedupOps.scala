@@ -85,6 +85,35 @@ object DedupOps {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
+  /** Near-dup pairs BETWEEN two frames — the incremental-crawl shape:
+    * a new batch is scored against the existing corpus and only
+    * new×corpus pairs are produced, never corpus×corpus (which at 100 TB
+    * is the difference between a nightly job and re-deduping the world).
+    * Same hashed-sorted-set + size-band machinery as
+    * [[nearJaccardPairsOnSets]]; the probe (new) side streams against
+    * the corpus side, so candidate volume is O(|new| · band density).
+    */
+  def nearJaccardPairsAcross(newSets: DataFrame, corpusSets: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(col("ts"), t => xxhash64(t)))).as("ids"))
+      .select(col("doc_id"), col("ids"), size(col("ids")).as("n"))
+    val par = newSets.sparkSession.sparkContext.defaultParallelism
+    val a = prep(newSets).repartition(par).select(col("doc_id").as("id_new"),
+      col("ids").as("ids_a"), col("n").as("n_a"))
+    val b = prep(corpusSets).select(col("doc_id").as("id_corpus"),
+      col("ids").as("ids_b"), col("n").as("n_b"))
+    a.join(b, col("n_b") * den >= col("n_a") * num &&
+        col("n_a") * den >= col("n_b") * num)
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("ids_a"), col("ids_b")))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num || noPush)
+      .select(col("id_new"), col("id_corpus"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
   /** Distinct word n-gram (shingle) sets per document: (`doc_id`,
     * `ts: array<string>`). Documents with fewer than `n` tokens produce
     * no row (they have no shingles). Built with posexplode + lead

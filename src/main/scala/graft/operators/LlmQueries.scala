@@ -106,6 +106,21 @@ object LlmQueries {
       graft.api.DedupOps.nearJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // incremental dedup — the nightly-crawl shape: a "new batch"
+    // (doc_id % 10 == 0) is scored against the existing corpus, and
+    // ONLY new×corpus pairs are produced. At 100 TB this is the
+    // difference between a batch-sized nightly job and re-deduping the
+    // whole corpus; the corpus side would additionally be LSH-bucketed
+    // (minhashCandidates) before the exact verify.
+    "dedup_incremental" -> ((s, dir) => {
+      val sets = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+      graft.api.DedupOps.nearJaccardPairsAcross(
+          sets.filter(col("doc_id") % 10 === 0),
+          sets.filter(col("doc_id") % 10 =!= 0), num = 3, den = 5)
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
+
     // word-bigram shingle Jaccard ≥ 3/5 — n-gram variant of dedup_near:
     // shingles preserve local word order, so reordered-token docs that
     // tie on token sets separate here
@@ -468,6 +483,20 @@ object LlmQueries {
         |  SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS ord
         |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents))
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts,
+        |    len(list_distinct(str_split(text, ' '))) AS n
+        |  FROM documents)
+        |SELECT a.doc_id AS id_new, b.doc_id AS id_corpus,
+        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |    / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  AND b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
+        |WHERE len(list_intersect(a.ts, b.ts)) * 5
+        |  >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3
+        |ORDER BY id_new, id_corpus""".stripMargin,
 
     "dedup_near" ->
       """WITH d AS (
