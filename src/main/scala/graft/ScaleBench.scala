@@ -72,6 +72,19 @@ object ScaleBench {
         col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
+    // lineitem: order/part/supplier keys offset per copy — the
+    // co-purchase graph becomes `factor` disjoint copies, so edge count
+    // and PageRank work scale linearly (never cross-copy quadratic)
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    copies(li) { (df, c) =>
+      df.select((col("l_orderkey") + lit(c * Stride)).as("l_orderkey"),
+        (col("l_partkey") + lit(c * Stride)).as("l_partkey"),
+        (col("l_suppkey") + lit(c * Stride)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
     java.nio.file.Files.createFile(ready)
   }
 
@@ -92,16 +105,22 @@ object ScaleBench {
     "dedup_simhash64", "dedup_components_lsh", "emb_neardup_lsh",
     "sim_ann_ivf", "sim_ann_kmeans", "join_range_binned", "join_skew_salted",
     "sessionize_batch", "doc_tfidf", "text_tokens", "doc_pack",
-    "doc_bm25", "text_contamination", "domain_mix", "text_repetition")
+    "doc_bm25", "text_contamination", "domain_mix", "text_repetition",
+    "graph_pagerank")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/
   // dedup_keep/dedup_components_logstar sit here because their INPUT is
   // the exact banded pair scan (the clustering itself is linear —
   // dedup_components_lsh above is the same clustering on bucketed pairs)
+  // dedup_incremental sits here because ScaleBench scales BOTH sides:
+  // its banded new×corpus scan is then quadratic like dedup_near. In
+  // production the new batch is constant-sized, so cost grows linearly
+  // with the corpus (and the corpus side gets LSH-bucketed first).
   private val quadFamily = Seq(
     "dedup_near", "dedup_ngram", "sim_cosine_topk", "emb_neardup",
-    "dedup_components", "dedup_keep", "dedup_components_logstar")
+    "dedup_components", "dedup_keep", "dedup_components_logstar",
+    "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

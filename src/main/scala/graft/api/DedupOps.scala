@@ -136,6 +136,45 @@ object DedupOps {
       .agg(array_distinct(sort_array(collect_list(col("shingle")))).as("ts"))
   }
 
+  /** Exact substring-run duplicate pairs: documents sharing at least
+    * one run of `n` consecutive tokens, with the count of distinct
+    * shared runs — the "long exact substring" dedup signal, as a
+    * grouped equality join. Each doc emits its distinct n-token runs
+    * (posexplode + lead windows, all codegen); pairs form INSIDE gram
+    * groups, never via a pairwise doc scan, so shuffle volume is the
+    * distinct (doc, gram) stream — linear in corpus size. At 100 TB:
+    * hash grams to 64-bit ids (xxhash64) to cut shuffle bytes (kept as
+    * strings here for engine-exact oracle parity), and set `gramCap` to
+    * skip boilerplate grams shared by more than cap docs (a gram group
+    * of m docs is m²/2 pairs — same degenerate-bucket physics as
+    * [[minhashCandidates]]'s bucketCap).
+    */
+  def substringPairs(documents: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, gramCap: Int = 0): DataFrame = {
+    require(n >= 2, "substring runs need n >= 2")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = documents.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val withNext = (1 until n).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"tok_$i", lead(col("tok"), i).over(w))
+    }
+    val parts = col("tok") +: (1 until n).map(i => col(s"tok_$i"))
+    // lead(n-1) null ⇒ all shorter leads past-end too: one filter suffices
+    val grams0 = withNext.filter(parts.last.isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("gram"))
+      .distinct()
+    val grams = if (gramCap > 0) {
+      val wG = Window.partitionBy(col("gram"))
+      grams0.withColumn("g_n", count(lit(1)).over(wG))
+        .filter(col("g_n") <= gramCap).drop("g_n")
+    } else grams0
+    grams.select(col("doc_id").as("id_a"), col("gram"))
+      .join(grams.select(col("doc_id").as("id_b"), col("gram").as("gram_b")),
+        col("gram") === col("gram_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash/LSH near-duplicate candidate pairs (no pairwise scan):
     * `numHashes` signatures in `bands` bands; docs sharing any band
     * bucket are candidates. `bucketCap` skips degenerate mega-buckets

@@ -82,6 +82,25 @@ object AnalyticsQueries {
           col("c_acctbal"), col("n_name"))
     }),
 
+    // Q18: large-volume orders (total quantity > 250), top-100 by order
+    // value. The HAVING-filtered fact aggregate joins back to orders on
+    // the SAME key it grouped on — at scale the groupBy's map-side
+    // combine collapses lineitem before the shuffle and the join reuses
+    // that hash partitioning; quantities are integer-valued doubles, so
+    // the sum is order-independent (bit-exact at any parallelism).
+    "tpch_q18" -> ((s, dir) => {
+      val bigOrders = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }),
+
     // PageRank (damping 0.85, 3 fixed iterations) over the co-purchase
     // part graph: parts are linked when they ship in the same order.
     // Edges are symmetric, so every node has in-degree >= 1 and no
@@ -96,16 +115,25 @@ object AnalyticsQueries {
         .filter(col("pk") =!= col("pk2"))
         .select(col("pk").as("src"), col("pk2").as("dst"))
         .distinct()
-        .cache()
+      // Fold the iteration-invariant out-degree into the edge list ONCE
+      // and pin it hash-partitioned by src: each iteration's join then
+      // reuses the cached layout (InMemoryRelation preserves the
+      // HashPartitioning) and only the node-sized rank frame is
+      // exchanged — the O(E) edge set never re-shuffles after this.
+      // d is carried (not 1/d) so every pr/d term is bit-identical to
+      // the unfused form and the DuckDB oracle.
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      val nodes = edges.select(col("src").as("node")).distinct()
+      val wedges = edges.join(deg, "src")
+        .select(col("src"), col("dst"), col("d"))
+        .repartition(col("src"))
+        .cache()
+      val nodes = wedges.select(col("src").as("node")).distinct()
       val nTotal = nodes.agg(count(lit(1)).as("n"))
       var pr = nodes.crossJoin(broadcast(nTotal))
         .select(col("node"), (lit(1.0) / col("n")).as("pr"))
       for (_ <- 1 to 3) {
-        pr = edges
+        pr = wedges
           .join(pr.select(col("node").as("src"), col("pr")), "src")
-          .join(deg, "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("pr") / col("d")).as("mass"))
           .crossJoin(broadcast(nTotal))
@@ -159,6 +187,15 @@ object AnalyticsQueries {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 250) b
+        |  ON o_orderkey = b.l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "graph_pagerank" ->
       """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

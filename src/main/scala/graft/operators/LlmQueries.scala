@@ -121,6 +121,15 @@ object LlmQueries {
         .orderBy(col("id_new"), col("id_corpus"))
     }),
 
+    // exact substring-run dedup: doc pairs sharing ≥1 run of 8
+    // consecutive tokens, with the distinct-shared-run count — the
+    // "long exact substring" contamination/dup signal; a grouped
+    // equality join on grams, never a pairwise doc scan
+    "dedup_substring" -> ((s, dir) =>
+      graft.api.DedupOps.substringPairs(
+          Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // word-bigram shingle Jaccard ≥ 3/5 — n-gram variant of dedup_near:
     // shingles preserve local word order, so reordered-token docs that
     // tie on token sets separate here
@@ -497,6 +506,15 @@ object LlmQueries {
         |WHERE len(list_intersect(a.ts, b.ts)) * 5
         |  >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3
         |ORDER BY id_new, id_corpus""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+        |      FROM d, UNNEST(range(1, len(ts) - 6)) AS t(i))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_near" ->
       """WITH d AS (
