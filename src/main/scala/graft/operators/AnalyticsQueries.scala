@@ -30,6 +30,69 @@ object AnalyticsQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Q1: the pricing-summary report — the canonical single-table
+    // scan+agg. One map-side-combined groupBy over 4 tiny groups; every
+    // money aggregate runs in exact decimal (order-independent at any
+    // parallelism), averages derive from the exact sums (one division at
+    // the end, never a double accumulation).
+    "tpch_q1" -> ((s, dir) => {
+      val disc1 = lit(1) - col("l_discount").cast("decimal(4,2)")
+      val tax1 = lit(1) + col("l_tax").cast("decimal(4,2)")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(Tables.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(Tables.dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(Tables.dec2(col("l_extendedprice")) * disc1).cast("double").as("sum_disc_price"),
+          sum(Tables.dec2(col("l_extendedprice")) * disc1 * tax1).cast("double").as("sum_charge"),
+          sum(col("l_discount").cast("decimal(4,2)")).cast("double").as("disc_total"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+          col("sum_charge"),
+          round(col("sum_qty") / col("count_order"), 6).as("avg_qty"),
+          round(col("sum_base_price") / col("count_order"), 6).as("avg_price"),
+          round(col("disc_total") / col("count_order"), 6).as("avg_disc"),
+          col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Q6: the forecasting-revenue-change scan — pure filter+agg, zero
+    // joins, zero shuffles past the partial agg. quantity/shipdate
+    // predicates push to the parquet reader; the discount band compares
+    // in decimal so the boundary rows (0.05/0.07 stored as doubles)
+    // match the oracle exactly.
+    "tpch_q6" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") < 24 &&
+          col("l_discount").cast("decimal(4,2)")
+            .between(lit(0.05).cast("decimal(4,2)"), lit(0.07).cast("decimal(4,2)")))
+        .agg(sum(Tables.dec2(col("l_extendedprice")) *
+          col("l_discount").cast("decimal(4,2)")).cast("double").as("revenue"))),
+
+    // Degree distribution of the 1996 co-purchase graph — the profile
+    // an analyst reads before choosing the triangle/PageRank plan
+    // (skew here decides salting/orientation strategy). One O(E)
+    // shuffle for degrees, then a #distinct-degrees-bounded agg.
+    "graph_degree_stats" -> ((s, dir) => {
+      val le = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = le.join(le.select(col("ok"), col("pk").as("pk2")), "ok")
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("u"), col("pk2").as("v"))
+        .distinct()
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
     // Q3: unshipped-revenue top-10 — segment-filtered customers drive a
     // 3-way join; revenue ranked. Deterministic total order: rounded
     // revenue desc, then orderkey.
@@ -204,6 +267,41 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 24
+        |  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07""".stripMargin,
+
+    "graph_degree_stats" ->
+      """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |              AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM le a JOIN le b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
+        |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY n)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
 
     "tpch_q3" ->
       """SELECT l_orderkey,

@@ -198,6 +198,17 @@ object LlmQueries {
           stagedComponents(s, dir), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // dedup observability: the cluster-size distribution of the near-dup
+    // component graph — the number a pipeline owner watches per crawl
+    // (a sudden fat tail means a boilerplate template flooded the crawl).
+    // Consumes the STAGED components frame; on top of it the histogram
+    // is two tiny aggregates (#components, then #distinct sizes rows).
+    "dedup_cluster_stats" -> ((s, dir) =>
+      stagedComponents(s, dir)
+        .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))),
+
     // MinHash/LSH candidates — non-oracle (engine-internal hashes); spec
     // asserts exact duplicates are recovered
     "dedup_minhash" -> ((s, dir) =>
@@ -314,6 +325,27 @@ object LlmQueries {
         .select(col("vocab_size"), col("n_hapax"), col("total_tokens"),
           round(col("top_n").cast("double") / col("total_tokens"), 6).as("top100_share"))
     }),
+
+    // per-doc token Shannon entropy — the information-density quality
+    // signal (low entropy = repetitive/templated text; pairs with
+    // text_repetition's n-gram view). Uses H = ln(n) − Σ c·ln(c) / n so
+    // the per-(doc,token) term is computed once from exact counts;
+    // per-term values round to 9dp before the sum (ulp-stable across
+    // engines, same discipline as doc_bm25). Shuffle ∝ (doc, distinct
+    // token) pairs — the explode→combine shape that scales out.
+    "text_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(round(col("c") * log(col("c")), 9)).as("clnc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(log(col("n_tokens")) - col("clnc") / col("n_tokens"), 6)
+            .as("token_entropy"))
+        .orderBy(col("doc_id"))),
 
     // BM25 relevance of every document against a fixed query term set —
     // the retrieval/quality-scoring shape (Robertson k1=1.2, b=0.75,
