@@ -56,12 +56,13 @@ object ScaleBench {
         col("label"))
     }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$baseDir/events.parquet") // ts: raw long ns
+    // load through Tables.events so the ts encoding drift is handled in
+    // one place; copies are shifted by c days to keep ts values distinct
+    val ev = Tables.events(spark, baseDir)
     copies(ev) { (df, c) =>
       df.select(
         (col("event_id") + lit(c * Stride)).as("event_id"),
-        (col("ts") + lit(c * 86400L * 1000000000L)).as("ts"),
+        (col("ts") + expr(s"INTERVAL '$c' DAY")).as("ts"),
         (col("user_id") + lit(c * Stride)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.write.mode("overwrite").parquet(s"$outDir/events.parquet")

@@ -24,19 +24,40 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark
-    * 4.1.2 rejects (PARQUET_TYPE_ILLEGAL). Read it as raw long nanos and
-    * rebuild a microsecond timestamp; DuckDB truncates ns→µs on scan, so
-    * values agree exactly with the oracle afterwards.
-    * The conf is runtime-settable, so this works under the driver's
-    * pre-built session too.
+  /** The on-disk encoding of `events.ts` has changed across testdata
+    * regenerations (INT64 TIMESTAMP(NANOS) → plain timestamp[us] on
+    * 2026-08-13), so the loader is schema-adaptive: it inspects the
+    * footer-derived type and normalizes to a session-TZ (UTC)
+    * TimestampType with microsecond values either way. nanosAsLong is a
+    * runtime-settable conf, so this works under the driver's pre-built
+    * session too; it is a no-op for non-NANOS files.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer DIV, not `/`: ns values exceed double's 53-bit mantissa, so
-    // float division is off by ±1µs on some rows vs DuckDB's truncation.
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventsTs(s.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize an events-shaped frame so `ts` is TimestampType (µs,
+    * session TZ = UTC) regardless of how the parquet encoded it:
+    *  - LongType      → raw ns read under nanosAsLong; integer DIV 1000
+    *    (not `/`: ns exceed double's 53-bit mantissa, float division is
+    *    off by ±1µs on some rows vs DuckDB's truncation) → µs timestamp.
+    *  - TimestampNTZType → µs wall-clock; with the session TZ pinned to
+    *    UTC the cast to TimestampType preserves the stored micros.
+    *  - TimestampType → already what we want.
+    * Shared by the batch loader and the streaming source so a future
+    * re-encoding is fixed in exactly one place.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet-derived type $other — " +
+          "extend Tables.normalizeEventsTs for the new encoding")
+    }
   }
 
   /** Exact-decimal money arithmetic. All money/quantity columns in the

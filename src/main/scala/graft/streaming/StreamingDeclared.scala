@@ -17,17 +17,32 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   */
 object StreamingDeclared {
 
-  /** Stage the single events parquet file into a directory (file stream
-    * sources list directories) — done once per (jvm, sfDir).
+  /** Fingerprint of the source events file (size + mtime). Staged copies
+    * in /tmp outlive testdata regenerations — round 4 lost 7 streaming
+    * queries to exactly that kind of drift — so every staging dir records
+    * the fingerprint it was built from and rebuilds when it changes.
     */
-  private def stagedEventsDir(sfDir: String): String = {
+  private def sourceFingerprint(sfDir: String): String = {
+    val p = java.nio.file.Paths.get(sfDir, "events.parquet")
+    s"${java.nio.file.Files.size(p)}_${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+  }
+
+  /** Stage the single events parquet file into a directory (file stream
+    * sources list directories) — done once per (jvm, sfDir, source
+    * fingerprint); restaged if the source file was regenerated.
+    */
+  private def stagedEventsDir(sfDir: String): String = synchronized {
     val hash = Integer.toHexString(sfDir.hashCode)
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_stream_src_$hash")
     java.nio.file.Files.createDirectories(dir)
     val dst = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst)) {
-      java.nio.file.Files.copy(java.nio.file.Paths.get(sfDir, "events.parquet"), dst)
+    val marker = dir.resolve(s"_SRC_${sourceFingerprint(sfDir)}")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.copy(java.nio.file.Paths.get(sfDir, "events.parquet"), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dir.toFile.listFiles().filter(_.getName.startsWith("_SRC_")).foreach(_.delete())
+      java.nio.file.Files.createFile(marker)
     }
     dir.toString
   }
@@ -35,16 +50,21 @@ object StreamingDeclared {
   /** Stage the events table as TWO parquet files with distinct mod times
     * (split by event_id parity) — the input for the multi-microbatch runs:
     * with maxFilesPerTrigger=1 each file becomes its own microbatch.
-    * Files are written through Spark under nanosAsLong so `ts` stays a
-    * raw long and the streaming schema matches the single-file staging.
+    * Files are rewritten through Spark with whatever `ts` type the source
+    * carries (raw long under nanosAsLong, or timestamp[us]) so the
+    * streaming schema inferred from these files matches the source's
+    * encoding; restaged if the source file was regenerated.
     */
   private[graft] def stagedEventsSplitDir(s: org.apache.spark.sql.SparkSession,
       sfDir: String): String = synchronized {
     val hash = Integer.toHexString(sfDir.hashCode)
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_stream_src2_$hash")
-    if (!java.nio.file.Files.exists(dir.resolve("_READY"))) {
+    val ready = dir.resolve(s"_READY_${sourceFingerprint(sfDir)}")
+    if (!java.nio.file.Files.exists(ready)) {
       java.nio.file.Files.createDirectories(dir)
+      dir.toFile.listFiles().filter(f => f.getName.startsWith("_READY"))
+        .foreach(_.delete())
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$sfDir/events.parquet")
       (0 to 1).foreach { half =>
@@ -64,7 +84,7 @@ object StreamingDeclared {
         stage.toFile.listFiles().foreach(_.delete())
         java.nio.file.Files.deleteIfExists(stage)
       }
-      java.nio.file.Files.createFile(dir.resolve("_READY"))
+      java.nio.file.Files.createFile(ready)
     }
     dir.toString
   }

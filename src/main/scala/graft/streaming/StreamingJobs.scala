@@ -19,20 +19,25 @@ import org.apache.spark.sql.types._
   */
 object StreamingJobs {
 
-  /** Raw parquet schema of events.parquet under nanosAsLong (ts: long ns). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming scan of an events parquet directory with the ns→µs fix. */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** File streams need an explicit schema. Hardcoding one is how round 4
+    * silently corrupted timestamps when the testdata re-encoded `ts`
+    * (ns-long → timestamp[us]): parquet happily read µs INT64 into a
+    * LongType field. So the streaming schema comes from a batch read of
+    * the directory's actual footer — whatever encoding is on disk is the
+    * schema the stream uses, and Tables.normalizeEventsTs converts it.
+    */
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsRawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    spark.read.parquet(dir).schema
+  }
+
+  /** Streaming scan of an events parquet directory, ts normalized to a
+    * µs TimestampType regardless of the on-disk encoding.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = eventsRawSchema(spark, dir)
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Run `body` with spark.sql.shuffle.partitions temporarily set to `n`.
@@ -90,11 +95,10 @@ object StreamingJobs {
     */
   def tumblingMultiBatch(spark: SparkSession, dir: String,
       sinkName: String): (DataFrame, Int) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(eventsRawSchema(spark, dir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
     val agg = src
       .groupBy(col("user_id"), window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
