@@ -71,13 +71,26 @@ object Bench {
       System.err.println(f"[bench] ${System.currentTimeMillis} $name%-28s $dt%8.2f s")
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal durations: ms resolution is all the timing method
+    // supports, and it keeps the JSON line as small as possible for the
+    // driver's bounded stdout capture
+    def d3(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     val raw = rawPairs.toSeq.sortBy(_._1)
-      .map { case (k, (a, b)) => s"\"" + k + s"\":[$a,$b]" }
+      .map { case (k, (a, b)) => s"\"" + k + s"\":[${d3(a)},${d3(b)}]" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stall_retries":$stallRetries,"raw":$raw,"sf":"$sfDir"}""")
+    // headline fields LAST: the driver keeps only a bounded tail of
+    // stdout, and with 171 queries the full line exceeds it — ordering
+    // scalars after the big dicts keeps "metric"/"value" inside the tail
+    // (round 4's total vanished from the record the other way around)
+    val line = s"""{"queries":$qs,"raw":$raw,"stall_retries":$stallRetries,"sf":"$sfDir","metric":"total","value":${d3(total)},"unit":"sec"}"""
+    println(line)
+    // durable copy of the exact same JSON, immune to stdout truncation
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_result.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -164,6 +164,97 @@ object AnalyticsQueries {
         .limit(100)
     }),
 
+    // Q2 shape: minimum-cost supplier per part. The harness has no
+    // partsupp table, so the part↔supplier relation (and its supply
+    // cost: the minimum observed unit price) derives from lineitem.
+    // The "correlated subquery" of the classic Q2 is expressed
+    // Spark-first as a per-part min + join-back on (part, cost): the
+    // groupBy collapses lineitem before any join, the
+    // supplier/nation/region and filtered-part dims broadcast, and the
+    // min-join-back reuses the aggregate's hash partitioning — one
+    // backbone shuffle total. Unit prices round to 6dp BEFORE min so
+    // the min-equality join compares identical doubles on both engines.
+    "tpch_q2" -> ((s, dir) => {
+      val europe = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val parts = Tables.part(s, dir)
+        .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)
+        .select(col("p_partkey"), col("p_brand"))
+      val cost = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") / col("l_quantity"), 6).as("unit_cost"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("unit_cost")).as("supply_cost"))
+      val eurCost = cost
+        .join(broadcast(europe), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val minCost = eurCost.groupBy(col("p_partkey").as("mp"))
+        .agg(min(col("supply_cost")).as("min_cost"))
+      eurCost.join(minCost,
+          col("p_partkey") === col("mp") && col("supply_cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"), col("supply_cost"))
+        .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q7 shape: bilateral shipping volume between two nations by year.
+    // The nation filters push into the supplier/customer SCANS (each
+    // side keeps only the two nations before any join), both dims
+    // broadcast, and the lineitem⋈orders backbone is the one real
+    // shuffle. The cross-pair filter then keeps only the two
+    // (supp, cust) directions the report wants.
+    "tpch_q7" -> ((s, dir) => {
+      val nations = Seq("NATION_7", "NATION_19")
+      val supp = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q16 shape: how many distinct suppliers can provide each
+    // (brand, type, size) bucket, excluding a supplier denylist — the
+    // classic agg + anti-join mix. The part↔supplier relation is the
+    // DISTINCT (l_partkey, l_suppkey) projection of lineitem (no
+    // partsupp table in the harness); the denylist (negative account
+    // balance, the complaint proxy) is tiny → broadcast LEFT ANTI, so
+    // the only real shuffles are the distinct and the final
+    // count-distinct agg.
+    "tpch_q16" -> ((s, dir) => {
+      val denied = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_sk"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(denied), col("l_suppkey") === col("bad_sk"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
     // Triangle count + global clustering coefficient over the
     // co-purchase graph. Each undirected edge is oriented at its
     // (degree, id)-larger endpoint, so every triangle is counted
@@ -267,6 +358,60 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "tpch_q2" ->
+      """WITH europe AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(round(l_extendedprice / l_quantity, 6)) AS supply_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |ec AS (
+        |  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, supply_cost
+        |  FROM cost JOIN europe ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'ECONOMY' AND p_size <= 15),
+        |mc AS (
+        |  SELECT p_partkey AS mp, min(supply_cost) AS min_cost
+        |  FROM ec GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+        |FROM ec JOIN mc ON p_partkey = mp AND supply_cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year, l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND ns.n_name IN ('NATION_7', 'NATION_19')
+        |    AND nc.n_name IN ('NATION_7', 'NATION_19')
+        |    AND ns.n_name <> nc.n_name)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

@@ -40,9 +40,16 @@ object LlmQueries {
     */
   private def stagedComponents(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
+    // the source fingerprint (size+mtime) is part of the cache path, so a
+    // driver-side regeneration of documents.parquet invalidates the
+    // staged clustering instead of silently serving clusters of the old
+    // corpus (the round-4 events staleness lesson, applied here)
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val fp = s"${java.nio.file.Files.size(src)}_" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
     val hash = Integer.toHexString(dir.hashCode)
     val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_components_v1_$hash")
+      s"graft_components_v1_${hash}_$fp")
     if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
       graft.api.DedupOps
         .connectedComponents(shinglePairs(s, dir).select(col("id_a"), col("id_b")))
@@ -463,6 +470,35 @@ object LlmQueries {
     })
   )
 
+  /** The shingle-Jaccard pair graph + recursive transitive closure in
+    * DuckDB SQL — the shared oracle core for every query derived from the
+    * near-dup component graph (components, logstar twin, keep-list,
+    * cluster histogram). Ends with the `reach(node, r)` CTE open so
+    * consumers append their own final SELECT (or further CTEs after a
+    * comma).
+    */
+  private val closureCte: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i + 1])) AS ts
+      |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2),
+      |s AS (SELECT doc_id, ts, len(ts) AS n FROM d),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |    AND b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
+      |  WHERE len(list_intersect(a.ts, b.ts)) * 5
+      |    >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "doc_tfidf" ->
       """WITH tf AS (
@@ -605,26 +641,7 @@ object LlmQueries {
         |GROUP BY norm_text ORDER BY keep_id""".stripMargin,
 
     "dedup_keep" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(t)),
-        |      i -> t[i] || ' ' || t[i + 1])) AS ts
-        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 2),
-        |s AS (SELECT doc_id, ts, len(ts) AS n FROM d),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |    AND b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
-        |  WHERE len(list_intersect(a.ts, b.ts)) * 5
-        |    >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(node, r) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-        |  UNION
-        |  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r),
+      s"""$closureCte,
         |comp AS (
         |  SELECT node AS doc_id, min(r) AS component_id
         |  FROM reach GROUP BY node)
@@ -634,54 +651,42 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_components" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(t)),
-        |      i -> t[i] || ' ' || t[i + 1])) AS ts
-        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 2),
-        |s AS (SELECT doc_id, ts, len(ts) AS n FROM d),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |    AND b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
-        |  WHERE len(list_intersect(a.ts, b.ts)) * 5
-        |    >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(node, r) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-        |  UNION
-        |  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r)
+      s"""$closureCte
         |SELECT node AS doc_id, min(r) AS component_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // identical transitive-closure oracle — the log-star variant must
     // produce byte-identical components to min-label propagation
     "dedup_components_logstar" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(t)),
-        |      i -> t[i] || ' ' || t[i + 1])) AS ts
-        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 2),
-        |s AS (SELECT doc_id, ts, len(ts) AS n FROM d),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |    AND b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
-        |  WHERE len(list_intersect(a.ts, b.ts)) * 5
-        |    >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(node, r) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-        |  UNION
-        |  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r)
+      s"""$closureCte
         |SELECT node AS doc_id, min(r) AS component_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // the same closure, reduced to its cluster-size histogram — the
+    // observability view over the components frame
+    "dedup_cluster_stats" ->
+      s"""$closureCte,
+        |comp AS (
+        |  SELECT node AS doc_id, min(r) AS component_id
+        |  FROM reach GROUP BY node)
+        |SELECT cluster_size, count(*) AS n_clusters FROM (
+        |  SELECT component_id, count(*) AS cluster_size
+        |  FROM comp GROUP BY component_id)
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "text_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY doc_id, tok),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct,
+        |    sum(round(c * ln(c), 9)) AS clnc
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(ln(n_tokens) - clnc / n_tokens, 6) AS token_entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "sim_cosine_topk" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

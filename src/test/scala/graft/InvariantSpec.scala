@@ -44,10 +44,12 @@ class InvariantSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("agg_approx_percentile")(spark, sf).collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
-      val approx = r.getAs[Double]("approx_median")
-      val exact = r.getAs[Double]("exact_median")
-      assert(math.abs(approx - exact) / exact <= 0.02,
-        s"status=${r.get(0)} approx=$approx exact=$exact")
+      assert(r.getAs[Boolean]("median_in_band"),
+        s"status=${r.get(0)} approx median outside 2% of exact " +
+          s"${r.getAs[Double]("exact_median")}")
+      assert(r.getAs[Boolean]("p90_in_band"),
+        s"status=${r.get(0)} approx p90 outside 2% of exact " +
+          s"${r.getAs[Double]("exact_p90")}")
     }
   }
 

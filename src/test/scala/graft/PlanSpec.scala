@@ -244,6 +244,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tpch_q2 broadcasts the dims and keeps the min-join-back keyed") {
+    val p = plan("tpch_q2")
+    // europe suppliers and filtered parts broadcast; the lineitem unit
+    // cost agg is the only big shuffle; the (part, min-cost) join-back
+    // must be keyed, never a pair scan
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected >=2 broadcast dims, got $bhj:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q7 pushes the nation filters below broadcast joins") {
+    val p = plan("tpch_q7")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"filtered supp/cust sides must broadcast, got $bhj:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the shipdate range must reach the lineitem scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("tpch_q16 anti-joins the denylist as a broadcast") {
+    val p = plan("tpch_q16")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"denylist must be a broadcast anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("graph_pagerank iterations are keyed joins, never pair scans") {
     val p = plan("graph_pagerank")
     assert(!p.contains("CartesianProduct"), p)
