@@ -96,7 +96,8 @@ object ScaleBench {
     */
   private def wipeStaging(): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    tmp.listFiles((_, n) => n.startsWith("graft_components_v1_"))
+    tmp.listFiles((_, n) => n.startsWith("graft_components_v1_") ||
+        n.startsWith("graft_edges_"))
       .foreach { d => d.listFiles().foreach(_.delete()); d.delete() }
   }
 
