@@ -118,10 +118,17 @@ object AggQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // HLL++ approximate distinct. The raw estimate is engine-specific,
+    // so the declared output is the exact count (oracle-checked) plus an
+    // in-band boolean computed from the LIVE estimate (default rsd=5%):
+    // estimator drift flips the row to false and fails the driver hash.
     "agg_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("approx_in_band"))
     }),
 
     // Sketch percentiles (single-pass, mergeable — the 100 TB path where
@@ -157,10 +164,12 @@ object AggQueries {
     // shape: each frame (here: two halves of lineitem, in production two
     // days/shards) builds an HLL sketch INDEPENDENTLY, the binary
     // sketches union without touching the raw data, and the estimate
-    // comes off the merged sketch. Non-oracle (sketch bytes are
-    // engine-specific); the query surfaces bound_ok (merged estimate
-    // within the lgK=12 ±~1.6% band of exact) so drift shows as a false
-    // row, and AggSpec asserts it.
+    // comes off the merged sketch. Sketch bytes/estimates are
+    // engine-specific, so the declared output is the exact count
+    // (oracle-checked) plus bound_ok computed from the LIVE merged
+    // estimate (within 5% of exact — generous vs the lgK=12 ±~1.6%
+    // band): a broken merge shows as a false row in the driver hash,
+    // and SketchSpec asserts the tighter property.
     "sketch_hll_merge" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val a = li.filter(col("l_orderkey") % 2 === 0)
@@ -170,10 +179,9 @@ object AggQueries {
       a.crossJoin(b)
         .select(hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("merged_est"))
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_parts")))
-        .withColumn("bound_ok",
-          abs(col("merged_est") - col("exact_parts")) <= col("exact_parts") * 0.05)
-        .select(col("merged_est").cast("bigint").as("merged_est"),
-          col("exact_parts"), col("bound_ok"))
+        .select(col("exact_parts"),
+          (abs(col("merged_est") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("bound_ok"))
     }),
 
     // mergeable EXACT distinct via roaring-style bitmaps: each
@@ -298,6 +306,17 @@ object AggQueries {
   // agg_percentile carries both exact and approx medians on the Spark side;
   // approx_percentile with a huge accuracy equals exact on these data.
   val oracle: Map[String, String] = Map(
+    // exact counts cross-checked for real; the band booleans are TRUE
+    // literals — Spark computes them from its live sketches, so drift
+    // shows up as a row-level hash mismatch
+    "agg_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_in_band FROM lineitem""".stripMargin,
+
+    "sketch_hll_merge" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS bound_ok FROM lineitem""".stripMargin,
+
     // exact quantiles cross-checked for real; the band booleans are TRUE
     // literals here — Spark computes them from its live sketch, so a
     // drifted sketch shows up as a row-level hash mismatch

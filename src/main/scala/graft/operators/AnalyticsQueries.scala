@@ -299,6 +299,42 @@ object AnalyticsQueries {
         .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
     }),
 
+    // Q14 shape: promoted-part revenue share for one ship-month. The
+    // month filter pushes to the lineitem scan, the 2-column part dim
+    // broadcasts, and both sums run in exact decimal with ONE double
+    // division at the end — the conditional-aggregate-over-join shape.
+    "tpch_q14" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)).cast("double").as("promo_rev"),
+          sum(rev).cast("double").as("total_rev"))
+        .select(round(lit(100.0) * col("promo_rev") / col("total_rev"), 6)
+          .as("promo_revenue"))),
+
+    // Q19 shape: disjunctive bracket predicates (brand × size × quantity
+    // bands OR-ed together) over the lineitem⋈part join. Catalyst
+    // extracts the common l_partkey join key and the shared p_size/
+    // l_quantity bounds; the part dim broadcasts, so the brackets
+    // evaluate stream-side in one codegen stage — no union-of-scans.
+    "tpch_q19" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 40)))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
     // Triangle count + global clustering coefficient over the
     // co-purchase graph. Each undirected edge is oriented at its
     // (degree, id)-larger endpoint, so every triangle is counted
@@ -429,6 +465,31 @@ object AnalyticsQueries {
         |    AND nc.n_name IN ('NATION_7', 'NATION_19')
         |    AND ns.n_name <> nc.n_name)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tpch_q14" ->
+      """SELECT round(100.0 *
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "tpch_q19" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     "tpch_q16" ->
       """SELECT p_brand, p_type, p_size,

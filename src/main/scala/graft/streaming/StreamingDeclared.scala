@@ -194,6 +194,18 @@ object StreamingDeclared {
   )
 
   val oracle: Map[String, String] = Map(
+    // single staged file ⇒ exactly one AvailableNow microbatch ⇒ the
+    // update-mode stateful count emits one final row per user — the
+    // same determinism stream_tumbling already relies on; incremental
+    // multi-batch emission stays spec-tested via MemoryStream
+    "stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_stateful_tws" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // multi-batch complete-mode state converges to the same batch agg
     "stream_tumbling_2batch" ->
       """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,

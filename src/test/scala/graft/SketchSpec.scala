@@ -13,10 +13,8 @@ class SketchSpec extends AnyFunSuite {
 
   test("sketch_hll_merge estimate is within the sketch error band of exact") {
     val r = SparkEntry.queries("sketch_hll_merge")(spark, sf).head()
-    val est = r.getAs[Long]("merged_est")
-    val exact = r.getAs[Long]("exact_parts")
     assert(r.getAs[Boolean]("bound_ok"),
-      s"merged estimate $est outside 5% of exact $exact")
+      s"merged estimate outside 5% of exact ${r.getAs[Long]("exact_parts")}")
   }
 
   test("union of disjoint-half sketches estimates the global cardinality") {
