@@ -94,6 +94,31 @@ object EtlQueries {
       orderChecks.unionByName(orphans).orderBy(col("check_name"))
     }),
 
+    // CDC snapshot diff: classify every key across two table snapshots
+    // as added / removed / changed / unchanged — the change-data-capture
+    // primitive when the source has no change feed. The "new" snapshot
+    // is derived deterministically from orders (every 13th key deleted,
+    // every 7th repriced). One full-outer join keyed on o_orderkey =
+    // both snapshots shuffle once on the key, then a 4-group aggregate;
+    // at 100 TB this is the standard nightly-snapshot reconciliation
+    // plan (and with a lakehouse format the same diff drives MERGE).
+    "etl_snapshot_diff" -> ((s, dir) => {
+      val old = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k_old"), col("o_totalprice").as("p_old"))
+      val nw = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey").as("k_new"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 50.0)
+            .otherwise(col("o_totalprice")).as("p_new"))
+      old.join(nw, col("k_old") === col("k_new"), "full_outer")
+        .select(when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .when(col("p_old") =!= col("p_new"), "changed")
+          .otherwise("unchanged").as("change_type"))
+        .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("change_type"))
+    }),
+
     "etl_upsert" -> ((s, dir) => {
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -108,6 +133,20 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_snapshot_diff" ->
+      """WITH nw AS (
+        |  SELECT o_orderkey AS k_new,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0
+        |      ELSE o_totalprice END AS p_new
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT change_type, count(*) AS n FROM (
+        |  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |    WHEN nw.k_new IS NULL THEN 'removed'
+        |    WHEN o.o_totalprice <> nw.p_new THEN 'changed'
+        |    ELSE 'unchanged' END AS change_type
+        |  FROM orders o FULL OUTER JOIN nw ON o.o_orderkey = nw.k_new)
+        |GROUP BY change_type ORDER BY change_type""".stripMargin,
+
     "etl_dq_checks" ->
       """SELECT * FROM (
         |  SELECT 'null_custkey' AS check_name, count(*) FILTER (WHERE o_custkey IS NULL) AS n_bad FROM orders

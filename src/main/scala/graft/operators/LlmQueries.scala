@@ -333,6 +333,31 @@ object LlmQueries {
           round(col("top_n").cast("double") / col("total_tokens"), 6).as("top100_share"))
     }),
 
+    // CCNet-style unigram LM quality score: per-doc mean log-probability
+    // of its tokens under the corpus unigram distribution — low scores
+    // flag rare-token noise, high scores flag boilerplate; the classic
+    // cheap perplexity proxy for training-data filtering. The unigram
+    // model (token → count) is vocabulary-bounded, so at scale it
+    // broadcasts against the exploded doc side (no doc-sized shuffle for
+    // the join); the only row-sized shuffle is the per-doc aggregate.
+    // Per-term logs round to 9dp before the sum (the text_entropy /
+    // doc_bm25 cross-engine determinism discipline).
+    "text_unigram_logprob" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .filter(col("tok") =!= "")
+      val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("total"))
+      tok.join(broadcast(counts), "tok")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(round(log(col("c").cast("double") / col("total")), 9)).as("lp"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("lp") / col("n_tokens"), 6).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-doc token Shannon entropy — the information-density quality
     // signal (low entropy = repetitive/templated text; pairs with
     // text_repetition's n-gram view). Uses H = ln(n) − Σ c·ln(c) / n so
@@ -673,6 +698,19 @@ object LlmQueries {
         |  SELECT component_id, count(*) AS cluster_size
         |  FROM comp GROUP BY component_id)
         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(round(ln(CAST(c AS DOUBLE) / total), 9)) / count(*), 6)
+        |    AS avg_logprob
+        |FROM tok JOIN counts USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_entropy" ->
       """WITH tc AS (
