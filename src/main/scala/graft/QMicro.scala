@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Micro-bench: decompose dedup_ngram stage costs. runMain graft.QMicro */
+/** Micro-bench scratchpad: decompose the stage costs of whichever query
+  * is currently under the knife. runMain graft.QMicro
+  */
 object QMicro {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,19 +23,24 @@ object QMicro {
     }
     val docs = Tables.documents(spark, sfDir)
     for (rep <- 1 to 2) {
-      time(s"rep$rep shingleSets") {
-        graft.api.DedupOps.shingleSets(docs, "doc_id", "text", 2).count()
+      time(s"rep$rep pairs45") {
+        graft.api.DedupOps.nearJaccardPairs(docs, "doc_id", "text").count()
       }
-      val sets = graft.api.DedupOps.shingleSets(docs, "doc_id", "text", 2)
-      time(s"rep$rep full-pairs") {
-        graft.api.DedupOps.nearJaccardPairsOnSets(sets, 3, 5).count()
+      time(s"rep$rep pairs910") {
+        graft.api.DedupOps.nearJaccardPairs(docs, "doc_id", "text", 9, 10).count()
       }
-      // pre-materialized sets: isolates the pair-join cost
-      val dir = s"${System.getProperty("java.io.tmpdir")}/qmicro_sets"
-      sets.write.mode("overwrite").parquet(dir)
-      val cached = spark.read.parquet(dir)
-      time(s"rep$rep pairs-on-parquet-sets") {
-        graft.api.DedupOps.nearJaccardPairsOnSets(cached, 3, 5).count()
+      time(s"rep$rep cc-pairs45") {
+        graft.api.DedupOps.connectedComponents(
+          graft.api.DedupOps.nearJaccardPairs(docs, "doc_id", "text")
+            .select(col("id_a"), col("id_b"))).count()
+      }
+      time(s"rep$rep pipeline-default") {
+        graft.api.DedupOps.nearDupPipeline(docs, "doc_id", "text").count()
+      }
+      time(s"rep$rep logstar-pipeline") {
+        graft.api.DedupOps.connectedComponentsLogStar(
+          graft.api.DedupOps.nearDupPipeline(docs, "doc_id", "text")
+            .select(col("id_a"), col("id_b"))).count()
       }
     }
     spark.stop()

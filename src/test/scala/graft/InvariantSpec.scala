@@ -74,11 +74,9 @@ class InvariantSpec extends AnyFunSuite {
       (4L, "stream window state shuffle partition"), // exact dup of 3
       (5L, "completely different tokens here now")
     ).toDF("doc_id", "text")
-    docs.createOrReplaceTempView("minhash_docs")
-    // run the same pipeline as dedup_minhash on the crafted frame
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_test"
-    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val pairs = SparkEntry.queries("dedup_minhash")(spark, tmp)
+    // the same candidate generator the declared dedup_minhash report
+    // grades in-band, driven directly on the crafted frame
+    val pairs = graft.api.DedupOps.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), s"missing (1,2) in $pairs")
     assert(pairs.contains((3L, 4L)), s"missing (3,4) in $pairs")
