@@ -335,6 +335,305 @@ object AnalyticsQueries {
         .agg(sum(rev).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))),
 
+    // Q4 shape: order-priority checking. The harness lineitem has no
+    // commit/receipt dates, so "late" = a lineitem shipped after its
+    // order date. Quarter filter pushes to the orders scan; the EXISTS
+    // is a LEFT SEMI with the ship-after-order predicate riding on the
+    // equi-key — one keyed shuffle, no pair scan.
+    "tpch_q4" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Q8 shape: national market share — NATION_3's slice of AMERICA's
+    // STANDARD-part revenue by order year. Customer-region semi-join
+    // restricts the market; the supplier-nation dim broadcasts and the
+    // share is one conditional aggregate over the backbone join.
+    "tpch_q8" -> ((s, dir) => {
+      val custAm = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .select(col("c_custkey"))
+      val suppN = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(custAm), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", rev)).cast("double").as("nation_rev"),
+          sum(rev).cast("double").as("total_rev"))
+        .select(col("o_year"),
+          round(coalesce(col("nation_rev"), lit(0.0)) / col("total_rev"), 6)
+            .as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q9 shape: product-type profit by supplier nation and year. No
+    // partsupp supply cost in the harness, so cost = 10% of the part's
+    // retail price per unit — profit stays an exact-decimal expression
+    // (one double cast at the end). The 'red' name filter prunes the
+    // part dim before its broadcast.
+    "tpch_q9" -> ((s, dir) => {
+      val costRate = lit(0.1).cast("decimal(3,2)")
+      val amount = rev - Tables.dec2(col("p_retailprice")) *
+        Tables.dec2(col("l_quantity")) * costRate
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("n_name"), desc("o_year"))
+    }),
+
+    // Q11 shape: important stock. Without partsupp, a part's "stock
+    // value" for NATION_7 suppliers = the extended price they ever
+    // shipped of it; keep parts worth more than twice the average part
+    // (scale-free, unlike the classic's fixed 0.0001 fraction which
+    // empties at 10× parts). The threshold compares decimal sums
+    // multiplied through (value·nparts > total·2) — no double division
+    // anywhere near the predicate.
+    "tpch_q11" -> ((s, dir) => {
+      val n7 = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_7")
+        .select(col("s_suppkey"))
+      val valued = Tables.lineitem(s, dir)
+        .join(broadcast(n7), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(Tables.dec2(col("l_extendedprice"))).as("value_d"))
+      val total = valued.agg(sum(col("value_d")).as("total_d"),
+        count(lit(1)).as("nparts"))
+      valued.crossJoin(broadcast(total))
+        .filter(col("value_d") * col("nparts") > col("total_d") * 2)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("value_d").cast("double").as("value"))
+        .orderBy(desc("value"), col("ps_partkey"))
+    }),
+
+    // Q12 shape: shipping-priority split. No l_shipmode column, so the
+    // report groups by l_linestatus; the CASE-sum counts urgent/high
+    // orders against the rest — the classic conditional-aggregate pair
+    // over the lineitem⋈orders backbone, year filter pushed to the scan.
+    "tpch_q12" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // Q13 shape: customer order-count distribution — the left-outer +
+    // double-aggregate classic (customers with zero orders must appear
+    // in the c_count=0 bucket). The priority filter stands in for the
+    // classic comment-pattern exclusion.
+    "tpch_q13" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))),
+
+    // Q15 shape: top supplier(s) of a quarter. Revenue stays decimal
+    // through the max-equality join-back (bit-exact at any parallelism);
+    // the classic view+scalar-subquery is a 1-row broadcast.
+    "tpch_q15" -> ((s, dir) => {
+      val revBySupp = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(rev).as("total_rev_d"))
+      val maxRev = revBySupp.agg(max(col("total_rev_d")).as("max_rev_d"))
+      revBySupp.crossJoin(broadcast(maxRev))
+        .filter(col("total_rev_d") === col("max_rev_d"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev_d").cast("double").as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q17 shape: small-quantity-order revenue for one brand. The
+    // correlated per-part average becomes a per-part aggregate joined
+    // back on its own grouping key; the threshold compares multiplied-
+    // through decimals (5·qty·cnt < sum_qty ⇔ qty < 0.2·avg) so no
+    // engine ever divides.
+    "tpch_q17" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val stats = li.groupBy(col("l_partkey").as("ap"))
+        .agg(sum(Tables.dec2(col("l_quantity"))).as("sq"), count(lit(1)).as("cq"))
+      li.join(stats, col("l_partkey") === col("ap"))
+        .filter(Tables.dec2(col("l_quantity")) * col("cq") * 5 < col("sq"))
+        .agg(round(sum(Tables.dec2(col("l_extendedprice"))).cast("double") / 7.0, 6)
+          .as("avg_yearly"))
+    }),
+
+    // Q20 shape: potential part promotion. availqty proxy = total
+    // quantity a (supplier, part) ever shipped; a supplier qualifies
+    // when that exceeds half the part's 1996 shipments (2·avail > q96,
+    // decimals multiplied through). Two semi-join hops — (supp,part)
+    // agg → qualifying suppliers → NATION_11 roster — never a fact join
+    // back to fact.
+    "tpch_q20" -> ((s, dir) => {
+      val bolts = Tables.part(s, dir).filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"))
+      val avail = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(Tables.dec2(col("l_quantity"))).as("avail_d"))
+      val q96 = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey").as("pk96"))
+        .agg(sum(Tables.dec2(col("l_quantity"))).as("q96_d"))
+      val qualifying = avail
+        .join(broadcast(bolts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(q96, col("l_partkey") === col("pk96"))
+        .filter(col("avail_d") * 2 > col("q96_d"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_11")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"))
+    }),
+
+    // Q21 shape: suppliers who kept waiting — the EXISTS/NOT-EXISTS
+    // double over a self-related fact. "Late" = a returned lineitem
+    // (no receipt/commit dates in the harness). Distinct (order,
+    // supplier) pairs first, then one semi (another supplier shipped
+    // the order) and one anti (no OTHER supplier was late) on the same
+    // order key.
+    "tpch_q21" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val latePairs = pairs.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val allPairs = pairs.select(col("l_orderkey").as("ok2"),
+        col("l_suppkey").as("sk2")).distinct()
+      val lateOthers = latePairs.select(col("l_orderkey").as("ok3"),
+        col("l_suppkey").as("sk3"))
+      latePairs
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(allPairs, col("l_orderkey") === col("ok2") &&
+          col("sk2") =!= col("l_suppkey"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("ok3") &&
+          col("sk3") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .filter(col("n_name") === "NATION_13")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(100)
+    }),
+
+    // Q22 shape: global sales opportunity. Country code = c_custkey % 7
+    // (no phone column); rich LAPSED customers = positive-balance
+    // average compared multiplied-through (bal·cnt > sum — zero
+    // divisions), then an anti-join against recent orders (every
+    // customer in this corpus has ordered at least once, so "no orders
+    // since 1999" is the idle predicate). The 1-row average broadcasts;
+    // the date filter pushes to the orders scan before the anti-join.
+    "tpch_q22" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), (col("c_custkey") % 7).as("cntrycode"),
+          col("c_acctbal"))
+        .filter(col("cntrycode").isin(1, 3, 5))
+      val posAvg = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(Tables.dec2(col("c_acctbal"))).as("sbal"), count(lit(1)).as("cbal"))
+      cust.crossJoin(broadcast(posAvg))
+        .filter(Tables.dec2(col("c_acctbal")) * col("cbal") > col("sbal"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(Tables.dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    }),
+
+    // Ordered 3-step funnel (view → click → purchase) over the events
+    // stream: each step's entry time is the user's first qualifying
+    // event AT OR AFTER the previous step — the product-analytics
+    // funnel, not a bag-of-events count. Every hop is keyed on user_id,
+    // so the three aggregates reuse one hash partitioning; step counts
+    // and conversion ratios fold to a single broadcast-joined row.
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          round(col("n_click").cast("double") / col("n_view"), 6).as("view_to_click"),
+          round(col("n_purchase").cast("double") / col("n_click"), 6).as("click_to_purchase"))
+    }),
+
+    // Weekly cohort retention over the events stream: cohort = the week
+    // of a user's first event, cell (cohort, offset) = distinct users
+    // active offset weeks later. Week indices are PURE integer day
+    // arithmetic from a fixed epoch — no date_trunc('week') whose
+    // Monday/Sunday semantics could differ between engines. Two keyed
+    // shuffles total (first-event agg, cell distinct+agg).
+    "events_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      ev.join(first, "user_id")
+        .select(
+          floor(datediff(col("d0"), lit("2024-01-01").cast("date")) / 7).cast("int")
+            .as("cohort_week"),
+          floor(datediff(col("d"), col("d0")) / 7).cast("int").as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Triangle count + global clustering coefficient over the
     // co-purchase graph. Each undirected edge is oriented at its
     // (degree, id)-larger endpoint, so every triangle is counted
@@ -423,6 +722,207 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND ts >= t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1)
+        |SELECT
+        |  (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase,
+        |  round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+        |    / (SELECT count(*) FROM v), 6) AS view_to_click,
+        |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |    / (SELECT count(*) FROM c), 6) AS click_to_purchase""".stripMargin,
+
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY 1),
+        |x AS (SELECT DISTINCT
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', d0) / 7.0) AS INT)
+        |      AS cohort_week,
+        |    CAST(floor(date_diff('day', d0, d) / 7.0) AS INT) AS week_offset,
+        |    e.user_id
+        |  FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(coalesce(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE), 0.0) /
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'AMERICA')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q9" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(4,2))) -
+        |    CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(3,2)))
+        |    AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_d
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_7')
+        |  GROUP BY l_partkey),
+        |t AS (SELECT sum(value_d) AS total_d, count(*) AS nparts FROM v)
+        |SELECT l_partkey AS ps_partkey, CAST(value_d AS DOUBLE) AS value
+        |FROM v CROSS JOIN t
+        |WHERE value_d * nparts > total_d * 2
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "tpch_q12" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q15" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev_d AS DOUBLE) AS total_rev
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_d = (SELECT max(total_rev_d) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |st AS (
+        |  SELECT l_partkey AS ap,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    count(*) AS cq
+        |  FROM li GROUP BY l_partkey)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  / 7.0, 6) AS avg_yearly
+        |FROM li JOIN st ON l_partkey = ap
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * cq * 5 < sq""".stripMargin,
+
+    "tpch_q20" ->
+      """WITH avail AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS avail_d
+        |  FROM lineitem GROUP BY 1, 2),
+        |q96 AS (
+        |  SELECT l_partkey AS pk96,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS q96_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |q AS (
+        |  SELECT DISTINCT l_suppkey FROM avail
+        |  JOIN q96 ON l_partkey = pk96
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        |    AND avail_d * 2 > q96_d)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_11'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM q)
+        |ORDER BY s_name""".stripMargin,
+
+    "tpch_q21" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |ap AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT s_name, count(*) AS numwait
+        |FROM lp
+        |JOIN supplier ON lp.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_13'
+        |  AND lp.l_orderkey IN (
+        |    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM ap
+        |    WHERE ap.l_orderkey = lp.l_orderkey AND ap.l_suppkey <> lp.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lp lp2
+        |    WHERE lp2.l_orderkey = lp.l_orderkey AND lp2.l_suppkey <> lp.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_custkey % 7 AS cntrycode, c_acctbal
+        |  FROM customer WHERE c_custkey % 7 IN (1, 3, 5)),
+        |p AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sbal, count(*) AS cbal
+        |  FROM cust WHERE c_acctbal > 0)
+        |SELECT cntrycode, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cust CROSS JOIN p
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cbal > sbal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
 
     "tpch_q2" ->
       """WITH europe AS (

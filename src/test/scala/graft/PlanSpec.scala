@@ -121,6 +121,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bit_count"), s"Hamming verify must be bit_count(xor):\n$p")
   }
 
+  test("tpch_q4's EXISTS is a keyed semi join, never a pair scan") {
+    val p = plan("tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch_q21 runs the EXISTS/NOT-EXISTS double as one semi + one anti join") {
+    val p = plan("tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q17 and tpch_q22 broadcast their 1-row aggregate thresholds") {
+    for (q <- Seq("tpch_q17", "tpch_q22")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q must broadcast the scalar threshold:\n$p")
+    }
+  }
+
   test("sessionize_batch shares one keyed exchange across windows and agg") {
     val p = plan("sessionize_batch")
     val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
