@@ -634,6 +634,50 @@ object AnalyticsQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // Event-type transition matrix (the product-analytics "path sankey"
+    // input): count consecutive (prev → next) event-type pairs per user
+    // in time order, plus each pair's share of all transitions. One
+    // user-keyed window shuffle; the transition agg is bounded by
+    // |event_type|² rows and the 1-row total broadcasts.
+    "events_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val total = trans.agg(sum(col("n_trans")).as("n_total"))
+      trans.crossJoin(broadcast(total))
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          round(col("n_trans").cast("double") / col("n_total"), 6).as("share"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Error-burst detection: users with >= 3 error events inside a
+    // 12-hour sliding span (errors in this corpus average ~13 per user
+    // per MONTH, so minute-scale spans never fire; 12 h yields bursts
+    // at every sf) — the MATCH_RECOGNIZE-ish sequence scan expressed as
+    // lag(2) over the per-user error stream (a burst of 3 ⇔ the error
+    // two back is within the span). Timestamps emitted as epoch
+    // seconds, same precision discipline as sessionize_batch.
+    "events_error_burst" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("ts2back", lag(col("ts"), 2).over(w))
+        .filter(col("ts2back").isNotNull &&
+          col("ts") <= col("ts2back") + expr("INTERVAL 12 HOURS"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_bursts"),
+          unix_timestamp(min(col("ts"))).as("first_burst_s"),
+          unix_timestamp(max(col("ts"))).as("last_burst_s"))
+        .orderBy(col("user_id"))
+    }),
+
     // Triangle count + global clustering coefficient over the
     // co-purchase graph. Each undirected edge is oriented at its
     // (degree, id)-larger endpoint, so every triangle is counted
@@ -755,6 +799,34 @@ object AnalyticsQueries {
         |  FROM e JOIN f ON e.user_id = f.user_id)
         |SELECT cohort_week, week_offset, count(*) AS n_users
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n_trans
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT sum(n_trans) AS n_total FROM c)
+        |SELECT from_type, to_type, n_trans,
+        |  round(CAST(n_trans AS DOUBLE) / n_total, 6) AS share
+        |FROM c CROSS JOIN tot
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "events_error_burst" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS ts2back
+        |  FROM events WHERE event_type = 'error')
+        |SELECT user_id, count(*) AS n_bursts,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS first_burst_s,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_burst_s
+        |FROM e
+        |WHERE ts2back IS NOT NULL AND ts <= ts2back + INTERVAL 12 HOUR
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
