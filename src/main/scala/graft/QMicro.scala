@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Micro-bench scratchpad: decompose the stage costs of whichever query
   * is currently under the knife. runMain graft.QMicro
+  *
+  * Current target: TopKPerKeyExec (bounded heap, map-side partial)
+  * vs the stock Exchange→Sort→Window→Filter rank-filter plan, on a
+  * synthetic fact table big enough that shuffle volume dominates.
   */
 object QMicro {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,27 +24,24 @@ object QMicro {
       val c = thunk
       println(f"[qmicro] $label rows=$c t=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val docs = Tables.documents(spark, sfDir)
+    // 20M WIDE rows (~300B payload), 1k keys, top-3 per key — the
+    // "top-k documents per key" shape where the stock plan's per-key
+    // Sort moves whole records and the bounded heap only copies k·keys
+    def fact(s: SparkSession) = s.range(20000000L)
+      .select((col("id") % 1000).as("k"),
+        col("id").as("row_id"),
+        (xxhash64(col("id")) % 1000000).cast("double").as("v"),
+        repeat(concat(lit("payload-"), col("id").cast("string")), 15).as("doc"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(desc("v"), col("row_id"))
+    def query(s: SparkSession) = fact(s)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
     for (rep <- 1 to 2) {
-      time(s"rep$rep pairs45") {
-        graft.api.DedupOps.nearJaccardPairs(docs, "doc_id", "text").count()
-      }
-      time(s"rep$rep pairs910") {
-        graft.api.DedupOps.nearJaccardPairs(docs, "doc_id", "text", 9, 10).count()
-      }
-      time(s"rep$rep cc-pairs45") {
-        graft.api.DedupOps.connectedComponents(
-          graft.api.DedupOps.nearJaccardPairs(docs, "doc_id", "text")
-            .select(col("id_a"), col("id_b"))).count()
-      }
-      time(s"rep$rep pipeline-default") {
-        graft.api.DedupOps.nearDupPipeline(docs, "doc_id", "text").count()
-      }
-      time(s"rep$rep logstar-pipeline") {
-        graft.api.DedupOps.connectedComponentsLogStar(
-          graft.api.DedupOps.nearDupPipeline(docs, "doc_id", "text")
-            .select(col("id_a"), col("id_b"))).count()
-      }
+      time(s"rep$rep window-sort-filter") { query(spark).count() }
+      val cs = spark.newSession()
+      graft.plans.TopKPerKey.install(cs)
+      time(s"rep$rep topk-bounded-heap") { query(cs).count() }
     }
     spark.stop()
   }

@@ -57,6 +57,32 @@ object MiscQueries {
         .offset(10).limit(20)
     }),
 
+    // per-key top-k through the custom operator ladder: the query is the
+    // IDIOMATIC rank-filter (row_number over user_id, keep <= 3) — the
+    // injected RewriteRankFilterToTopK rule swaps the Exchange→Sort→
+    // Window→Filter plan for the two-phase bounded-heap
+    // TopKPerKeyExec (map-side partial before the shuffle, rank-emitting
+    // final after), so the exchange moves <= 3·|users per partition| rows
+    // instead of every event. PlanSpec pins the physical shape; the
+    // oracle is the plain SQL rank filter. (value DESC, event_id) is a
+    // total order, so ranks are engine-stable.
+    "topk_per_key" -> ((s, dir) => {
+      // child session (own ExperimentalMethods — newSession does NOT
+      // inherit them) so the rank-filter rewrite is scoped to THIS
+      // query and cannot retarget other declared queries' window plans
+      // mid-Verify; same scoping discipline as StatsQueries.cboSession
+      val cs = s.newSession()
+      graft.plans.TopKPerKey.install(cs)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("value"), col("event_id"))
+      Tables.events(cs, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("user_id"), col("rnk"))
+    }),
+
     "fn_na" -> ((s, dir) => {
       // manufacture nulls (base data has none), then exercise na.fill +
       // na.drop + coalesce-style repair
@@ -189,6 +215,14 @@ object MiscQueries {
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "topk_per_key" ->
+      """SELECT user_id, event_id, value, rnk FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
 
     "sample_hash" ->
       """SELECT CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'

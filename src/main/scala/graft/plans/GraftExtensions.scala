@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children.head, children(1))
       }))
     e.injectOptimizerRule(_ => RewriteZipWithDot)
+    // per-key top-k: rank-filter rewrite + bounded-heap physical operator
+    // (see TopKPerKey.scala) — the full logical/rule/strategy/exec ladder
+    e.injectOptimizerRule(_ => RewriteRankFilterToTopK)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
 

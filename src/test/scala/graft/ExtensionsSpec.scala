@@ -53,4 +53,33 @@ class ExtensionsSpec extends AnyFunSuite {
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("dotproduct"), optimized)
   }
+
+  test("extensions session rewrites rank filters into TopKPerKey and matches the Window result") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(desc("value"), col("event_id"))
+    def build(s: SparkSession) = Tables.events(s, SparkFixture.sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+    val rewritten = build(extSpark)
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("GraftTopKPerKey"),
+      rewritten.queryExecution.optimizedPlan.toString)
+    val viaTopK = rewritten.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaWindow = build(SparkFixture.spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaTopK == viaWindow,
+      s"bounded-heap result diverges from Window: ${viaTopK.diff(viaWindow).take(3)} / ${viaWindow.diff(viaTopK).take(3)}")
+  }
+
+  test("rank-filter rewrite leaves rank() (non-row_number) windows untouched") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(desc("value"), col("event_id"))
+    val df = Tables.events(extSpark, SparkFixture.sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("GraftTopKPerKey"),
+      df.queryExecution.optimizedPlan.toString)
+  }
 }

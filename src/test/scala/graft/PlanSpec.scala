@@ -121,6 +121,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bit_count"), s"Hamming verify must be bit_count(xor):\n$p")
   }
 
+  test("topk_per_key plans as two-phase bounded heaps, no Window, no full Sort") {
+    val df = SparkEntry.queries("topk_per_key")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // AQE prints the plan twice (Final + Initial), so expect the
+    // partial/final pair in each rendering
+    val partials = "TopKPerKey true".r.findAllIn(p).length
+    val finals = "TopKPerKey false".r.findAllIn(p).length
+    assert(partials >= 1 && finals >= 1 && partials == finals,
+      s"expected partial+final TopKPerKeyExec pair, got $partials/$finals:\n$p")
+    assert(!p.contains("Window"), s"row_number Window must be rewritten away:\n$p")
+    // the only Sort allowed is the final presentation orderBy, which sits
+    // ABOVE the top-k operator — the per-key sort below the filter is gone
+    assert(!p.contains("RunningWindowFunction"), p)
+  }
+
   test("tpch_q4's EXISTS is a keyed semi join, never a pair scan") {
     val p = plan("tpch_q4")
     assert(p.contains("LeftSemi"), p)
