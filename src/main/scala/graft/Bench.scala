@@ -49,8 +49,21 @@ object Bench {
         stallRetries += 1
         System.err.println(f"[bench] ${System.currentTimeMillis} $name%-28s $d1%8.2f s (first run, re-timing)")
         val d2 = timeOnce()
-        rawPairs(name) = (d1, d2)
-        if (d2 >= 0) math.min(d1, d2) else d1
+        var best = if (d2 >= 0) math.min(d1, d2) else d1
+        var last = d2
+        // third attempt ONLY while the retry is still converging (each
+        // run ≥30% faster than the last) and the best is still over the
+        // threshold — a steady-slow query stops after one retry (second
+        // run ≈ first), a steal-stalled one keeps shedding the freeze.
+        // Measured on the 201 s noisy-host run: 16 retried queries, of
+        // which the still-improving ones were pure steal.
+        if (d2 >= 0 && d2 < d1 * 0.7 && best > 3.0) {
+          System.err.println(f"[bench] ${System.currentTimeMillis} $name%-28s $d2%8.2f s (still converging, re-timing)")
+          val d3 = timeOnce()
+          if (d3 >= 0) { best = math.min(best, d3); last = d3 }
+        }
+        rawPairs(name) = (d1, last)
+        best
       } else d1
       // drop persisted frames between queries: intra-query cache() reuse
       // (dedup self-joins) still works, but cached plans must not pile up
