@@ -678,6 +678,52 @@ object AnalyticsQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Per-user activity anomalies: days whose event count sits >= 1.5
+    // sample standard deviations from that user's own daily mean. The
+    // raw series reduces to O(user x day) rows in the first aggregate;
+    // the per-user baseline is a window over that reduced frame (the
+    // user partitioning is a subset of the (user, day) grouping, so the
+    // second exchange moves only the day-count rows, never raw events).
+    // Round discipline: baseline terms rounded to 9dp before the score,
+    // score to 6 — stddev accumulation order can differ by an ulp
+    // between engines, the pre-round makes the division identical.
+    "events_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+      val scored = daily
+        .withColumn("mean_n", round(avg(col("n")).over(w), 9))
+        .withColumn("sd_n", round(stddev_samp(col("n")).over(w), 9))
+        .withColumn("n_days", count(lit(1)).over(w))
+      scored
+        .filter(col("n_days") >= 5 && col("sd_n") > 0)
+        .withColumn("z", round((col("n") - col("mean_n")) / col("sd_n"), 6))
+        .filter(abs(col("z")) >= 1.5)
+        .select(col("user_id"), col("day"), col("n"), col("z"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Top user journeys: the 10 most common consecutive 3-step
+    // event-type sequences (path mining / sankey input). One user-keyed
+    // window shuffle over a 3-column projection; the path aggregate is
+    // bounded by |event_type|³ rows and the top-10 is a
+    // TakeOrderedAndProject with a total tiebreak, not a global sort.
+    "events_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("t2").as("s2"), col("t3").as("s3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("s1"), col("s2"), col("s3"))
+        .limit(10)
+    }),
+
     // Triangle count + global clustering coefficient over the
     // co-purchase graph. Each undirected edge is oriented at its
     // (degree, id)-larger endpoint, so every triangle is counted
@@ -827,6 +873,35 @@ object AnalyticsQueries {
         |FROM e
         |WHERE ts2back IS NOT NULL AND ts <= ts2back + INTERVAL 12 HOUR
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT user_id, day, n,
+        |    round(avg(n) OVER u, 9) AS mean_n,
+        |    round(stddev_samp(n) OVER u, 9) AS sd_n,
+        |    count(*) OVER u AS n_days
+        |  FROM daily
+        |  WINDOW u AS (PARTITION BY user_id))
+        |SELECT user_id, day, n, round((n - mean_n) / sd_n, 6) AS z
+        |FROM scored
+        |WHERE n_days >= 5 AND sd_n > 0
+        |  AND abs(round((n - mean_n) / sd_n, 6)) >= 1.5
+        |ORDER BY user_id, day""".stripMargin,
+
+    "events_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s1, s2, s3, count(*) AS n_paths
+        |FROM seq WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, s1, s2, s3 LIMIT 10""".stripMargin,
 
     "tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count

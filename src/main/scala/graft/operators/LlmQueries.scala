@@ -193,6 +193,37 @@ object LlmQueries {
           Tables.documents(s, dir), "doc_id", "text", n = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // C4-style block-level dedup: split each doc into NON-overlapping
+    // 8-token blocks (the "line" granularity of corpora without line
+    // structure) and report each doc's duplicated-block fraction — a
+    // block is duplicated iff it occurs in >= 2 distinct docs. Shuffle
+    // is linear in (doc, block) rows; the duplicated-block frame is
+    // filtered to actual cross-doc collisions BEFORE the join back, so
+    // the equality join streams against a small build side. This is the
+    // removal plan: a training pipeline drops the flagged blocks and
+    // keeps the remaining text, never comparing docs pairwise.
+    "dedup_blocks" -> ((s, dir) => {
+      val blocks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, size(toks) div 8 - 1)")).as("b"),
+          col("toks"))
+        .select(col("doc_id"),
+          array_join(expr("slice(toks, b * 8 + 1, 8)"), " ").as("block"))
+      val dup = blocks.groupBy(col("block"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("block"), lit(1).as("is_dup"))
+      blocks.join(dup, Seq("block"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(col("is_dup") === 1, lit(1))).as("n_dup_blocks"))
+        .withColumn("dup_frac",
+          round(col("n_dup_blocks").cast("double") / col("n_blocks"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // word-bigram shingle Jaccard ≥ 3/5 — n-gram variant of dedup_near:
     // shingles preserve local word order, so reordered-token docs that
     // tie on token sets separate here
@@ -699,6 +730,23 @@ object LlmQueries {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_blocks" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks
+        |           FROM documents WHERE len(str_split(text, ' ')) >= 8),
+        |blocks AS (
+        |  SELECT doc_id, array_to_string(toks[(b*8+1):(b*8+8)], ' ') AS block
+        |  FROM d, UNNEST(range(0, len(toks) // 8)) AS t(b)),
+        |dup AS (
+        |  SELECT block FROM blocks GROUP BY 1
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT b.doc_id,
+        |  count(*) AS n_blocks,
+        |  count(CASE WHEN dup.block IS NOT NULL THEN 1 END) AS n_dup_blocks,
+        |  round(CAST(count(CASE WHEN dup.block IS NOT NULL THEN 1 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac
+        |FROM blocks b LEFT JOIN dup ON b.block = dup.block
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_near" ->
       """WITH d AS (

@@ -413,4 +413,79 @@ class ExtraOpsSpec extends AnyFunSuite {
     // shares sum to ~1
     assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-4)
   }
+
+  test("ts_interpolate is row-preserving and every repair sits inside its gap's bounds") {
+    val df = SparkEntry.queries("ts_interpolate")(spark, sf).cache()
+    val ev = Tables.events(spark, sf).cache()
+    assert(df.count() === ev.count(), "interpolation is row-preserving")
+    // observed (non-view) rows keep their own value verbatim
+    val obs = ev.filter(col("event_type") =!= "view")
+      .select(col("event_id"), round(col("value"), 6).as("want"))
+    val kept = df.join(obs, "event_id")
+      .filter(col("interp_v") =!= col("want"))
+    assert(kept.count() === 0, "non-null observations must pass through unchanged")
+    // every interpolated value lies within the user's observed min..max
+    // (a convex combination can never escape the hull of its endpoints)
+    val bounds = ev.filter(col("event_type") =!= "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val escaped = df.filter(col("interp_v").isNotNull).join(bounds, "user_id")
+      .filter(col("interp_v") < round(col("lo"), 6) - 1e-6 ||
+        col("interp_v") > round(col("hi"), 6) + 1e-6)
+    assert(escaped.count() === 0, "interpolations must stay inside the value hull")
+    df.unpersist(); ev.unpersist()
+  }
+
+  test("ts_downsample buckets conserve row mass and order their OHLC values") {
+    val df = SparkEntry.queries("ts_downsample")(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    assert(df.agg(sum(col("n"))).head.getLong(0) === ev.count(),
+      "every event lands in exactly one (user, day) bucket")
+    val bad = df.filter(
+      col("lo") > col("open_v") || col("lo") > col("close_v") ||
+        col("hi") < col("open_v") || col("hi") < col("close_v") ||
+        col("lo") > col("hi"))
+    assert(bad.count() === 0, "lo <= open/close <= hi in every bucket")
+    df.unpersist()
+  }
+
+  test("events_anomaly only flags days beyond 1.5 sample deviations") {
+    val df = SparkEntry.queries("events_anomaly")(spark, sf).cache()
+    assert(df.count() > 0, "the synthetic corpus has bursty days")
+    assert(df.filter(abs(col("z")) < 1.5).count() === 0)
+    // flagged rows must be genuine (user, day) count rows
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_want"))
+    val mismatched = df.join(daily, Seq("user_id", "day"))
+      .filter(col("n") =!= col("n_want"))
+    assert(mismatched.count() === 0)
+    df.unpersist()
+  }
+
+  test("events_paths returns the top-10 trigrams in deterministic order") {
+    val rows = SparkEntry.queries("events_paths")(spark, sf).collect()
+    assert(rows.length === 10)
+    val counts = rows.map(_.getAs[Long]("n_paths"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "counts are non-increasing")
+    assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
+  test("dedup_blocks covers exactly the 8-token-capable docs with fractions in [0,1]") {
+    val df = SparkEntry.queries("dedup_blocks")(spark, sf).cache()
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 8)
+    assert(df.count() === eligible.count())
+    val bad = df.filter(col("n_dup_blocks") > col("n_blocks") ||
+      col("dup_frac") < 0 || col("dup_frac") > 1 || col("n_blocks") <= 0)
+    assert(bad.count() === 0)
+    // block math: each doc has floor(n_tokens / 8) non-overlapping blocks
+    val withWant = eligible
+      .select(col("doc_id"),
+        expr("size(split(text, ' ')) div 8").cast("long").as("want"))
+    val wrong = df.join(withWant, "doc_id").filter(col("n_blocks") =!= col("want"))
+    assert(wrong.count() === 0)
+    df.unpersist()
+  }
 }
