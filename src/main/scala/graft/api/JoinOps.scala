@@ -23,27 +23,58 @@ object JoinOps {
     * `right.ts` break deterministically on the right payload struct.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      rightCols: Seq[String], inclusive: Boolean = true): DataFrame = {
+      rightCols: Seq[String], inclusive: Boolean = true,
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     val leftCols = left.columns.toSeq
     val leftType = org.apache.spark.sql.types.StructType(leftCols.map(c => left.schema(c)))
-    val rightType = org.apache.spark.sql.types.StructType(rightCols.map(c => right.schema(c)))
-    // left rows sort BETWEEN right-at-same-ts depending on inclusivity:
-    // inclusive  -> right (0) before left (1): same-ts rights in frame
-    // strict     -> right (2) after  left (1): same-ts rights fall outside
-    val rightSide = if (inclusive) 0 else 2
+    // the right payload carries its own event time (__rts) so a
+    // tolerance bound can be applied AFTER the single window pass —
+    // still one shuffle, no range-join explosion
+    val rightPayload = struct(
+      (col(tsCol).as("__rts") +: rightCols.map(col)): _*)
+    val rightType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rts", right.schema(tsCol).dataType) +:
+        rightCols.map(c => right.schema(c)))
+    // left rows sort BETWEEN right-at-same-ts depending on inclusivity
+    // and direction. backward picks the last right in the PRECEDING
+    // frame, forward the first right in the FOLLOWING frame:
+    //   backward inclusive -> right (0) before left (1): same-ts in frame
+    //   backward strict    -> right (2) after  left (1): same-ts outside
+    //   forward  inclusive -> right (2) after  left (1): same-ts in frame
+    //   forward  strict    -> right (0) before left (1): same-ts outside
+    val rightSide = if (inclusive == backward) 0 else 2
     val l2 = left.select(col(keyCol).as("__key"), col(tsCol).as("__ts"),
       lit(1).as("__side"), struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(rightType).as("__r"))
     val r2 = right.select(col(keyCol).as("__key"), col(tsCol).as("__ts"),
       lit(rightSide).as("__side"), lit(null).cast(leftType).as("__l"),
-      struct(rightCols.map(col): _*).as("__r"))
-    val w = Window.partitionBy(col("__key"))
+      rightPayload.as("__r"))
+    val base = Window.partitionBy(col("__key"))
       .orderBy(col("__ts"), col("__side"), col("__r"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick =
+      if (backward)
+        last(col("__r"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col("__r"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
     val picked = l2.unionByName(r2)
-      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__asof", pick)
       .filter(col("__side") === 1)
-    picked.select(
+    val bounded = toleranceUs match {
+      case None => picked
+      case Some(tol) =>
+        val gap =
+          if (backward) unix_micros(col("__ts")) - unix_micros(col("__asof.__rts"))
+          else unix_micros(col("__asof.__rts")) - unix_micros(col("__ts"))
+        picked.withColumn("__asof",
+          when(col("__asof").isNotNull && gap <= tol, col("__asof")))
+    }
+    bounded.select(
       leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }

@@ -38,6 +38,34 @@ object EtlQueries {
         .orderBy(col("user_id"))
     }),
 
+    // dynamic partition overwrite — the lakehouse backfill primitive:
+    // re-running one day/priority replaces ONLY the partitions present
+    // in the new batch, leaving every other partition untouched (static
+    // overwrite mode would truncate the whole table). The patch batch
+    // here doubles 1-URGENT totals; the declared output is the
+    // post-overwrite read-back rollup, which proves both the replaced
+    // and the preserved partitions. At 100 TB the write moves only the
+    // patched partition's bytes and readers keep pruning on the same
+    // directory layout.
+    "etl_partition_overwrite" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_rt/etl_part_ovw"
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      base.repartition(col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      val patch = base.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      patch.repartition(col("o_orderpriority"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // upsert/merge without a table format: updates win, everything else
     // survives — updates ∪ (base ⟕anti updates). At scale both sides
     // shuffle once on the key; with a real lakehouse format this becomes
@@ -133,6 +161,13 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "etl_partition_overwrite" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_totalprice * 2 ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "etl_snapshot_diff" ->
       """WITH nw AS (
         |  SELECT o_orderkey AS k_new,

@@ -108,6 +108,22 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Higher-moment statistics: population skewness and excess kurtosis
+    // per group. Spark's skewness/kurtosis are single-pass MERGEABLE
+    // moment aggregates (map-side partials combine by moment addition) —
+    // the 100 TB path; the oracle recomputes them as explicit two-pass
+    // central-moment SQL. 6dp round absorbs accumulation-order ulps.
+    "agg_skew_kurt" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(skewness(col("l_quantity")), 6).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt_qty"),
+          round(skewness(col("l_extendedprice")), 6).as("skew_price"),
+          round(kurtosis(col("l_extendedprice")), 6).as("kurt_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "agg_percentile" -> ((s, dir) => {
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
@@ -415,6 +431,22 @@ object AggQueries {
         |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
         |  round(covar_samp(l_extendedprice, l_quantity), 6) AS cov_pq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_skew_kurt" ->
+      """WITH mu AS (
+        |  SELECT l_returnflag, avg(l_quantity) AS mq, avg(l_extendedprice) AS mp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(avg(pow(l_quantity - mq, 3))
+        |    / pow(avg(pow(l_quantity - mq, 2)), 1.5), 6) AS skew_qty,
+        |  round(avg(pow(l_quantity - mq, 4))
+        |    / pow(avg(pow(l_quantity - mq, 2)), 2) - 3, 6) AS kurt_qty,
+        |  round(avg(pow(l_extendedprice - mp, 3))
+        |    / pow(avg(pow(l_extendedprice - mp, 2)), 1.5), 6) AS skew_price,
+        |  round(avg(pow(l_extendedprice - mp, 4))
+        |    / pow(avg(pow(l_extendedprice - mp, 2)), 2) - 3, 6) AS kurt_price
+        |FROM lineitem l JOIN mu USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_percentile" ->
       """SELECT o_orderstatus,

@@ -103,6 +103,27 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // forward as-of with a tolerance bound (time-to-conversion): each
+    // click picks the user's NEXT purchase, but only within 7 days —
+    // same union + one-keyed-window plan as join_asof (the tolerance is
+    // a post-pick filter on the carried right timestamp, not a range
+    // join), so the 100 TB shape is identical: one shuffle, no
+    // candidate-pair explosion.
+    "join_asof_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      graft.api.JoinOps.asofJoin(clicks, purchases, "user_id", "ts",
+          rightCols = Seq("ts"), inclusive = false, direction = "forward",
+          toleranceUs = Some(7L * 24 * 3600 * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          unix_timestamp(col("asof_ts")).as("next_purchase_s"))
+        .orderBy(col("event_id"))
+    }),
+
     // bucketed range join — the 100 TB plan for join_theta_range's
     // "events within 10 minutes per user" shape. Binning event time into
     // 10-minute buckets and replicating the left side into (bin, bin+1)
@@ -236,6 +257,18 @@ object JoinQueries {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "join_asof_fwd" ->
+      """SELECT c.event_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s,
+        |  CAST(floor(epoch(min(p.ts))) AS BIGINT) AS next_purchase_s
+        |FROM events c
+        |LEFT JOIN events p
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 7 DAY
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id, c.user_id, c.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "join_interval" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate

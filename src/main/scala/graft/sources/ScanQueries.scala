@@ -86,6 +86,25 @@ object ScanQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // text source+sink path (raw-corpus ingest: one line per record, the
+    // format crawl dumps and log shippers actually deliver). Write
+    // tab-framed lines, read them back with spark.read.text, and re-split
+    // — the split is codegen substring arithmetic, not a regex. The
+    // declared output proves the roundtrip is byte-lossless (doc ids and
+    // char counts survive).
+    "src_text_roundtrip" -> ((s, dir) => {
+      val path = tmp("docs_text")
+      Tables.documents(s, dir)
+        .select(concat_ws("\t", col("doc_id"), col("text")))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(
+          substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+          expr("substring(value, instr(value, '\t') + 1)").as("text"))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_rt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // static partition pruning: write hive-partitioned parquet, read back
     // with a literal partition predicate. At 100 TB the filter must never
     // touch non-matching partitions — the scan lists 1 of 5 directories
@@ -170,6 +189,10 @@ object ScanQueries {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "src_text_roundtrip" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "scan_partition_prune" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice

@@ -488,4 +488,60 @@ class ExtraOpsSpec extends AnyFunSuite {
     assert(wrong.count() === 0)
     df.unpersist()
   }
+
+  test("join_asof_fwd picks strictly-future purchases inside the 7-day tolerance") {
+    val df = SparkEntry.queries("join_asof_fwd")(spark, sf).cache()
+    val nClicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(df.count() === nClicks, "forward as-of is left-row-preserving")
+    val matched = df.filter(col("next_purchase_s").isNotNull)
+    assert(matched.count() > 0)
+    val bad = matched.filter(col("next_purchase_s") <= col("ts_s") ||
+      col("next_purchase_s") > col("ts_s") + 7L * 24 * 3600)
+    assert(bad.count() === 0, "every match is in (ts, ts + 7d]")
+    df.unpersist()
+  }
+
+  test("agg_skew_kurt emits finite population moments per return flag") {
+    val rows = SparkEntry.queries("agg_skew_kurt")(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      Seq("skew_qty", "kurt_qty", "skew_price", "kurt_price").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(!v.isNaN && !v.isInfinite, s"$c must be finite")
+      }
+      // population excess kurtosis is bounded below by -2
+      assert(r.getAs[Double]("kurt_qty") >= -2.0)
+      assert(r.getAs[Double]("kurt_price") >= -2.0)
+    }
+  }
+
+  test("etl_partition_overwrite replaces only the patched partition") {
+    val df = SparkEntry.queries("etl_partition_overwrite")(spark, sf).cache()
+    val base = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_want"),
+        sum(Tables.dec2(col("o_totalprice"))).cast("double").as("total_want"))
+    val joined = df.join(base, "o_orderpriority").cache()
+    // row counts survive in every partition (overwrite replaced, not dropped)
+    assert(joined.filter(col("n") =!= col("n_want")).count() === 0)
+    // untouched partitions keep their totals bit-for-bit
+    val drifted = joined.filter(col("o_orderpriority") =!= "1-URGENT" &&
+      col("total") =!= col("total_want"))
+    assert(drifted.count() === 0, "non-patched partitions must be preserved")
+    // the patched partition carries exactly the doubled total
+    val urgent = joined.filter(col("o_orderpriority") === "1-URGENT")
+      .select((col("total") - col("total_want") * 2).as("dz")).head
+    assert(math.abs(urgent.getDouble(0)) < 1e-6)
+    joined.unpersist(); df.unpersist()
+  }
+
+  test("src_text_roundtrip survives every document byte-for-byte in length") {
+    val df = SparkEntry.queries("src_text_roundtrip")(spark, sf)
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_want"))
+    assert(df.join(want, "doc_id").filter(col("n_chars_rt") =!= col("n_want"))
+      .count() === 0)
+    assert(df.count() === Tables.documents(spark, sf).count())
+  }
 }
