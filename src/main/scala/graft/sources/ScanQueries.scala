@@ -36,6 +36,28 @@ object ScanQueries {
       path
     })
 
+  /** Morton (Z-order) code: min-max scale two keys onto an 8-bit grid,
+    * then interleave the bits. The scaling step is what makes Z-order
+    * work on mismatched domains — without it the wider column's high
+    * bits dominate every range split and the narrow column never
+    * clusters (measured: suppkey spans did not shrink at all). Pure
+    * shift/mask arithmetic after scaling — stays inside whole-stage
+    * codegen, no UDF. Production z-order writers (Delta/Iceberg-style)
+    * do the same normalization from table stats.
+    */
+  private[sources] def zval(a: org.apache.spark.sql.Column, aMin: Long, aMax: Long,
+                            b: org.apache.spark.sql.Column, bMin: Long, bMax: Long)
+      : org.apache.spark.sql.Column = {
+    def grid(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      ((c.cast("long") - lit(lo)) * lit(255L) / lit(math.max(hi - lo, 1L))).cast("long")
+    val (ga, gb) = (grid(a, aMin, aMax), grid(b, bMin, bMax))
+    (0 until 8).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(ga, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(gb, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_project" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -152,6 +174,62 @@ object ScanQueries {
         .orderBy(col("n_nationkey"))
     }),
 
+    // XML source+sink path (Spark 4 ships the former spark-xml as a
+    // built-in format). Write one <row> element per customer, read back
+    // with an explicit schema (rowTag streaming parse — each element is
+    // parsed independently, so the read scales out like any text source).
+    // Declared output proves values and string escaping survive.
+    "src_xml_roundtrip" -> ((s, dir) => {
+      val path = tmp("customer_xml")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+        .write.mode("overwrite").format("xml")
+        .option("rootTag", "customers").option("rowTag", "row").save(path)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_mktsegment", StringType)))
+      s.read.schema(schema).option("rowTag", "row").format("xml").load(path)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Z-order clustered sink: interleave the bits of (l_partkey,
+    // l_suppkey) and range-partition + locally sort the write on that
+    // Morton code. Every output file then covers a tight rectangle of
+    // the 2-D key space, so a box predicate on EITHER OR BOTH columns
+    // skips most files/row-groups via parquet min/max stats — the
+    // standard lakehouse layout for multi-column data skipping at
+    // 100 TB, where a single-column sort only helps its own column.
+    // ScanSpec asserts the clustering is real (per-file key spans shrink
+    // vs the unclustered layout) and that both range predicates reach
+    // PushedFilters. Declared output: the box aggregate, by returnflag.
+    "sink_zorder" -> ((s, dir) => {
+      val path = tmp("li_zorder")
+      // key-domain stats for the grid scaling: a 4-long control-plane
+      // lookup (the write-side analog of ANALYZE stats), not data flow
+      val stats = Tables.lineitem(s, dir)
+        .agg(min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+          min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long")).head
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_returnflag"))
+        .withColumn("z", zval(
+          col("l_partkey"), stats.getLong(0), stats.getLong(1),
+          col("l_suppkey"), stats.getLong(2), stats.getLong(3)))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(0, 39) && col("l_suppkey").between(0, 3))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "sink_parquet_partitioned" -> ((s, dir) => {
       val path = tmp("li_part")
       Tables.lineitem(s, dir)
@@ -209,6 +287,18 @@ object ScanQueries {
       """SELECT n_nationkey, n_name,
         |  CASE WHEN n_nationkey % 2 = 1 THEN n_regionkey END AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "src_xml_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "sink_zorder" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  sum(l_orderkey) AS sum_ok
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 0 AND 39 AND l_suppkey BETWEEN 0 AND 3
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "sink_parquet_partitioned" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -536,6 +536,42 @@ class ExtraOpsSpec extends AnyFunSuite {
     joined.unpersist(); df.unpersist()
   }
 
+  test("src_xml_roundtrip preserves every customer row and value") {
+    val df = SparkEntry.queries("src_xml_roundtrip")(spark, sf)
+    val want = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    assert(df.count() === want.count())
+    assert(df.exceptAll(want).count() === 0, "XML roundtrip must be lossless")
+  }
+
+  test("sink_zorder clustering tightens per-file key spans vs the unclustered layout") {
+    // materialize the z-ordered sink (the query itself does the write)
+    SparkEntry.queries("sink_zorder")(spark, sf).collect()
+    val zdir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_rt/li_zorder")
+    val zfiles = zdir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(zfiles.length > 1, "need multiple files for a clustering claim")
+    def spanSum(paths: Seq[String], colName: String): Long =
+      paths.map { p =>
+        val r = spark.read.parquet(p)
+          .agg(min(col(colName)).cast("long"), max(col(colName)).cast("long")).head
+        r.getLong(1) - r.getLong(0)
+      }.sum
+    // unclustered baseline: total span of each file ~= full key domain
+    val dom = Tables.lineitem(spark, sf)
+      .agg((max(col("l_partkey")) - min(col("l_partkey"))).cast("long"),
+        (max(col("l_suppkey")) - min(col("l_suppkey"))).cast("long")).head
+    val (pDom, sDom) = (dom.getLong(0), dom.getLong(1))
+    val n = zfiles.length.toLong
+    // z-clustered files must jointly cover well under n x full-domain
+    // on BOTH interleaved dimensions — that is what makes a 2-D box skip
+    // (an unclustered write would put ~the full domain in every file)
+    assert(spanSum(zfiles.toSeq, "l_partkey") * 10 < n * pDom * 8,
+      "partkey spans must shrink under z-clustering")
+    assert(spanSum(zfiles.toSeq, "l_suppkey") * 10 < n * sDom * 8,
+      "suppkey spans must shrink under z-clustering")
+  }
+
   test("src_text_roundtrip survives every document byte-for-byte in length") {
     val df = SparkEntry.queries("src_text_roundtrip")(spark, sf)
     val want = Tables.documents(spark, sf)

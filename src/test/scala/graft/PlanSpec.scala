@@ -203,6 +203,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("= 1-URGENT"), p)
   }
 
+  test("sink_zorder read-back pushes both box predicates into the parquet scan") {
+    // default metadata truncation (100 chars) cuts PushedFilters mid-list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    val p = try plan("sink_zorder")
+    finally spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    assert(p.contains("GreaterThanOrEqual(l_partkey,0), LessThanOrEqual(l_partkey,39)"),
+      s"partkey range must reach PushedFilters (row-group skipping):\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_suppkey,0), LessThanOrEqual(l_suppkey,3)"),
+      s"suppkey range must reach PushedFilters (row-group skipping):\n$p")
+  }
+
   test("join_dpp plants a dynamic pruning subquery on the fact scan") {
     val p = plan("join_dpp")
     assert(p.contains("dynamicpruning"),
