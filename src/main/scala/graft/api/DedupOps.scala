@@ -114,6 +114,44 @@ object DedupOps {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
+  /** All pairs where the SMALLER token set is ≥ num/den contained in the
+    * other: containment C(A,B) = |A∩B| / min(|A|,|B|). Catches the
+    * quote/subset relationships Jaccard structurally misses — a 50-token
+    * doc fully embedded in a 5000-token doc has C = 1.0 but J ≈ 0.01, so
+    * no Jaccard threshold short of ~0 finds it — which is exactly the
+    * boilerplate/quotation family a training-data pipeline must dedup.
+    *
+    * No size band applies (containment is size-asymmetric BY DESIGN),
+    * so this exact tier is a full ordered-pair scan — the small-scale
+    * baseline, like nearJaccardPairs' exact tier. The 100 TB path is the
+    * same one the Jaccard family uses: LSH-bucket the candidate pairs
+    * first (minhash collisions are likely at high containment too, since
+    * P[minhash match] = J ≥ C·min/max), then verify only candidates with
+    * this predicate; same hashed-sorted-set + codegen-intersect per-pair
+    * cost either way.
+    */
+  def containmentPairs(documents: DataFrame, idCol: String, textCol: String,
+      num: Int = 9, den: Int = 10): DataFrame = {
+    val prepared = documents
+      .select(col(idCol).as("doc_id"),
+        sort_array(array_distinct(transform(
+          array_distinct(split(col(textCol), " ")), t => xxhash64(t)))).as("ids"))
+      .select(col("doc_id"), col("ids"), size(col("ids")).as("n"))
+      .cache()
+    val par = documents.sparkSession.sparkContext.defaultParallelism
+    val a = prepared.repartition(par).select(col("doc_id").as("id_a"),
+      col("ids").as("ids_a"), col("n").as("n_a"))
+    val b = prepared.select(col("doc_id").as("id_b"), col("ids").as("ids_b"),
+      col("n").as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("ids_a"), col("ids_b")))
+      .withColumn("m", least(col("n_a"), col("n_b")))
+      .filter(col("inter") * den >= col("m") * num || noPush)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("m"), 6).as("containment"))
+  }
+
   /** Distinct word n-gram (shingle) sets per document: (`doc_id`,
     * `ts: array<string>`). Documents with fewer than `n` tokens produce
     * no row (they have no shingles). Built with posexplode + lead

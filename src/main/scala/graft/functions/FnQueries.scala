@@ -177,6 +177,29 @@ object FnQueries {
     // binary encoding is columnar-shreddable, so extraction stays in the
     // scan instead of re-parsing JSON strings per query. Missing paths
     // yield NULL (not errors), matching json_extract semantics.
+    // CSV codec pack: to_csv packs a struct into a CSV line, from_csv
+    // parses it back under an explicit schema — the serialize/parse pair
+    // for CSV-shaped message payloads (Kafka values, log lines). The
+    // declared result is the ROUNDTRIP (parse ∘ serialize ≡ identity),
+    // so the oracle is the original columns: any quoting/formatting
+    // asymmetry between the two directions breaks the hash. Projection
+    // only — codegen, no shuffle.
+    "fn_csv" -> ((s, dir) => {
+      val csvSchema = "k INT, name STRING, price DOUBLE"
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          to_csv(struct(col("p_partkey").cast("int").as("k"),
+            col("p_name").as("name"),
+            col("p_retailprice").as("price"))).as("line"))
+        .select(col("p_partkey"),
+          from_csv(col("line"),
+            org.apache.spark.sql.types.StructType.fromDDL(csvSchema),
+            Map.empty[String, String]).as("rec"))
+        .select(col("p_partkey"), col("rec.k").as("k"), col("rec.name").as("name"),
+          round(col("rec.price"), 2).as("price"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "fn_variant" -> ((s, dir) => {
       val v = parse_json(col("props"))
       val nested = parse_json(
@@ -417,6 +440,12 @@ object FnQueries {
         |  CAST(date_part('hour', timezone('America/New_York', CAST(ts AS TIMESTAMPTZ))) AS INT) AS ny_hour,
         |  CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS DATE) AS ny_date
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // roundtrip identity: the oracle is simply the original columns
+    "fn_csv" ->
+      """SELECT p_partkey, CAST(p_partkey AS INT) AS k, p_name AS name,
+        |  round(p_retailprice, 2) AS price
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_variant" ->
       """SELECT event_id,

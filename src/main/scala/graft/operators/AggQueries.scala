@@ -293,6 +293,24 @@ object AggQueries {
     // fixed-width-bucket histogram of order totals: floor division to the
     // bucket lower bound — a single two-phase hash agg, shuffle volume =
     // number of buckets (the scalable way to histogram 100 TB)
+    // equi-DEPTH histogram (quartiles by row count, vs agg_histogram's
+    // equi-width buckets): ntile over a fully-deterministic total order
+    // (price, orderkey) so tie rows land in the same bucket in both
+    // engines. One global sort — the optimizer's range-partitioned
+    // TakeOrdered/Window path, same shape DuckDB uses; per-bucket
+    // min/max/count follow as a bounded (4-row) aggregate.
+    "agg_histogram_eqdepth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("q", ntile(4).over(w))
+        .groupBy(col("q"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("q"))
+    }),
+
     "agg_histogram" -> ((s, dir) => {
       Tables.orders(s, dir)
         .withColumn("bucket_lo",
@@ -316,6 +334,22 @@ object AggQueries {
           expr("min_by(o_orderkey, ord)").as("smallest_order"),
           round(max(col("o_totalprice")), 2).as("max_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // top-k per group through the custom TypedImperativeAggregate
+    // (functions/TopKAgg.scala): bounded min-heap buffer, partials of
+    // exactly k doubles through the map-side combine — contrast with
+    // collect_list+sort, which ships each group's FULL value set through
+    // the shuffle. Result exploded to rows (rank, price) so the
+    // comparator sees scalar cells.
+    "agg_topk_heap" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(graft.functions.TopKDoubles.topK(col("o_totalprice"), 3).as("top3"))
+        .select(col("o_orderstatus"), posexplode(col("top3")).as(Seq("pos", "price")))
+        .select(col("o_orderstatus"), (col("pos") + 1).as("rnk"),
+          round(col("price"), 2).as("price"))
+        .orderBy(col("o_orderstatus"), col("rnk"))
     })
   )
 
@@ -478,6 +512,15 @@ object AggQueries {
         |  CAST(count_if(l_discount = 0.0) AS BIGINT) AS n_no_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "agg_histogram_eqdepth" ->
+      """SELECT q, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM (SELECT o_totalprice,
+        |        ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q
+        |      FROM orders)
+        |GROUP BY q ORDER BY q""".stripMargin,
+
     "agg_histogram" ->
       """SELECT CAST(floor(o_totalprice / 20000) * 20000 AS BIGINT) AS bucket_lo,
         |  count(*) AS n,
@@ -492,6 +535,17 @@ object AggQueries {
         |  round(max(o_totalprice), 2) AS max_price
         |FROM (SELECT *, CAST(o_totalprice * 100 AS BIGINT) * 1000000 + o_orderkey AS ord
         |      FROM orders)
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // values-only output makes boundary ties harmless: row_number order
+    // among equal prices is arbitrary but the emitted prices are equal
+    "agg_topk_heap" ->
+      """SELECT o_orderstatus, CAST(rnk AS INT) AS rnk, round(price, 2) AS price
+        |FROM (SELECT o_orderstatus, o_totalprice AS price,
+        |        row_number() OVER (PARTITION BY o_orderstatus
+        |                           ORDER BY o_totalprice DESC) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_orderstatus, rnk""".stripMargin
   )
 }

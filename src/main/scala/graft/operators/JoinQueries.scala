@@ -124,6 +124,26 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // nearest as-of: each error event pairs with the user's closest
+    // click in EITHER direction (tie → the earlier click). Both
+    // directional candidates come from two window functions over the
+    // same union/partitioning/ordering, so the plan is still ONE
+    // Exchange + Sort + a single Window operator — the second direction
+    // costs no extra shuffle (pandas merge_asof nearest, Spark-shaped).
+    "join_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.api.JoinOps.asofJoin(errors, clicks, "user_id", "ts",
+          rightCols = Seq("ts"), direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          unix_timestamp(col("asof_ts")).as("nearest_click_s"))
+        .orderBy(col("event_id"))
+    }),
+
     // bucketed range join — the 100 TB plan for join_theta_range's
     // "events within 10 minutes per user" shape. Binning event time into
     // 10-minute buckets and replicating the left side into (bin, bin+1)
@@ -269,6 +289,25 @@ object JoinQueries {
         |WHERE c.event_type = 'click'
         |GROUP BY c.event_id, c.user_id, c.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT e.event_id, max(c.ts) AS back_ts FROM e
+        |      LEFT JOIN c ON c.user_id = e.user_id AND c.ts <= e.ts
+        |      GROUP BY e.event_id),
+        |f AS (SELECT e.event_id, min(c.ts) AS fwd_ts FROM e
+        |      LEFT JOIN c ON c.user_id = e.user_id AND c.ts >= e.ts
+        |      GROUP BY e.event_id)
+        |SELECT e.event_id, e.user_id,
+        |  CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+        |  CAST(floor(epoch(CASE
+        |    WHEN fwd_ts IS NULL THEN back_ts
+        |    WHEN back_ts IS NULL THEN fwd_ts
+        |    WHEN e.ts - back_ts <= fwd_ts - e.ts THEN back_ts
+        |    ELSE fwd_ts END)) AS BIGINT) AS nearest_click_s
+        |FROM e JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY e.event_id""".stripMargin,
 
     "join_interval" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate

@@ -169,6 +169,12 @@ object LlmQueries {
       graft.api.DedupOps.nearJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // asymmetric set containment ≥ 0.9 — the quote/subset relationships
+    // Jaccard misses when sizes differ (see DedupOps.containmentPairs)
+    "dedup_containment" -> ((s, dir) =>
+      graft.api.DedupOps.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
     // incremental dedup — the nightly-crawl shape: a "new batch"
     // (doc_id % 10 == 0) is scored against the existing corpus, and
     // ONLY new×corpus pairs are produced. At 100 TB this is the
@@ -760,6 +766,18 @@ object LlmQueries {
         |  AND b.n * 5 >= a.n * 4 AND a.n * 5 >= b.n * 4
         |WHERE len(list_intersect(a.ts, b.ts)) * 5
         |  >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts,
+        |    len(list_distinct(str_split(text, ' '))) AS n
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |    / least(a.n, b.n), 6) AS containment
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ts, b.ts)) * 10 >= least(a.n, b.n) * 9
         |ORDER BY id_a, id_b""".stripMargin,
 
     // exact J≥0.9 strong pairs — the SQL twin of the operating point the

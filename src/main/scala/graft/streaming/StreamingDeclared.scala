@@ -175,6 +175,30 @@ object StreamingDeclared {
         .orderBy(col("user_id"))
     }),
 
+    // dropDuplicatesWithinWatermark — the Spark 3.5+ dedup API whose
+    // state is evicted by EVENT-TIME age (watermark delay) instead of
+    // exact-key retention forever: the right primitive for unbounded
+    // streams where duplicates only arrive near each other in time.
+    // Input is the stream self-unioned, so every event_id arrives twice
+    // within one microbatch and the operator provably drops the twin;
+    // state size is bounded by the 10-minute horizon at any scale.
+    "stream_dedup_within_wm" -> ((s, dir) => {
+      val name = sinkName("q_stream_dedup_wm")
+      StreamingJobs.withStatePartitions(s, 8) {
+        val ev = StreamingJobs.readEventsStream(s, stagedEventsDir(dir))
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val q = ev.union(ev)
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark(Seq("event_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name).orderBy(col("event_id"))
+    }),
+
     "stream_dedup" -> ((s, dir) => {
       val name = sinkName("q_stream_dedup")
       StreamingJobs.withStatePartitions(s, 8) {
@@ -262,6 +286,11 @@ object StreamingDeclared {
     // event_id is unique in the table, so watermarked dropDuplicates
     // over one batch passes every row through
     "stream_dedup" ->
+      """SELECT event_id, user_id, ts FROM events ORDER BY event_id""".stripMargin,
+
+    // the self-union doubles every event_id; within-watermark dedup
+    // restores exactly the distinct set
+    "stream_dedup_within_wm" ->
       """SELECT event_id, user_id, ts FROM events ORDER BY event_id""".stripMargin,
 
     // append mode emits exactly the windows closed under the final

@@ -86,6 +86,30 @@ class ApiSpec extends AnyFunSuite {
     assert(strict(2L) === Some(2.0))
   }
 
+  test("asofJoin nearest picks the closest right row either side, ties backward") {
+    import spark.implicits._
+    val trades = Seq((1L, "A", 10L), (2L, "A", 17L), (3L, "B", 5L), (4L, "C", 1L))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(("A", 8L, 1.0), ("A", 12L, 2.0), ("A", 18L, 3.0), ("B", 99L, 9.0))
+      .toDF("sym", "ts", "px")
+    val got = graft.api.JoinOps
+      .asofJoin(trades, quotes, "sym", "ts", rightCols = Seq("ts", "px"),
+        direction = "nearest")
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble)).toMap
+    assert(got(1L) === Some(1.0)) // ts=10: gap 2 both sides → tie goes BACKWARD (8)
+    assert(got(2L) === Some(3.0)) // ts=17: 18 (gap 1) beats 12 (gap 5)
+    assert(got(3L) === Some(9.0)) // only a future quote — nearest still matches
+    assert(got(4L) === None)      // no C quotes at all
+    val bounded = graft.api.JoinOps
+      .asofJoin(trades, quotes, "sym", "ts", rightCols = Seq("px"),
+        direction = "nearest", toleranceUs = Some(3L))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble)).toMap
+    assert(bounded(3L) === None)  // B's gap 94 exceeds the tolerance
+    assert(bounded(2L) === Some(3.0))
+  }
+
   test("langId accepts custom profiles") {
     val out = TextOps.langId(docs, "doc_id", "text",
       profiles = Seq("xx" -> Seq("x y" -> 1.0), "aa" -> Seq("a b" -> 1.0)))

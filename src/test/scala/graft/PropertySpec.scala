@@ -103,6 +103,57 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: asofJoin nearest equals the naive min-abs-gap reference") {
+    val leftGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 12L)
+    } yield (k, t))
+    val rightGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 12L)
+      p <- Gen.choose(1.0, 9.0)
+    } yield (k, t, p))
+    check(Prop.forAll(leftGen, rightGen) { (ls, rs) =>
+      import spark.implicits._
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "key", "ts")
+      val right = rs.toDF("key", "ts", "px")
+      val got = graft.api.JoinOps
+        .asofJoin(left, right, "key", "ts", rightCols = Seq("ts", "px"),
+          direction = "nearest")
+        .collect()
+        .map(r => r.getAs[Long]("lid") ->
+          Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong)).toMap
+      // naive: min |gap|; tie → backward (smaller ts); among equal-ts
+      // rights the engine picks deterministically, so compare on ts only
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.filter(_._1 == k)
+        i.toLong -> (if (cands.isEmpty) None else {
+          val best = cands.minBy(r => (math.abs(r._2 - t), r._2))
+          Some(best._2)
+        })
+      }.toMap
+      got == expected
+    })
+  }
+
+  test("property: TopKDoubles equals sort-descending-take-k (partials forced)") {
+    val rowsGen = Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0, 2); v <- Gen.choose(-1000.0, 1000.0)
+    } yield (g, v))
+    check(Prop.forAll(rowsGen, Gen.choose(1, 5)) { (rows, k) =>
+      import spark.implicits._
+      // repartition(3) forces multiple partitions → map-side partials,
+      // shuffled partial buffers, and final merge all execute
+      val df = rows.toDF("g", "v").repartition(3)
+      val got = df.groupBy(col("g"))
+        .agg(graft.functions.TopKDoubles.topK(col("v"), k).as("top"))
+        .collect().map(r => r.getInt(0) -> r.getAs[Seq[Double]]("top")).toMap
+      val expected = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted(Ordering[Double].reverse).take(k)
+      }
+      got == expected
+    })
+  }
+
   test("property: DotProduct matches the composable zip_with formulation") {
     val vecGen = Gen.listOfN(8, Gen.choose(-10.0, 10.0))
     check(Prop.forAll(vecGen, vecGen) { (xs, ys) =>
