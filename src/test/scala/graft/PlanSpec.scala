@@ -101,6 +101,29 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected 1 keyed shuffle, got $shuffles:\n$p")
   }
 
+  test("join_asof_nearest gets BOTH directions from one keyed exchange + one Window") {
+    val p = plan("join_asof_nearest")
+    // both directional picks must share the single Window operator over
+    // the single union shuffle — the second direction costs no plan node
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows == 1, s"expected 1 Window operator, got $windows:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 keyed shuffle, got $shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest as-of must not explode candidate pairs:\n$p")
+  }
+
+  test("agg_topk_heap aggregates with k-bounded partials (partial_top_k before the shuffle)") {
+    val p = plan("agg_topk_heap")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
+    // phase must appear below the exchange so only k doubles per group
+    // per map task cross the wire
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_top_k"), s"map-side partial aggregation missing:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 keyed shuffle, got $shuffles:\n$p")
+  }
+
   test("emb_neardup_lsh joins banded buckets, never all pairs") {
     // the LSH pair path itself (the declared query adds the exact tier
     // for its invariant report, which is an intentional pair scan)
