@@ -739,6 +739,31 @@ object AnalyticsQueries {
     // one codegen loop. Scoped to one year of shipments: a dated
     // co-purchase snapshot is what the analysis means, the full graph
     // is 46× denser, and the same plan handles both.
+    // BFS distances ≤ 2 hops from the minimum 1996 co-purchase node,
+    // expressed as a Spark 4 RECURSIVE CTE (UnionLoop execution). Spark
+    // recursion is UNION ALL only, so termination comes from the
+    // explicit depth bound (w.dist < 2) instead of UNION's fixpoint
+    // dedup; the min(dist) group-by collapses the duplicate frontier
+    // rows afterwards. Each recursion step is one keyed equi-join of
+    // the CURRENT frontier against the edge list — at cluster scale
+    // frontier rows, not the whole graph, move per iteration (the same
+    // property the hand-rolled pagerank/CC loops have, here delegated
+    // to the engine's recursion operator).
+    "graph_bfs_rcte" -> ((s, dir) => {
+      val e = edges1996(s, dir)
+      e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+        .createOrReplaceTempView("graft_bfs_edges")
+      s.sql("""WITH RECURSIVE walk(node, dist) AS (
+          SELECT min(a), 0 FROM graft_bfs_edges
+          UNION ALL
+          SELECT e.b, w.dist + 1
+          FROM walk w JOIN graft_bfs_edges e ON e.a = w.node
+          WHERE w.dist < 2)
+        SELECT node, min(dist) AS dist FROM walk
+        GROUP BY node ORDER BY node""")
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       val e = edges1996(s, dir).cache()
       val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
@@ -1234,6 +1259,22 @@ object AnalyticsQueries {
         |      GROUP BY l_orderkey HAVING sum(l_quantity) > 250) b
         |  ON o_orderkey = b.l_orderkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "graph_bfs_rcte" ->
+      """WITH RECURSIVE le AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |       FROM le a JOIN le b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+        |walk(node, dist) AS (
+        |  SELECT min(a), 0 FROM e
+        |  UNION ALL
+        |  SELECT e.b, w.dist + 1 FROM walk w JOIN e ON e.a = w.node
+        |  WHERE w.dist < 2)
+        |SELECT node, min(dist) AS dist FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "graph_triangles" ->
       """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -175,6 +175,13 @@ object StreamingDeclared {
         .orderBy(col("user_id"))
     }),
 
+    // chained stateful aggregations: 15-min tumbling → 1h roll-up in ONE
+    // streaming query (window_time() as downstream event time)
+    "stream_chained_agg" -> ((s, dir) =>
+      StreamingJobs.chainedWindowAgg(s, stagedEventsDir(dir),
+          sinkName("q_stream_chained"))
+        .orderBy(col("user_id"), col("win_start"))),
+
     // dropDuplicatesWithinWatermark — the Spark 3.5+ dedup API whose
     // state is evicted by EVENT-TIME age (watermark delay) instead of
     // exact-key retention forever: the right primitive for unbounded
@@ -292,6 +299,22 @@ object StreamingDeclared {
     // restores exactly the distinct set
     "stream_dedup_within_wm" ->
       """SELECT event_id, user_id, ts FROM events ORDER BY event_id""".stripMargin,
+
+    // append emits 1h windows closed under the final watermark
+    // (max ts − 10 min); their 15-min feeders are always finalized
+    // first, so emitted roll-ups carry full counts
+    "stream_chained_agg" ->
+      """WITH l1 AS (
+        |  SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS w15,
+        |    count(*) AS n15
+        |  FROM events GROUP BY user_id, w15)
+        |SELECT user_id, time_bucket(INTERVAL '1 hour', w15) AS win_start,
+        |  CAST(sum(n15) AS BIGINT) AS n, max(n15) AS peak15
+        |FROM l1
+        |WHERE time_bucket(INTERVAL '1 hour', w15) + INTERVAL 1 HOUR
+        |  <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |GROUP BY user_id, win_start
+        |ORDER BY user_id, win_start""".stripMargin,
 
     // append mode emits exactly the windows closed under the final
     // watermark = max(ts) - 10 min (window end <= watermark)

@@ -131,6 +131,30 @@ object StreamingJobs {
       .start()
   }
 
+  /** CHAINED stateful aggregations in one streaming query (Spark 3.4+
+    * multiple-stateful-operator support): 15-minute tumbling per-user
+    * counts re-aggregated into 1-hour windows via `window_time()` as the
+    * downstream event-time column. Both levels share the global
+    * watermark; append mode emits a 1h window once the watermark passes
+    * its end — by which point every 15-min feeder window has already
+    * been finalized upstream, so the roll-up is complete-by-construction.
+    * The production shape for multi-resolution dashboards: one query,
+    * one state store lineage, no intermediate sink between resolutions.
+    */
+  def chainedWindowAgg(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame = {
+    val lvl1 = readEventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("n15"))
+    val lvl2 = lvl1
+      .groupBy(col("user_id"), window(window_time(col("window")), "1 hour"))
+      .agg(sum(col("n15")).as("n"), max(col("n15")).as("peak15"))
+      .select(col("user_id"), col("window.start").as("win_start"),
+        col("n"), col("peak15"))
+    withStatePartitions(spark, 8) { runToMemory(lvl2, sinkName, OutputMode.Append()) }
+  }
+
   /** Per-user session windows with a 30-minute gap. */
   def sessionWindows(spark: SparkSession, dir: String, sinkName: String = "stream_session"): DataFrame = {
     val agg = readEventsStream(spark, dir)
