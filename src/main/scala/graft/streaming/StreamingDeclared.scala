@@ -175,6 +175,13 @@ object StreamingDeclared {
         .orderBy(col("user_id"))
     }),
 
+    // state-store reader: the streaming query's STATE read back as a
+    // batch frame from the checkpoint (Spark 4 statestore source)
+    "stream_state_reader" -> ((s, dir) =>
+      StreamingJobs.stateReaderCounts(s, stagedEventsDir(dir),
+          sinkName("q_stream_state_rd"))
+        .orderBy(col("user_id"))),
+
     // chained stateful aggregations: 15-min tumbling → 1h roll-up in ONE
     // streaming query (window_time() as downstream event time)
     "stream_chained_agg" -> ((s, dir) =>
@@ -299,6 +306,11 @@ object StreamingDeclared {
     // restores exactly the distinct set
     "stream_dedup_within_wm" ->
       """SELECT event_id, user_id, ts FROM events ORDER BY event_id""".stripMargin,
+
+    // the aggregation state after the AvailableNow run IS the batch agg
+    "stream_state_reader" ->
+      """SELECT user_id, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // append emits 1h windows closed under the final watermark
     // (max ts − 10 min); their 15-min feeders are always finalized

@@ -155,6 +155,39 @@ object StreamingJobs {
     withStatePartitions(spark, 8) { runToMemory(lvl2, sinkName, OutputMode.Append()) }
   }
 
+  /** State-store observability (Spark 4 `statestore` data source): run a
+    * checkpointed per-user streaming count, then read the query's STATE
+    * back as a batch DataFrame straight from the checkpoint — no sink
+    * round-trip. The production debugging/backfill surface: inspect live
+    * aggregation state, audit watermark eviction, or seed a migration,
+    * all with plain batch SQL over `key`/`value`/`partition_id` rows.
+    * Returned frame is the state itself (user_id, n) — the declared
+    * oracle proves state == the batch aggregate of the input.
+    */
+  def stateReaderCounts(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame = {
+    // fresh checkpoint per run: a leftover checkpoint from an earlier
+    // JVM pins its committed source path — replaying it against a
+    // different staged dir fails with "Wrong basePath"
+    val ckpt = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_rt",
+      s"${sinkName}_ckpt_${java.util.UUID.randomUUID().toString.take(8)}").toString
+    val agg = readEventsStream(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.format("statestore").load(ckpt)
+      .select(col("key.user_id").as("user_id"), col("value.count").as("n"))
+  }
+
   /** Per-user session windows with a 30-minute gap. */
   def sessionWindows(spark: SparkSession, dir: String, sinkName: String = "stream_session"): DataFrame = {
     val agg = readEventsStream(spark, dir)
