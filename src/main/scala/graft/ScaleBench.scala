@@ -73,6 +73,16 @@ object ScaleBench {
         col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
+    // orders: keys offset per copy — group count stays at the handful of
+    // order statuses, so per-group top-k pressure grows linearly
+    val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+    copies(ord) { (df, c) =>
+      df.select((col("o_orderkey") + lit(c * Stride)).as("o_orderkey"),
+        (col("o_custkey") + lit(c * Stride)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
     // lineitem: order/part/supplier keys offset per copy — the
     // co-purchase graph becomes `factor` disjoint copies, so edge count
     // and PageRank work scale linearly (never cross-copy quadratic)
@@ -108,7 +118,10 @@ object ScaleBench {
     "sim_ann_ivf", "sim_ann_kmeans", "join_range_binned", "join_skew_salted",
     "sessionize_batch", "doc_tfidf", "text_tokens", "doc_pack",
     "doc_bm25", "text_contamination", "domain_mix", "text_repetition",
-    "graph_pagerank")
+    "graph_pagerank",
+    // round-5 late additions: one-window-pass as-of (linear), k-bounded
+    // heap agg (linear), depth-bounded recursive BFS (edge-build linear)
+    "join_asof_nearest", "agg_topk_heap", "graph_bfs_rcte")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/
@@ -122,7 +135,10 @@ object ScaleBench {
   private val quadFamily = Seq(
     "dedup_near", "dedup_ngram", "sim_cosine_topk", "emb_neardup",
     "dedup_components", "dedup_keep", "dedup_components_logstar",
-    "dedup_incremental")
+    "dedup_incremental",
+    // full ordered-pair scan BY DESIGN (containment has no size band);
+    // the LSH-candidate composition is its scale twin
+    "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

@@ -101,6 +101,28 @@ object EtlQueries {
     // aggregation; the referential orphan check is the only join (anti,
     // keyed, broadcast-able when the parent key set is small). Output is
     // the canonical (check, n_bad) shape a quality dashboard ingests.
+    // observe()/Observation — pipeline metrics WITHOUT a second scan:
+    // the metric aggregates ride along the normal action as accumulators
+    // (zero extra jobs, zero extra shuffles — at 100 TB a separate
+    // metrics query would re-read the table). Observation.get blocks on
+    // the listener; building the 1-row result from it is metric-sized
+    // driver control-plane, not data flow. The declared result proves
+    // observed metrics == the SQL aggregates of the same scan.
+    "etl_observe" -> ((s, dir) => {
+      val obs = new org.apache.spark.sql.Observation()
+      val df = Tables.orders(s, dir).observe(obs,
+        count(lit(1)).as("n_rows"),
+        round(sum(Tables.dec2(col("o_totalprice"))), 2).cast("double").as("sum_price"),
+        count_if(col("o_totalprice") > 100000).as("n_big"))
+      df.write.mode("overwrite").format("noop").save() // the real action
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_price").asInstanceOf[Double],
+        m("n_big").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_price", "n_big")
+    }),
+
     "etl_dq_checks" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val orderChecks = o.agg(
@@ -181,6 +203,13 @@ object EtlQueries {
         |    ELSE 'unchanged' END AS change_type
         |  FROM orders o FULL OUTER JOIN nw ON o.o_orderkey = nw.k_new)
         |GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    // observed accumulator metrics must equal the plain aggregates
+    "etl_observe" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) :: DOUBLE AS sum_price,
+        |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big
+        |FROM orders""".stripMargin,
 
     "etl_dq_checks" ->
       """SELECT * FROM (

@@ -160,6 +160,22 @@ object ScanQueries {
     // (the second adds a column) merged by the reader — the lakehouse
     // append-with-new-column case. mergeSchema unions the footers;
     // missing columns surface as NULLs, never as read errors.
+    // hidden `_metadata` file columns (Spark 3.4+): per-row provenance
+    // (source file name/size) with NO extra scan or join — the lineage
+    // primitive for audit trails and selective reprocessing ("which
+    // files produced these bad rows"). Constant per input split, so at
+    // 100 TB it adds a per-partition constant, not a per-row cost.
+    "scan_file_metadata" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"),
+          col("_metadata.file_name").as("fname"),
+          col("_metadata.file_size").as("fsize"))
+        .agg(countDistinct(col("fname")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          min(col("fname")).as("file_name"),
+          bool_and(col("fsize") > 0).as("sizes_positive"))
+    }),
+
     "scan_schema_merge" -> ((s, dir) => {
       val path = tmp("nation_evolve")
       val n = Tables.nation(s, dir)
@@ -282,6 +298,12 @@ object ScanQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the testdata table is exactly one parquet file with a fixed name
+    "scan_file_metadata" ->
+      """SELECT CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows,
+        |  'lineitem.parquet' AS file_name, true AS sizes_positive
+        |FROM lineitem""".stripMargin,
 
     "scan_schema_merge" ->
       """SELECT n_nationkey, n_name,
