@@ -142,6 +142,11 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    // optional 2nd arg: comma-separated query filter (ad-hoc iteration
+    // on one family member without paying for the whole sweep)
+    val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
+    def keep(names: Seq[String]): Seq[String] =
+      names.filter(n => only.forall(_.contains(n)))
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val root = "/tmp/graft_scale"
@@ -205,8 +210,8 @@ object ScaleBench {
         f""""$n":{"t1":$t1%.3f,"t$f":$tN%.3f,"ratio":$ratio%.2f}"""
       }.mkString("{", ",", "}")
 
-    val scaleJson = runSet(scaleFamily, s"$root/x$factor", factor)
-    val quadJson = runSet(quadFamily, s"$root/x2", 2)
+    val scaleJson = runSet(keep(scaleFamily), s"$root/x$factor", factor)
+    val quadJson = runSet(keep(quadFamily), s"$root/x2", 2)
     println(s"""{"metric":"scale_curves","base":"$baseDir","factor":$factor,""" +
       s""""scale_paths":$scaleJson,"quad_baselines_x2":$quadJson}""")
     spark.stop()

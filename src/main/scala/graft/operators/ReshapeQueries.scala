@@ -50,6 +50,21 @@ object ReshapeQueries {
         .unpivot(Array(col("p_partkey")),
           Array(col("p_size"), col("p_retailprice")), "attr", "val")
         .orderBy(col("p_partkey"), col("attr"))
+    }),
+
+    // Dataset.transpose (Spark 4.0): rows ↔ columns of a SMALL summary
+    // frame — the index column's values become column names, remaining
+    // column names become the `key` column. Bounded by construction
+    // (transpose collects the frame shape to the driver, so it is a
+    // reporting-tier op for aggregate outputs, never a data-tier one —
+    // same class as reshape_pivot's pinned domain).
+    "reshape_transpose" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          round(sum(Tables.dec2(col("o_totalprice"))), 2).cast("double").as("sum_price"))
+        .transpose(col("o_orderstatus"))
+        .orderBy(col("key"))
     })
   )
 
@@ -71,6 +86,25 @@ object ReshapeQueries {
         |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
         |  UNION ALL
         |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part)
-        |ORDER BY p_partkey, attr""".stripMargin
+        |ORDER BY p_partkey, attr""".stripMargin,
+
+    // transpose of the per-status summary: columns F/O/P, key rows n/sum_price
+    "reshape_transpose" ->
+      """WITH a AS (
+        |  SELECT o_orderstatus AS s, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sp
+        |  FROM orders GROUP BY 1)
+        |SELECT 'n' AS key,
+        |  max(n) FILTER (WHERE s = 'F') AS "F",
+        |  max(n) FILTER (WHERE s = 'O') AS "O",
+        |  max(n) FILTER (WHERE s = 'P') AS "P"
+        |FROM a
+        |UNION ALL
+        |SELECT 'sum_price',
+        |  max(sp) FILTER (WHERE s = 'F'),
+        |  max(sp) FILTER (WHERE s = 'O'),
+        |  max(sp) FILTER (WHERE s = 'P')
+        |FROM a
+        |ORDER BY key""".stripMargin
   )
 }
