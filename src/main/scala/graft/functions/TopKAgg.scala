@@ -76,10 +76,17 @@ case class TopKDoubles(
   }
 
   override def eval(heap: java.util.PriorityQueue[java.lang.Double]): Any = {
+    // non-destructive: eval must not drain the buffer — the engine may
+    // serialize or re-evaluate it after this call (sort-based fallback)
     val arr = new Array[Double](heap.size)
-    var i = arr.length - 1
-    while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // poll ascending → fill backward
-    new GenericArrayData(arr)
+    val it = heap.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    val desc = new Array[Double](arr.length)
+    i = 0
+    while (i < arr.length) { desc(i) = arr(arr.length - 1 - i); i += 1 }
+    new GenericArrayData(desc)
   }
 
   override def serialize(heap: java.util.PriorityQueue[java.lang.Double]): Array[Byte] = {
