@@ -409,6 +409,36 @@ object LlmQueries {
     // offset — the pretraining batch-packing shape. One window pass per
     // shard; shard count scales out the sequential cumsum at 100 TB, and
     // packs never cross shards, so workers can pack shards independently.
+    // Deterministic training-order interleave: round-robin across the 20
+    // sources, each source's docs in content-hash order (reproducible,
+    // engine-independent — the md5 trick sample_stratified uses). The
+    // naive formulation is row_number() over a GLOBAL (k, source) order
+    // — a single-partition window that dies at 100 TB. Instead the
+    // global position is computed ARITHMETICALLY from a broadcast of the
+    // 20-row per-source counts: pos(k, s) = Σ_s' min(n_s', k−1) + |{s' <
+    // s : n_s' ≥ k}| + 1 — one keyed window per source partition, one
+    // tiny broadcast, no global sort until the output orderBy (which in
+    // production becomes repartitionByRange on position, the write
+    // partitioning a training shard wants anyway).
+    "doc_interleave" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val ranked = docs.withColumn("k", row_number().over(w))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .agg(sort_array(collect_list(struct(col("source").as("src"),
+          col("n").as("n")))).as("cts"))
+      ranked.crossJoin(broadcast(counts))
+        .withColumn("position",
+          aggregate(col("cts"), lit(0L),
+            (acc, x) => acc + least(x.getField("n"), col("k") - 1) +
+              when(x.getField("src") < col("source") &&
+                x.getField("n") >= col("k"), 1L).otherwise(0L)) + 1)
+        .select(col("position"), col("doc_id"), col("source"), col("k"))
+        .orderBy(col("position"))
+    }),
+
     "doc_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"), col("start"))
@@ -1001,6 +1031,17 @@ object LlmQueries {
         |  array_to_string(list_slice(toks, start + 1, start + 8), ' ') AS chunk,
         |  len(list_slice(toks, start + 1, start + 8)) AS n_chunk_toks
         |FROM st ORDER BY doc_id, start""".stripMargin,
+
+    // the oracle can afford the naive global window at sf scale
+    "doc_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS k
+        |  FROM documents)
+        |SELECT row_number() OVER (ORDER BY k, source, doc_id) AS position,
+        |  doc_id, source, CAST(k AS INT) AS k
+        |FROM r ORDER BY position""".stripMargin,
 
     "doc_pack" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),

@@ -124,6 +124,17 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected 1 keyed shuffle, got $shuffles:\n$p")
   }
 
+  test("doc_interleave computes position arithmetically — no global single-partition window") {
+    val p = plan("doc_interleave")
+    // exactly ONE window (the per-source rank); the global position must
+    // come from the broadcast-counts arithmetic, not row_number() over
+    // an unpartitioned ordering (which single-partitions all data)
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows == 1, s"expected 1 per-source Window, got $windows:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"counts must broadcast:\n$p")
+  }
+
   test("emb_neardup_lsh joins banded buckets, never all pairs") {
     // the LSH pair path itself (the declared query adds the exact tier
     // for its invariant report, which is an intentional pair scan)
