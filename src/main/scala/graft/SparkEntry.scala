@@ -34,7 +34,8 @@ object SparkEntry {
     (graft.streaming.StreamingDeclared.queries, graft.streaming.StreamingDeclared.oracle),
     (MiscQueries.queries, MiscQueries.oracle),
     (TsQueries.queries, TsQueries.oracle),
-    (AnalyticsQueries.queries, AnalyticsQueries.oracle)
+    (AnalyticsQueries.queries, AnalyticsQueries.oracle),
+    (Ext6Queries.queries, Ext6Queries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

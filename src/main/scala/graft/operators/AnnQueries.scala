@@ -160,6 +160,18 @@ object AnnQueries {
           queryPred = col("vec_id") < 10, k = 5, nClusters = 8, iters = 1, nprobe = 2),
         minHitNum = 3, minHitDen = 10)),
 
+    // product-quantization ADC (16 subspaces × 16-centroid codebooks —
+    // 16 bytes/vector, 16× compression): queries score corpus CODES via
+    // per-query lookup tables, never raw vectors. Same invariant-report
+    // grading as the IVF tiers; recall floor 0.2 (measured 0.30–0.54
+    // across sfs — ADC ranks by a quantized dot, so it degrades
+    // gracefully rather than missing buckets outright).
+    "sim_ann_pq" -> ((s, dir) =>
+      annReport(s, dir,
+        graft.api.SimilarityOps.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5, m = 16, ksub = 16, iters = 3),
+        minHitNum = 1, minHitDen = 5)),
+
     // int8 symmetric quantization (scale 127 — valid because vectors are
     // unit-norm, so |v| <= 1): 4x smaller vectors for the ANN candidate
     // pass, exact re-rank stays on the float column. floor(x*127 + 0.5)
@@ -246,6 +258,7 @@ object AnnQueries {
 
     "sim_ann_ivf" -> bruteTop1Sql,
     "sim_ann_kmeans" -> bruteTop1Sql,
+    "sim_ann_pq" -> bruteTop1Sql,
 
     "dedup_simhash" ->
       """SELECT 32 AS bits,

@@ -1,0 +1,247 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: regression aggregates, interval arithmetic,
+  * AES column crypto, and running-distinct window navigation.
+  *
+  * Scale notes:
+  * - agg_regression: regr_* are single-pass mergeable co-moment
+  *   aggregates (partial+final hash agg) — the same two-phase shape as
+  *   agg_stats; nothing changes at 100 TB.
+  * - fn_interval / fn_aes: pure projection (codegen row-local work, no
+  *   shuffle). AES-ECB is deterministic per (key, plaintext), which is
+  *   what makes the roundtrip oracle-able; for storage encryption at
+  *   rest you'd use GCM (random IV) and give up value-equality — the
+  *   declared query documents the trade by checking the roundtrip, not
+  *   the ciphertext bytes.
+  * - win_running_distinct: the "distinct count so far" rewrite — a
+  *   first-occurrence flag (one keyed window) followed by a running
+  *   count (second keyed window). Spark does not support DISTINCT
+  *   aggregates in window frames at any scale; this two-window plan is
+  *   the standard O(n log n)-per-partition formulation. The two windows
+  *   partition on (user, type) then (user) — the second sort reuses the
+  *   (user)-hash Exchange only when partitioning is compatible, so the
+  *   plan pays at most two Exchanges of the event frame, never a
+  *   per-row distinct scan.
+  */
+object Ext6Queries {
+
+  private def regrCols = Seq(
+    count(lit(1)).as("n"),
+    round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("r"),
+    round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+    round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("icept"),
+    round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+
+  val queries: Map[String, Q] = Map(
+    // least-squares fit of extendedprice on quantity per returnflag:
+    // regr_count/slope/intercept/r2 + corr, all mergeable co-moment
+    // aggregates computed in one pass
+    "agg_regression" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(regrCols.head, regrCols.tail: _*)
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // calendar vs fixed-length interval arithmetic on timestamps:
+    // year-month intervals clamp day-of-month, day-time intervals are
+    // exact µs shifts, and a column-driven make_dt_interval exercises
+    // dynamic interval construction
+    "fn_interval" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 3 MONTHS")).as("plus_3mo"),
+          (col("o_orderdate") + expr("INTERVAL 100 DAYS")).as("plus_100d"),
+          (col("o_orderdate") - expr("INTERVAL 36 HOURS")).as("minus_36h"),
+          (col("o_orderdate") - expr("INTERVAL 2 MONTHS")).as("back_2mo"),
+          (col("o_orderdate") + make_dt_interval((col("o_orderkey") % 30).cast("int")))
+            .as("plus_var"),
+          (datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")) * 24
+            + hour(col("o_orderdate"))).as("hours_since"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // AES-ECB encrypt→decrypt roundtrip per row; ciphertext length is
+    // the PKCS7 envelope (16·(⌊len/16⌋+1)) so the oracle reproduces it
+    // arithmetically without running AES
+    "fn_aes" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name").as("orig"))
+        .withColumn("cipher", expr("aes_encrypt(cast(orig AS BINARY), '0123456789abcdef', 'ECB')"))
+        .select(col("c_custkey"), col("orig"),
+          length(col("cipher")).as("cipher_len"),
+          expr("cast(aes_decrypt(cipher, '0123456789abcdef', 'ECB') AS STRING)").as("roundtrip"))
+        .withColumn("match_ok", col("roundtrip") === col("orig"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // truncated-kernel EWMA (α=0.5, 8 taps) over each user's daily value
+    // series: the IIR recurrence is re-expressed as a FINITE weighted
+    // window (weights 0.5^j decay below 1% after 8 taps), because the
+    // exact recurrence is a sequential scan that cannot partition — the
+    // truncated kernel is embarrassingly parallel per key and its lag
+    // terms all ride ONE keyed window sort. Weights are exact powers of
+    // two and terms sum in fixed expression order, so the arithmetic is
+    // bit-identical across engines; daily sums pre-round to 9dp.
+    "ts_ewma" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 9).as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val lags = (1 until 8).map(j => (lag(col("v"), j).over(w), math.pow(0.5, j)))
+      val num = lags.foldLeft(col("v")) { case (acc, (l, wj)) =>
+        acc + coalesce(l, lit(0.0)) * lit(wj) }
+      val den = lags.foldLeft(lit(1.0)) { case (acc, (l, wj)) =>
+        acc + when(l.isNotNull, lit(wj)).otherwise(lit(0.0)) }
+      daily.withColumn("ewma", round(num / den, 6))
+        .select(col("user_id"), col("day"), col("v"), col("ewma"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Count-Min frequency sketch: one sketch per disjoint half of the
+    // event stream, merged ELEMENTWISE (zip_with +) without rescanning
+    // raw data, then point-estimated for every event type. Declared
+    // output = invariant report: exact per-type counts (SQL) + the CMS
+    // guarantee booleans (est ≥ exact always; est ≤ exact + ε·N). The
+    // estimate UDF runs over |event types| rows, never the fact stream.
+    "sketch_cms" -> ((s, dir) => {
+      import graft.functions.{CountMinLongs, CountMinSketchOps}
+      val d = 4; val w = 256
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), xxhash64(col("event_type")).as("k"))
+      val halves = ev.withColumn("half", (col("event_id") % 2).cast("int"))
+        .groupBy(col("half"))
+        .agg(CountMinLongs.countMin(col("k"), d, w).as("sk"))
+      val merged = halves.filter(col("half") === 0).select(col("sk").as("sk0"))
+        .crossJoin(halves.filter(col("half") === 1).select(col("sk").as("sk1")))
+        .select(zip_with(col("sk0"), col("sk1"), (x, y) => x + y).as("sk"))
+      val est = udf((sk: Seq[Long], key: Long) => CountMinSketchOps.estimate(sk, key, d, w))
+      val exact = ev.groupBy(col("event_type"), col("k")).agg(count(lit(1)).as("n_exact"))
+      val totals = exact.agg(sum(col("n_exact")).as("total_n"))
+      exact.crossJoin(broadcast(merged)).crossJoin(broadcast(totals))
+        .withColumn("cms_est", est(col("sk"), col("k")))
+        .select(col("event_type"), col("n_exact"),
+          (col("cms_est") >= col("n_exact") &&
+            col("cms_est") <= col("n_exact")
+              + ceil(lit(math.E / w) * col("total_n")).cast("long")).as("cms_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    // collation-aware string semantics (Spark 4 UTF8_LCASE): equality,
+    // contains, and prefix match are case-insensitive under the collated
+    // comparison while the stored value keeps its original case — vs the
+    // lower()-normalizing oracle formulation
+    "fn_collation" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .withColumn("m",
+          expr("""CASE CAST(c_custkey % 3 AS INT)
+                 |  WHEN 0 THEN upper(c_mktsegment)
+                 |  WHEN 1 THEN lower(c_mktsegment)
+                 |  ELSE concat(upper(substring(c_mktsegment, 1, 3)),
+                 |              lower(substring(c_mktsegment, 4)))
+                 |END""".stripMargin))
+        .select(col("c_custkey"), col("m"),
+          expr("collate(m, 'UTF8_LCASE') = collate('building', 'UTF8_LCASE')")
+            .as("is_building"),
+          expr("contains(collate(m, 'UTF8_LCASE'), collate('ING', 'UTF8_LCASE'))")
+            .as("has_ing"),
+          expr("startswith(collate(m, 'UTF8_LCASE'), collate('bUiL', 'UTF8_LCASE'))")
+            .as("starts_buil"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // running distinct-event-type count per user over event time
+    "win_running_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("fs", when(row_number().over(wFirst) === 1, lit(1)))
+        .withColumn("n_distinct_types", count(col("fs")).over(wRun))
+        .select(col("user_id"), col("event_id"), col("n_distinct_types"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_regression" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS r,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "fn_interval" ->
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 3 MONTH AS plus_3mo,
+        |  o_orderdate + INTERVAL 100 DAY AS plus_100d,
+        |  o_orderdate - INTERVAL 36 HOUR AS minus_36h,
+        |  o_orderdate - INTERVAL 2 MONTH AS back_2mo,
+        |  o_orderdate + to_days(CAST(o_orderkey % 30 AS INTEGER)) AS plus_var,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) * 24
+        |    + hour(o_orderdate) AS INTEGER) AS hours_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_aes" ->
+      """SELECT c_custkey, c_name AS orig,
+        |  CAST((length(c_name) // 16 + 1) * 16 AS INTEGER) AS cipher_len,
+        |  c_name AS roundtrip, true AS match_ok
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "ts_ewma" -> {
+      val num = (1 until 8).map(j =>
+        s" + coalesce(lag(v, $j) OVER w, 0) * ${math.pow(0.5, j)}").mkString
+      val den = (1 until 8).map(j =>
+        s" + CASE WHEN lag(v, $j) OVER w IS NOT NULL THEN ${math.pow(0.5, j)} ELSE 0.0 END")
+        .mkString
+      s"""WITH d AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 9) AS v
+         |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+         |SELECT user_id, day, v,
+         |  round((v$num) / (1.0$den), 6) AS ewma
+         |FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+         |ORDER BY user_id, day""".stripMargin
+    },
+
+    "sketch_cms" ->
+      """SELECT event_type, count(*) AS n_exact, true AS cms_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "fn_collation" ->
+      """WITH v AS (
+        |  SELECT c_custkey,
+        |    CASE CAST(c_custkey % 3 AS INTEGER)
+        |      WHEN 0 THEN upper(c_mktsegment)
+        |      WHEN 1 THEN lower(c_mktsegment)
+        |      ELSE concat(upper(substring(c_mktsegment, 1, 3)),
+        |                  lower(substring(c_mktsegment, 4)))
+        |    END AS m
+        |  FROM customer)
+        |SELECT c_custkey, m,
+        |  lower(m) = 'building' AS is_building,
+        |  contains(lower(m), 'ing') AS has_ing,
+        |  starts_with(lower(m), 'buil') AS starts_buil
+        |FROM v ORDER BY c_custkey""".stripMargin,
+
+    "win_running_distinct" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN row_number() OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |    THEN 1 END AS fs
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  count(fs) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_distinct_types
+        |FROM f ORDER BY user_id, event_id""".stripMargin
+  )
+}

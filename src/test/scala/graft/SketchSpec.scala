@@ -33,4 +33,40 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(merged - 500L) <= 25, s"merged estimate $merged too far from 500")
     assert(math.abs(whole - 500L) <= 25, s"whole estimate $whole too far from 500")
   }
+
+  test("count-min: estimates dominate exact counts and merge elementwise") {
+    import spark.implicits._
+    import graft.functions.{CountMinLongs, CountMinSketchOps}
+    val d = 4; val w = 64
+    // skewed multiset: key i appears i times, keys 1..50
+    val df = (1L to 50L).flatMap(i => Seq.fill(i.toInt)(i)).toDF("k")
+      .withColumn("id", monotonically_increasing_id())
+    val whole = df.agg(CountMinLongs.countMin(col("k"), d, w).as("sk"))
+      .head().getSeq[Long](0)
+    // CMS guarantee per key: est >= exact (always)
+    (1L to 50L).foreach { i =>
+      val est = CountMinSketchOps.estimate(whole, i, d, w)
+      assert(est >= i, s"key $i: est $est < exact $i")
+    }
+    // elementwise merge of disjoint-half sketches == whole-frame sketch
+    val a = df.filter(col("id") % 2 === 0).agg(CountMinLongs.countMin(col("k"), d, w).as("sk"))
+      .head().getSeq[Long](0)
+    val b = df.filter(col("id") % 2 === 1).agg(CountMinLongs.countMin(col("k"), d, w).as("sk"))
+      .head().getSeq[Long](0)
+    val merged = a.zip(b).map { case (x, y) => x + y }
+    assert(merged == whole, "merged disjoint-half sketches differ from whole-frame sketch")
+    // total mass per row equals N (conservation — no dropped updates)
+    val n = df.count()
+    (0 until d).foreach { r =>
+      assert(whole.slice(r * w, (r + 1) * w).sum == n, s"row $r mass != $n")
+    }
+  }
+
+  test("sketch_cms declared report: every event type inside the CMS band") {
+    val rows = SparkEntry.queries("sketch_cms")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("cms_ok"), s"${r.getAs[String]("event_type")} outside CMS band")
+    }
+  }
 }
