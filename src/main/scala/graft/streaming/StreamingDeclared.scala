@@ -89,6 +89,84 @@ object StreamingDeclared {
     dir.toString
   }
 
+  /** Stage the events table as FOUR time-ordered files: first half by
+    * event time, second half, then two far-future sentinel clicks
+    * (event_id = user_id = −1/−2, ts = max + 30/60 days). With
+    * maxFilesPerTrigger=1 the sentinel batch advances the watermark past
+    * every real event, which is what lets watermark-gated emissions
+    * (stream-stream OUTER join nulls) flush deterministically before the
+    * AvailableNow run terminates — the file-staged equivalent of the
+    * punctuation/heartbeat events a production topic carries. The time
+    * split (not parity) keeps event time monotone across batches, so no
+    * real row is ever late.
+    */
+  private[graft] def stagedEventsSentinelDir(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = synchronized {
+    val hash = Integer.toHexString(sfDir.hashCode)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_src3b_$hash")
+    val ready = dir.resolve(s"_READY_${sourceFingerprint(sfDir)}")
+    if (!java.nio.file.Files.exists(ready)) {
+      java.nio.file.Files.createDirectories(dir)
+      dir.toFile.listFiles().filter(f => f.getName.startsWith("_READY"))
+        .foreach(_.delete())
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$sfDir/events.parquet")
+      val tsIsLong = raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      // a NTZ/timestamp ts cannot cast straight to bigint under ANSI —
+      // go through unix_micros (session TZ is UTC, values preserved)
+      val tsLong = if (tsIsLong) col("ts")
+        else unix_micros(col("ts").cast("timestamp"))
+      val mid = raw.agg(((min(tsLong) + max(tsLong)) / 2).cast("long"))
+        .head.getLong(0)
+      def plusDays(d: Int) = if (tsIsLong) expr(s"ts + ${d.toLong * 86400} * 1000000000L")
+        else expr(s"ts + INTERVAL $d DAYS")
+      val cols = raw.columns
+      // TWO sentinel files: watermark updates from data seen through the
+      // PREVIOUS batch, so the batch processing sentinel #2 is the one
+      // that applies sentinel #1's watermark and flushes the last real
+      // stragglers (an AvailableNow run does not execute a trailing
+      // no-data batch — verified empirically: with one sentinel, exactly
+      // the final 20 minutes' unmatched clicks stayed in state).
+      // Each sentinel file carries BOTH a click and a purchase row
+      // (disjoint negative user ids, so they match nothing): a two-sided
+      // join takes the MIN of the per-stream watermarks
+      // (multipleWatermarkPolicy=min), so a click-only sentinel leaves
+      // the purchase-side watermark at real-data time and the flush
+      // stalls — also verified empirically, as one straggler click
+      // whose ts+10min exceeded max(purchase_ts)−10min.
+      def sentinel(id: Long, typ: String, days: Int) =
+        raw.orderBy(desc("ts")).limit(1)
+          .withColumn("event_id", lit(id))
+          .withColumn("user_id", lit(id))
+          .withColumn("event_type", lit(typ))
+          .withColumn("ts", plusDays(days))
+          .select(cols.head, cols.tail: _*)
+      val parts: Seq[org.apache.spark.sql.DataFrame] = Seq(
+        raw.filter(tsLong <= mid),
+        raw.filter(tsLong > mid),
+        sentinel(-1L, "click", 30).unionAll(sentinel(-3L, "purchase", 30)),
+        sentinel(-2L, "click", 60).unionAll(sentinel(-4L, "purchase", 60)))
+      parts.zipWithIndex.foreach { case (df, i) =>
+        val stage = dir.resolve(s"stage_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val src = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $stage"))
+        val dst = dir.resolve(s"events_$i.parquet")
+        java.nio.file.Files.move(src.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        stage.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(stage)
+      }
+      java.nio.file.Files.createFile(ready)
+    }
+    dir.toString
+  }
+
   private var sinkCounter = 0
   private def sinkName(base: String): String = synchronized {
     sinkCounter += 1; s"${base}_$sinkCounter"
@@ -127,6 +205,15 @@ object StreamingDeclared {
     "stream_stream_join" -> ((s, dir) =>
       StreamingJobs.streamStreamJoin(s, stagedEventsDir(dir),
           sinkName("q_stream_stream_join"))
+        .orderBy(col("click_id"), col("purchase_id"))),
+
+    // left-outer stream-stream join over the sentinel-staged 3-file
+    // source: null rows are watermark-gated, so this exercises real
+    // multi-batch watermark advancement + outer-state flush (see
+    // streamStreamLeftOuter / stagedEventsSentinelDir docs)
+    "stream_stream_outer" -> ((s, dir) =>
+      StreamingJobs.streamStreamLeftOuter(s, stagedEventsSentinelDir(s, dir),
+          sinkName("q_stream_stream_outer"))
         .orderBy(col("click_id"), col("purchase_id"))),
 
     "stream_session" -> ((s, dir) =>
@@ -350,6 +437,15 @@ object StreamingDeclared {
         |  ON a.user_id = b.user_id AND a.event_type = 'click'
         |  AND b.event_type = 'purchase'
         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "stream_stream_outer" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND b.event_type = 'purchase'
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |WHERE a.event_type = 'click'
         |ORDER BY click_id, purchase_id""".stripMargin,
 
     "stream_rate" ->

@@ -236,7 +236,8 @@ object StreamingJobs {
     * events-shaped streams (`event_id`, `ts`, `user_id`) — exposed so
     * specs can drive it batch-by-batch through MemoryStreams.
     */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user"),
         col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "10 minutes")
@@ -246,8 +247,36 @@ object StreamingJobs {
     c.join(p,
         col("c_user") === col("p_user") &&
         col("purchase_ts") > col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        joinType)
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+  }
+
+  /** Stream-stream LEFT OUTER click⋈purchase join. Unlike the inner
+    * variant, the null (no-purchase) rows are watermark-GATED: a click's
+    * outer row may only emit once the watermark proves no matching
+    * purchase can still arrive (click_ts + 10 min < watermark), so this
+    * must run against the sentinel-staged source
+    * ([[StreamingDeclared.stagedEventsSentinelDir]]) whose far-future
+    * final file pushes the watermark past every real event — otherwise
+    * the unmatched rows for the tail of the stream would sit in the join
+    * state forever (exactly what happens on a production stream that
+    * stops receiving events). maxFilesPerTrigger=1 makes each staged
+    * file its own microbatch; the no-data final microbatch after the
+    * sentinel performs the flush. The sentinel click itself (id −1) is
+    * the one row legitimately still stuck in state; callers filter it.
+    */
+  def streamStreamLeftOuter(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame = {
+    def src() = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(eventsRawSchema(spark, dir))
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+    val joined = clickPurchaseJoin(
+      src().filter(col("event_type") === "click"),
+      src().filter(col("event_type") === "purchase"),
+      joinType = "left_outer")
+    withStatePartitions(spark, 8) { runToMemory(joined, sinkName, OutputMode.Append()) }
+      .filter(col("click_id") >= 0)
   }
 
   /** Streaming exact dedup on event_id bounded by a watermark; returns

@@ -173,4 +173,19 @@ class StreamingSpec extends AnyFunSuite {
     // bucket b holds b, b+10, ..., b+9990: sum = 1000*b + 10*(0+..+999)
     assert(out.forall { case (b, _, s) => s === 1000L * b + 10L * (999L * 1000L / 2) })
   }
+
+  test("stream-stream LEFT OUTER join flushes watermark-gated null rows") {
+    val out = SparkEntry.queries("stream_stream_outer")(spark, sf)
+    val nulls = out.filter(col("purchase_id").isNull).count()
+    val matched = out.filter(col("purchase_id").isNotNull).count()
+    // real outer semantics: unmatched clicks surface as null rows, and
+    // the inner pairs agree with the inner-join streaming query
+    assert(nulls > 0, "no outer null rows flushed — watermark gating broke")
+    val inner = SparkEntry.queries("stream_stream_join")(spark, sf).count()
+    assert(matched === inner, s"outer matched $matched != inner $inner")
+    // every click appears at least once (left-preserving)
+    val clicks = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(out.select(col("click_id")).distinct().count() === clicks)
+  }
 }
