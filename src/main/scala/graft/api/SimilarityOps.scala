@@ -295,6 +295,38 @@ object SimilarityOps {
       .select(col("vec_id"), col("c_label").as("pred_label"))
   }
 
+  /** SemDeDup-style cluster-blocked near-duplicate pairs: k-means
+    * partitions the corpus, and the exact cosine-threshold scan runs
+    * only WITHIN each cluster — the pairwise cost drops from n² to
+    * Σ|cluster|², the semantic-dedup recipe for embedding-level
+    * duplicate pruning at corpus scale. Every reported pair is verified
+    * with the exact codegen dot, so the result is a SUBSET of the exact
+    * pair set by construction; pairs that straddle a cluster boundary
+    * are the (bounded, measured) recall loss.
+    */
+  def clusterBlockedPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nClusters: Int, iters: Int, probes: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(emb, idCol, vecCol, nClusters, iters)
+    val e = asDouble(emb, idCol, vecCol)
+    val opts = centroidOptions(centroids.map { case (cid, v) => (cid.toLong, v) })
+    // multi-assignment: each vector blocks into its `probes` nearest
+    // clusters — a pair is scanned if ANY cluster is shared (distinct
+    // below dedups multi-collisions). probes=1 is pure SemDeDup
+    // partitioning; probes=2 recovers most boundary-straddling pairs for
+    // ~probes² the candidate volume.
+    val assigned = e
+      .withColumn("probe", explode(slice(reverse(array_sort(opts)), 1, probes)))
+      .select(col("vec_id"), col("e"), (-col("probe.nc")).cast("int").as("cluster"))
+    assigned.select(col("cluster"), col("vec_id").as("id_a"), col("e").as("e_a"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("id_b"), col("e").as("e_b")),
+        Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(DotProduct.dot(col("e_a"), col("e_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
+  }
+
   /** Product-quantization ANN via Asymmetric Distance Computation: the
     * vector is split into `m` subspaces of dim/m, each subspace gets a
     * `ksub`-centroid codebook (Lloyd, batched across ALL subspaces in

@@ -160,6 +160,36 @@ object AnnQueries {
           queryPred = col("vec_id") < 10, k = 5, nClusters = 8, iters = 1, nprobe = 2),
         minHitNum = 3, minHitDen = 10)),
 
+    // SemDeDup-style semantic dedup: k-means cluster blocking bounds the
+    // exact cosine scan to within-cluster pairs; the keep-list drops any
+    // vector with a lower-id near-dup. Invariant report: exact pair
+    // count + exact keep-list size (both SQL-reproducible), blocked ⊆
+    // exact (structural — every blocked pair re-verified by the codegen
+    // dot), and a 0.5 recall floor vs the exact tier.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = graft.api.SimilarityOps
+        .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a"), col("id_b"))
+      val sem = graft.api.SimilarityOps
+        .clusterBlockedPairs(emb, "vec_id", "embedding",
+          threshold = 0.45, nClusters = 8, iters = 2)
+        .select(col("id_a"), col("id_b"))
+      val nonSubset = sem.join(exact, Seq("id_a", "id_b"), "left_anti")
+      val hit = exact.join(sem.withColumn("h", lit(1)), Seq("id_a", "id_b"), "left")
+      hit.agg(count(lit(1)).as("n_exact_pairs"),
+          sum(coalesce(col("h"), lit(0))).as("n_hit"))
+        .crossJoin(emb.agg(count(lit(1)).as("n_vecs")))
+        .crossJoin(exact.select(col("id_b")).distinct()
+          .agg(count(lit(1)).as("n_dropped")))
+        .crossJoin(nonSubset.agg((count(lit(1)) === 0).as("sem_subset_ok")))
+        .select(col("n_exact_pairs"),
+          (col("n_vecs") - col("n_dropped")).as("n_exact_kept"),
+          col("sem_subset_ok"),
+          (col("n_exact_pairs") === 0 || col("n_hit") * 2 >= col("n_exact_pairs"))
+            .as("recall_floor_met"))
+    }),
+
     // product-quantization ADC (16 subspaces × 16-centroid codebooks —
     // 16 bytes/vector, 16× compression): queries score corpus CODES via
     // per-query lookup tables, never raw vectors. Same invariant-report
@@ -259,6 +289,17 @@ object AnnQueries {
     "sim_ann_ivf" -> bruteTop1Sql,
     "sim_ann_kmeans" -> bruteTop1Sql,
     "sim_ann_pq" -> bruteTop1Sql,
+
+    "dedup_semantic" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) >= 0.45)
+        |SELECT (SELECT count(*) FROM p) AS n_exact_pairs,
+        |  (SELECT count(*) FROM embeddings)
+        |    - (SELECT count(DISTINCT id_b) FROM p) AS n_exact_kept,
+        |  true AS sem_subset_ok, true AS recall_floor_met""".stripMargin,
 
     "dedup_simhash" ->
       """SELECT 32 AS bits,

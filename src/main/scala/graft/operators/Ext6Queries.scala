@@ -80,6 +80,35 @@ object Ext6Queries {
         .orderBy(col("c_custkey"))
     }),
 
+    // pairwise correlation matrix of the four lineitem measures in ONE
+    // single-pass aggregate (6 co-moment pairs share the scan)
+    "agg_corr_matrix" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def r(a: String, b: String) =
+        round(corr(col(a), col(b)), 6).as(s"r_${a.drop(2)}_${b.drop(2)}")
+      li.agg(
+        r("l_quantity", "l_extendedprice"),
+        r("l_quantity", "l_discount"),
+        r("l_quantity", "l_tax"),
+        r("l_extendedprice", "l_discount"),
+        r("l_extendedprice", "l_tax"),
+        r("l_discount", "l_tax"))
+    }),
+
+    // printf-style formatting (format_string ↔ DuckDB printf): padded
+    // floats, hex keys, left-justified fields — the C-style subset both
+    // engines implement identically
+    "fn_format" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          format_string("key=%d", col("p_partkey")).as("kv"),
+          format_string("%012.2f", col("p_retailprice")).as("padded"),
+          format_string("%x", col("p_partkey")).as("hexkey"),
+          format_string("[%-12s]", col("p_brand")).as("left_just"),
+          format_string("%s/%05d", col("p_type"), col("p_size")).as("type_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // truncated-kernel EWMA (α=0.5, 8 taps) over each user's daily value
     // series: the IIR recurrence is re-expressed as a FINITE weighted
     // window (weights 0.5^j decay below 1% after 8 taps), because the
@@ -196,6 +225,25 @@ object Ext6Queries {
         |  CAST((length(c_name) // 16 + 1) * 16 AS INTEGER) AS cipher_len,
         |  c_name AS roundtrip, true AS match_ok
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "agg_corr_matrix" ->
+      """SELECT
+        |  round(corr(l_quantity, l_extendedprice), 6) AS r_quantity_extendedprice,
+        |  round(corr(l_quantity, l_discount), 6) AS r_quantity_discount,
+        |  round(corr(l_quantity, l_tax), 6) AS r_quantity_tax,
+        |  round(corr(l_extendedprice, l_discount), 6) AS r_extendedprice_discount,
+        |  round(corr(l_extendedprice, l_tax), 6) AS r_extendedprice_tax,
+        |  round(corr(l_discount, l_tax), 6) AS r_discount_tax
+        |FROM lineitem""".stripMargin,
+
+    "fn_format" ->
+      """SELECT p_partkey,
+        |  printf('key=%d', p_partkey) AS kv,
+        |  printf('%012.2f', p_retailprice) AS padded,
+        |  printf('%x', p_partkey) AS hexkey,
+        |  printf('[%-12s]', p_brand) AS left_just,
+        |  printf('%s/%05d', p_type, p_size) AS type_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "ts_ewma" -> {
       val num = (1 until 8).map(j =>

@@ -207,6 +207,15 @@ object StreamingDeclared {
           sinkName("q_stream_stream_join"))
         .orderBy(col("click_id"), col("purchase_id"))),
 
+    // update-mode tumbling agg over the two-file split source: per-batch
+    // changed-group emissions (the changelog a MERGE sink consumes),
+    // collapsed to final state for the oracle (count/nonneg-sum are
+    // monotone per key)
+    "stream_update_mode" -> ((s, dir) =>
+      StreamingJobs.tumblingUpdateMode(s, stagedEventsSplitDir(s, dir),
+          sinkName("q_stream_update"))._1
+        .orderBy(col("user_id"), col("win_start"))),
+
     // left-outer stream-stream join over the sentinel-staged 3-file
     // source: null rows are watermark-gated, so this exercises real
     // multi-batch watermark advancement + outer-state flush (see
@@ -438,6 +447,12 @@ object StreamingDeclared {
         |  AND b.event_type = 'purchase'
         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "stream_update_mode" ->
+      """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |  count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY user_id, win_start
+        |ORDER BY user_id, win_start""".stripMargin,
 
     "stream_stream_outer" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id

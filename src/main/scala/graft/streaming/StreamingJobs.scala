@@ -252,6 +252,33 @@ object StreamingJobs {
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
   }
 
+  /** Tumbling 1h per-user counts in UPDATE output mode over a
+    * multi-file source (one microbatch per staged file): each batch
+    * emits only the groups it CHANGED, so the sink accumulates several
+    * versions per key — the changelog shape a downstream upsert sink
+    * (foreachBatch MERGE) consumes. Returns the collapsed final state
+    * (count and nonneg-sum are monotone per key, so latest == max) plus
+    * the raw emission count, which a spec pins > final-key count to
+    * prove multi-emission actually happened.
+    */
+  def tumblingUpdateMode(spark: SparkSession, dir: String,
+      sinkName: String): (DataFrame, Long) = {
+    val src = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(eventsRawSchema(spark, dir))
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+    val agg = src
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("user_id"), col("window.start").as("win_start"),
+        col("n"), col("sum_value"))
+    val sink = withStatePartitions(spark, 8) {
+      runToMemory(agg, sinkName, OutputMode.Update())
+    }
+    val collapsed = sink.groupBy(col("user_id"), col("win_start"))
+      .agg(max(col("n")).as("n"), max(col("sum_value")).as("sum_value"))
+    (collapsed, sink.count())
+  }
+
   /** Stream-stream LEFT OUTER click⋈purchase join. Unlike the inner
     * variant, the null (no-purchase) rows are watermark-GATED: a click's
     * outer row may only emit once the watermark proves no matching
