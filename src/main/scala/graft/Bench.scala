@@ -31,6 +31,7 @@ object Bench {
     try {
       graft.operators.LlmQueries.warmStaging(spark, sfDir)
       graft.operators.AnalyticsQueries.warmStaging(spark, sfDir)
+      graft.streaming.StreamingDeclared.warmStaging(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] staging warmup failed: ${e.getMessage}")
     }

@@ -80,6 +80,20 @@ object Ext6Queries {
         .orderBy(col("c_custkey"))
     }),
 
+    // generator null semantics: posexplode_outer keeps a (null, null)
+    // row for NULL and EMPTY arrays where plain explode would drop the
+    // parent — the left-preserving flatten every nested-ingest pipeline
+    // needs (a dropped parent row is silent data loss at scale)
+    "fn_generators" -> ((s, dir) => {
+      val base = Tables.customer(s, dir).select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, array().cast("array<int>"))
+          .when(col("c_custkey") % 3 === 1, lit(null).cast("array<int>"))
+          .otherwise(array((col("c_custkey") % 5).cast("int"),
+            (col("c_custkey") % 7).cast("int"))).as("arr"))
+      base.select(col("c_custkey"), posexplode_outer(col("arr")).as(Seq("pos", "v")))
+        .orderBy(col("c_custkey"), col("pos"))
+    }),
+
     // pairwise correlation matrix of the four lineitem measures in ONE
     // single-pass aggregate (6 co-moment pairs share the scan)
     "agg_corr_matrix" -> ((s, dir) => {
@@ -225,6 +239,25 @@ object Ext6Queries {
         |  CAST((length(c_name) // 16 + 1) * 16 AS INTEGER) AS cipher_len,
         |  c_name AS roundtrip, true AS match_ok
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_generators" ->
+      """WITH b AS (
+        |  SELECT c_custkey,
+        |    CASE CAST(c_custkey % 3 AS INTEGER)
+        |      WHEN 0 THEN []::INTEGER[]
+        |      WHEN 1 THEN NULL
+        |      ELSE [CAST(c_custkey % 5 AS INTEGER), CAST(c_custkey % 7 AS INTEGER)]
+        |    END AS arr
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT c_custkey, unnest(
+        |    CASE WHEN arr IS NULL OR len(arr) = 0
+        |      THEN [{'pos': CAST(NULL AS INTEGER), 'v': CAST(NULL AS INTEGER)}]
+        |      ELSE list_transform(range(len(arr)),
+        |        i -> {'pos': CAST(i AS INTEGER), 'v': arr[i + 1]}) END,
+        |    recursive := true)
+        |  FROM b)
+        |ORDER BY c_custkey, pos""".stripMargin,
 
     "agg_corr_matrix" ->
       """SELECT

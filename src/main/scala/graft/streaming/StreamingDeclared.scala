@@ -167,6 +167,17 @@ object StreamingDeclared {
     dir.toString
   }
 
+  /** Pre-build every staged source directory (single-file, split,
+    * sentinel) outside a bench's timed region — same contract as
+    * LlmQueries.warmStaging: staging is shared infrastructure, its
+    * one-time build cost is not any single query's steady-state cost.
+    */
+  def warmStaging(s: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    stagedEventsDir(sfDir)
+    stagedEventsSplitDir(s, sfDir)
+    stagedEventsSentinelDir(s, sfDir)
+  }
+
   private var sinkCounter = 0
   private def sinkName(base: String): String = synchronized {
     sinkCounter += 1; s"${base}_$sinkCounter"

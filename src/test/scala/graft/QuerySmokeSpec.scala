@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (231 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 231)
-    assert(SparkEntry.oracleSql.size >= 231)
+  test("declared inventory is complete (233 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 233)
+    assert(SparkEntry.oracleSql.size >= 233)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
