@@ -198,6 +198,69 @@ object Ext6Queries {
         .orderBy(col("c_custkey"))
     }),
 
+    // rolling least-squares slope (trailing 5 rows) of order totalprice
+    // per customer — regr_* aggregates are frame-able window functions,
+    // so the rolling beta costs one keyed window sort like any moving
+    // agg. x is the in-partition row index (strictly increasing ⇒
+    // nonzero variance ⇒ no NULL-slope edge cases to diverge on).
+    "win_rolling_regr" -> ((s, dir) => {
+      val wRn = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRoll = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("roll_slope",
+          round(regr_slope(col("o_totalprice"), col("rn")).over(wRoll), 6))
+        .withColumn("roll_n", count(lit(1)).over(wRoll))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+          col("roll_slope"), col("roll_n"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Gopher-style quality gate: word count / mean word length / symbol
+    // ratio / stopword fraction rules in one codegen projection — each
+    // signal is row-local string arithmetic, the whole filter is one
+    // scan with zero shuffles at any corpus size
+    "text_gopher_rules" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val words = split(col("text"), " ")
+      val nWords = size(words)
+      val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+      val symRatio = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+        .cast("double") / nWords
+      val stopFrac = size(filter(split(lower(col("text")), " "),
+        w => w.isin("the", "of", "and", "to", "a", "in", "is"))).cast("double") / nWords
+      docs.select(col("doc_id"),
+          nWords.as("n_words"),
+          round(meanLen, 6).as("mean_word_len"),
+          round(symRatio, 6).as("symbol_ratio"),
+          round(stopFrac, 6).as("stopword_frac"))
+        .withColumn("keep",
+          col("n_words") >= 30 &&
+          col("mean_word_len").between(3.8, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("stopword_frac") > 0.02)
+        .orderBy(col("doc_id"))
+    }),
+
+    // error-safe arithmetic: try_divide/try_add/try_element_at return
+    // NULL where ANSI mode would throw — the poison-row guard for
+    // arithmetic, the way PERMISSIVE is for parsing
+    "fn_try" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(try_divide(col("l_extendedprice"),
+            (col("l_linenumber") - 3).cast("double")), 6).as("div_guarded"),
+          try_add(lit(Long.MaxValue), col("l_orderkey")).as("add_ovf"),
+          try_element_at(split(col("l_returnflag"), ""), lit(99)).as("elem_oob"),
+          expr("try_cast(l_returnflag AS INT)").as("cast_bad"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // running distinct-event-type count per user over event time
     "win_running_distinct" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -239,6 +302,47 @@ object Ext6Queries {
         |  CAST((length(c_name) // 16 + 1) * 16 AS INTEGER) AS cipher_len,
         |  c_name AS roundtrip, true AS match_ok
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "win_rolling_regr" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, rn,
+        |  round(regr_slope(o_totalprice, rn) OVER w, 6) AS roll_slope,
+        |  count(*) OVER w AS roll_n
+        |FROM r WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "text_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 6) AS mean_word_len,
+        |    round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 6) AS symbol_ratio,
+        |    round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |        w -> w IN ('the','of','and','to','a','in','is'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 6) AS stopword_frac
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
+        |  symbol_ratio, stopword_frac,
+        |  (n_words >= 30 AND mean_word_len BETWEEN 3.8 AND 10.0
+        |    AND symbol_ratio <= 0.1 AND stopword_frac > 0.02) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "fn_try" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber = 3 THEN NULL
+        |       ELSE round(l_extendedprice / (l_linenumber - 3), 6) END AS div_guarded,
+        |  CASE WHEN l_orderkey > 0 THEN NULL
+        |       ELSE 9223372036854775807 + l_orderkey END AS add_ovf,
+        |  CAST(NULL AS VARCHAR) AS elem_oob,
+        |  TRY_CAST(l_returnflag AS INTEGER) AS cast_bad
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "fn_generators" ->
       """WITH b AS (
