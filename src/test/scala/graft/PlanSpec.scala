@@ -395,4 +395,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"probe must be a hash join on the shingle, not a pair scan:\n$p")
   }
+
+  test("ts_ewma rides ONE keyed exchange: daily agg partitioning feeds the lag window") {
+    // groupBy(user, day) hash-partitions on (user, day); the window
+    // re-partitions on user — the agg's exchange plus the window's, and
+    // not one per lag term (8 taps share a single Sort)
+    val p = plan("ts_ewma")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed <= 2, s"expected agg + window exchanges only, got $keyed:\n$p")
+    assert("Window".r.findAllIn(p).length <= 2, s"all lag taps must share one Window:\n$p")
+  }
+
+  test("win_rolling_regr shares one exchange+sort across rn and the rolling frame") {
+    val p = plan("win_rolling_regr")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1, s"both windows partition on o_custkey — one exchange, got $keyed:\n$p")
+    val sorts = "\\[Sort ".r.findAllIn(p).length
+    assert("Sort ".r.findAllIn(p).length <= 2, s"same ordering must reuse the sort:\n$p")
+  }
+
+  test("text_gopher_rules is one shuffle-free codegen projection") {
+    val p = plan("text_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quality gate is row-local; only the output sort may shuffle:\n$p")
+    // all four signals are built-in string/array expressions (no UDF), so
+    // the projection stays codegen-eligible
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"), p)
+  }
+
+  test("win_running_distinct pays exactly its two keyed window exchanges") {
+    val p = plan("win_running_distinct")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 2, s"(user,type) flag window + (user) running window, got $keyed:\n$p")
+  }
+
+  test("sim_ann_pq scores codes against a BROADCAST lookup table (ADC)") {
+    val p = plan("sim_ann_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-query lookup tables must broadcast against the code table:\n$p")
+  }
 }
