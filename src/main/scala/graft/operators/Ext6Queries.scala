@@ -198,6 +198,52 @@ object Ext6Queries {
         .orderBy(col("c_custkey"))
     }),
 
+    // map higher-order functions: map_zip_with / transform_keys /
+    // transform_values / map_filter / map_concat — all codegen-eligible
+    // lambdas; outputs are element_at scalars so the oracle reproduces
+    // them without MAP literals (engine map syntaxes differ)
+    "fn_map2" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .withColumn("m1", map(lit("bal"), col("c_acctbal"), lit("key"),
+          col("c_custkey").cast("double")))
+        .withColumn("m2", map(lit("bal"), lit(100.0), lit("key"), lit(2.0)))
+        .select(col("c_custkey"),
+          round(element_at(expr("map_zip_with(m1, m2, (k, a, b) -> a + b)"), "bal"), 2)
+            .as("zipped_bal"),
+          element_at(expr("transform_values(m1, (k, v) -> v * 2)"), "key").as("doubled_key"),
+          element_at(expr("transform_keys(m1, (k, v) -> upper(k))"), "BAL").as("upper_bal"),
+          size(expr("map_filter(m1, (k, v) -> v > 0)")).as("n_positive"),
+          size(expr("map_concat(m1, map('extra', 1.0D))")).as("n_concat"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // pivot with MULTIPLE aggregates per pivot value (count + sum column
+    // explosion) — one expand+hash-agg pass, domain pinned so no extra
+    // distinct job runs at any scale
+    "reshape_pivot_multi" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec2(col("l_quantity"))).cast("double").as("qty"))
+        .select(col("l_linestatus"),
+          col("A_n").as("a_n"), col("A_qty").as("a_qty"),
+          col("N_n").as("n_n"), col("N_qty").as("n_qty"),
+          col("R_n").as("r_n"), col("R_qty").as("r_qty"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // catalog surface: temp views + pure-SQL multi-view join through
+    // spark.sql — the notebook/BI entry path over the same engine
+    "sql_temp_view" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders_e6")
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer_e6")
+      s.sql("""SELECT c.c_mktsegment, count(*) AS n_orders,
+              |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM v_orders_e6 o JOIN v_customer_e6 c ON o.o_custkey = c.c_custkey
+              |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+    }),
+
     // rolling least-squares slope (trailing 5 rows) of order totalprice
     // per customer — regr_* aggregates are frame-able window functions,
     // so the rolling beta costs one keyed window sort like any moving
@@ -302,6 +348,32 @@ object Ext6Queries {
         |  CAST((length(c_name) // 16 + 1) * 16 AS INTEGER) AS cipher_len,
         |  c_name AS roundtrip, true AS match_ok
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_map2" ->
+      """SELECT c_custkey,
+        |  round(c_acctbal + 100.0, 2) AS zipped_bal,
+        |  CAST(c_custkey AS DOUBLE) * 2 AS doubled_key,
+        |  c_acctbal AS upper_bal,
+        |  CAST((CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN c_custkey > 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_positive,
+        |  CAST(3 AS INTEGER) AS n_concat
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "reshape_pivot_multi" ->
+      """SELECT l_linestatus,
+        |  count(*) FILTER (l_returnflag = 'A') AS a_n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'A') AS DOUBLE) AS a_qty,
+        |  count(*) FILTER (l_returnflag = 'N') AS n_n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'N') AS DOUBLE) AS n_qty,
+        |  count(*) FILTER (l_returnflag = 'R') AS r_n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'R') AS DOUBLE) AS r_qty
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "sql_temp_view" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
     "win_rolling_regr" ->
       """WITH r AS (

@@ -227,6 +227,13 @@ object StreamingDeclared {
           sinkName("q_stream_update"))._1
         .orderBy(col("user_id"), col("win_start"))),
 
+    // full-outer twin: unmatched purchases surface too (watermark-gated
+    // on both sides, same sentinel flush)
+    "stream_stream_full_outer" -> ((s, dir) =>
+      StreamingJobs.streamStreamFullOuter(s, stagedEventsSentinelDir(s, dir),
+          sinkName("q_stream_stream_fouter"))
+        .orderBy(col("click_id"), col("purchase_id"))),
+
     // left-outer stream-stream join over the sentinel-staged 3-file
     // source: null rows are watermark-gated, so this exercises real
     // multi-batch watermark advancement + outer-state flush (see
@@ -464,6 +471,15 @@ object StreamingDeclared {
         |  count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY user_id, win_start
         |ORDER BY user_id, win_start""".stripMargin,
+
+    "stream_stream_full_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  coalesce(c.user_id, p.user_id) AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "stream_stream_outer" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id

@@ -249,7 +249,8 @@ object StreamingJobs {
         col("purchase_ts") > col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
         joinType)
-      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("c_user"), col("p_user")).as("user_id"))
   }
 
   /** Tumbling 1h per-user counts in UPDATE output mode over a
@@ -277,6 +278,25 @@ object StreamingJobs {
     val collapsed = sink.groupBy(col("user_id"), col("win_start"))
       .agg(max(col("n")).as("n"), max(col("sum_value")).as("sum_value"))
     (collapsed, sink.count())
+  }
+
+  /** FULL outer variant of [[streamStreamLeftOuter]]: unmatched rows on
+    * BOTH sides are watermark-gated; the same sentinel staging flushes
+    * them. Sentinel rows (negative ids) filter out on whichever side
+    * they surface.
+    */
+  def streamStreamFullOuter(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame = {
+    def src() = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(eventsRawSchema(spark, dir))
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+    val joined = clickPurchaseJoin(
+      src().filter(col("event_type") === "click"),
+      src().filter(col("event_type") === "purchase"),
+      joinType = "full_outer")
+    withStatePartitions(spark, 8) { runToMemory(joined, sinkName, OutputMode.Append()) }
+      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0)
   }
 
   /** Stream-stream LEFT OUTER click⋈purchase join. Unlike the inner
