@@ -121,7 +121,13 @@ object ScaleBench {
     "graph_pagerank",
     // round-5 late additions: one-window-pass as-of (linear), k-bounded
     // heap agg (linear), depth-bounded recursive BFS (edge-build linear)
-    "join_asof_nearest", "agg_topk_heap", "graph_bfs_rcte")
+    "join_asof_nearest", "agg_topk_heap", "graph_bfs_rcte",
+    // round-6 additions: PQ ANN (linear code scan), CMS sketch (const
+    // partials), EWMA / running-distinct / rolling-regr (one keyed
+    // window pass each), Gopher gate (pure projection), regression
+    // aggregates (single-pass co-moments)
+    "sim_ann_pq", "sketch_cms", "ts_ewma", "win_running_distinct",
+    "win_rolling_regr", "text_gopher_rules", "agg_regression")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/
@@ -138,7 +144,10 @@ object ScaleBench {
     "dedup_incremental",
     // full ordered-pair scan BY DESIGN (containment has no size band);
     // the LSH-candidate composition is its scale twin
-    "dedup_containment")
+    "dedup_containment",
+    // contains the exact n^2 pair scan as its in-band baseline BY DESIGN
+    // (clusterBlockedPairs alone is the linear scale path)
+    "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

@@ -244,6 +244,46 @@ object Ext6Queries {
               |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
     }),
 
+    // rolling median (trailing 5 rows) of order totalprice per customer
+    // — median() itself cannot take a frame in Spark, but the exact
+    // percentile(x, 0.5) aggregate can: the robust-stats companion to
+    // the rolling mean, one keyed window sort like any moving agg
+    "win_rolling_median" -> ((s, dir) => {
+      val wRn = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRoll = wRn.rowsBetween(-4, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("roll_med",
+          round(percentile(col("o_totalprice"), lit(0.5)).over(wRoll), 2))
+        // full frames only: an odd (5-element) window's median is an
+        // exact data point — even-count frames interpolate, and the two
+        // engines' a+(b-a)/2 vs (a+b)/2 differ in the last ulp right at
+        // a cent boundary (observed at sf0.001)
+        .filter(col("rn") >= 5)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("roll_med"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // null-safe equality join (<=>): NULL keys match each other instead
+    // of vanishing — the dimension-join behavior "unknown bucket" rows
+    // need; both sides pre-aggregate so the join is group-sized
+    "join_null_safe" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .groupBy(nullif(col("user_id") % 7, lit(0)).as("k"))
+        .agg(count(lit(1)).as("n_events"))
+      val cu = Tables.customer(s, dir)
+        .groupBy(nullif(col("c_custkey") % 7, lit(0)).as("k"))
+        .agg(count(lit(1)).as("n_cust"))
+      ev.join(cu, ev("k") <=> cu("k"), "full_outer")
+        .select(coalesce(ev("k"), cu("k")).as("k_val"),
+          (ev("k").isNull && cu("k").isNull).as("is_null_bucket"),
+          col("n_events"), col("n_cust"))
+        .orderBy(col("is_null_bucket"), col("k_val"))
+    }),
+
     // rolling least-squares slope (trailing 5 rows) of order totalprice
     // per customer — regr_* aggregates are frame-able window functions,
     // so the rolling beta costs one keyed window sort like any moving
@@ -374,6 +414,32 @@ object Ext6Queries {
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    "win_rolling_median" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, rn,
+        |    round(quantile_cont(o_totalprice, 0.5) OVER w, 2) AS roll_med
+        |  FROM r WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |WHERE rn >= 5 ORDER BY o_custkey, rn""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH e AS (
+        |  SELECT nullif(user_id % 7, 0) AS k, count(*) AS n_events
+        |  FROM events GROUP BY nullif(user_id % 7, 0)),
+        |c AS (
+        |  SELECT nullif(c_custkey % 7, 0) AS k, count(*) AS n_cust
+        |  FROM customer GROUP BY nullif(c_custkey % 7, 0))
+        |SELECT coalesce(e.k, c.k) AS k_val,
+        |  (e.k IS NULL AND c.k IS NULL) AS is_null_bucket,
+        |  n_events, n_cust
+        |FROM e FULL JOIN c ON e.k IS NOT DISTINCT FROM c.k
+        |ORDER BY is_null_bucket, k_val""".stripMargin,
 
     "win_rolling_regr" ->
       """WITH r AS (
