@@ -127,7 +127,8 @@ object ScaleBench {
     // window pass each), Gopher gate (pure projection), regression
     // aggregates (single-pass co-moments)
     "sim_ann_pq", "sketch_cms", "ts_ewma", "win_running_distinct",
-    "win_rolling_regr", "text_gopher_rules", "agg_regression")
+    "win_rolling_regr", "win_rolling_median", "text_gopher_rules",
+    "agg_regression")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

@@ -168,13 +168,18 @@ object AnnQueries {
     // dot), and a 0.5 recall floor vs the exact tier.
     "dedup_semantic" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // both pair frames feed TWO report branches (subset anti-join +
+      // recall hit-join) — cache so each pair scan runs once, not twice;
+      // the harness clears the session cache after every query
       val exact = graft.api.SimilarityOps
         .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.45)
         .select(col("id_a"), col("id_b"))
+        .cache()
       val sem = graft.api.SimilarityOps
         .clusterBlockedPairs(emb, "vec_id", "embedding",
           threshold = 0.45, nClusters = 8, iters = 2)
         .select(col("id_a"), col("id_b"))
+        .cache()
       val nonSubset = sem.join(exact, Seq("id_a", "id_b"), "left_anti")
       val hit = exact.join(sem.withColumn("h", lit(1)), Seq("id_a", "id_b"), "left")
       hit.agg(count(lit(1)).as("n_exact_pairs"),
