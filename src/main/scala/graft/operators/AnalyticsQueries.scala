@@ -772,6 +772,23 @@ object AnalyticsQueries {
         GROUP BY node ORDER BY node""")
     }),
 
+    // node similarity via common neighbors: the link-prediction /
+    // related-items primitive over the co-purchase graph. One
+    // shared-neighbor equi-join on the bidirectional adjacency — cost
+    // Σd² (wedge count), never a node-pair cross scan; the same
+    // degree-bounding as triangles applies if a hub appears at scale.
+    "graph_common_neighbors" -> ((s, dir) => {
+      val e = edges1996(s, dir)
+      val adj = e.select(col("u").as("n"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("n"), col("u").as("nbr")))
+      adj.select(col("n").as("a"), col("nbr"))
+        .join(adj.select(col("n").as("b"), col("nbr")), "nbr")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+        .orderBy(desc("common"), col("a"), col("b"))
+        .limit(10)
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       val e = edges1996(s, dir).cache()
       val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
@@ -1283,6 +1300,19 @@ object AnalyticsQueries {
         |  WHERE w.dist < 2)
         |SELECT node, min(dist) AS dist FROM walk
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "graph_common_neighbors" ->
+      """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |              AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM le a JOIN le b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |p AS (SELECT x.n AS a, y.n AS b, count(*) AS common
+        |      FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.n < y.n
+        |      GROUP BY x.n, y.n)
+        |SELECT a, b, common FROM p
+        |ORDER BY common DESC, a, b LIMIT 10""".stripMargin,
 
     "graph_triangles" ->
       """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

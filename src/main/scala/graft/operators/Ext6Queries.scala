@@ -198,6 +198,48 @@ object Ext6Queries {
         .orderBy(col("c_custkey"))
     }),
 
+    // discrete (no-interpolation) percentiles: percentile_disc WITHIN
+    // GROUP picks an actual data value — the right quantile for prices
+    // and latencies where an interpolated value never occurred
+    "agg_percentile_disc" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // JSON construction + navigation roundtrip: each engine builds its
+    // OWN json string and extracts from it (raw json never crosses the
+    // compare, so float-rendering differences can't bite — money rides
+    // as integer cents)
+    "fn_json2" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("j", to_json(struct(
+          col("o_orderkey").as("k"),
+          (Tables.dec2(col("o_totalprice")) * 100).cast("long").as("cents"),
+          array(col("o_orderstatus"), col("o_orderpriority")).as("tags"))))
+        .select(col("o_orderkey"),
+          get_json_object(col("j"), "$.cents").cast("long").as("cents"),
+          get_json_object(col("j"), "$.tags[1]").as("tag2"),
+          json_array_length(get_json_object(col("j"), "$.tags")).as("n_tags"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // explicit SHUFFLE_HASH join hint: skip the sort phase of SMJ when
+    // one side comfortably hash-builds per partition — the hint surface
+    // an operator who knows their data uses (plan-asserted in PlanSpec)
+    "join_hint_shj" -> ((s, dir) => {
+      Tables.lineitem(s, dir).hint("SHUFFLE_HASH")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(Tables.dec2(col("l_extendedprice"))).cast("double").as("gross"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // map higher-order functions: map_zip_with / transform_keys /
     // transform_values / map_filter / map_concat — all codegen-eligible
     // lambdas; outputs are element_at scalars so the oracle reproduces
@@ -388,6 +430,26 @@ object Ext6Queries {
         |  CAST((length(c_name) // 16 + 1) * 16 AS INTEGER) AS cipher_len,
         |  c_name AS roundtrip, true AS match_ok
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "agg_percentile_disc" ->
+      """SELECT o_orderstatus,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "fn_json2" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  o_orderpriority AS tag2,
+        |  CAST(2 AS INTEGER) AS n_tags
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "join_hint_shj" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "fn_map2" ->
       """SELECT c_custkey,

@@ -218,6 +218,20 @@ object StreamingDeclared {
           sinkName("q_stream_stream_join"))
         .orderBy(col("click_id"), col("purchase_id"))),
 
+    // per-window leaderboard over the streaming aggregation's final
+    // state: complete-mode tumbling counts ranked to top-3 users per
+    // window — the dashboard tier riding directly on the sink table
+    "stream_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sink = StreamingJobs.tumbling(s, stagedEventsDir(dir),
+        sinkName("q_stream_wtopk"))
+      val w = Window.partitionBy(col("win_start"))
+        .orderBy(desc("n"), col("user_id"))
+      sink.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("win_start"), col("rk"), col("user_id"), col("n"))
+        .orderBy(col("win_start"), col("rk"))
+    }),
+
     // update-mode tumbling agg over the two-file split source: per-batch
     // changed-group emissions (the changelog a MERGE sink consumes),
     // collapsed to final state for the oracle (count/nonneg-sum are
@@ -465,6 +479,19 @@ object StreamingDeclared {
         |  AND b.event_type = 'purchase'
         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "stream_window_topk" ->
+      """WITH c AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |    count(*) AS n
+        |  FROM events GROUP BY user_id, win_start),
+        |r AS (
+        |  SELECT win_start, user_id, n,
+        |    row_number() OVER (PARTITION BY win_start
+        |      ORDER BY n DESC, user_id) AS rk
+        |  FROM c)
+        |SELECT win_start, rk, user_id, n FROM r WHERE rk <= 3
+        |ORDER BY win_start, rk""".stripMargin,
 
     "stream_update_mode" ->
       """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,

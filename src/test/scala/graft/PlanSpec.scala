@@ -429,6 +429,12 @@ class PlanSpec extends AnyFunSuite {
     assert(keyed == 2, s"(user,type) flag window + (user) running window, got $keyed:\n$p")
   }
 
+  test("join_hint_shj honors the SHUFFLE_HASH hint (no sort-merge phase)") {
+    val p = plan("join_hint_shj")
+    assert(p.contains("ShuffledHashJoin"), s"hint must pick SHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ despite hint:\n$p")
+  }
+
   test("sim_ann_pq scores codes against a BROADCAST lookup table (ADC)") {
     val p = plan("sim_ann_pq")
     assert(p.contains("BroadcastHashJoin"),
