@@ -198,6 +198,19 @@ object Ext6Queries {
         .orderBy(col("c_custkey"))
     }),
 
+    // native ordered listagg (Spark 4.0 WITHIN GROUP) — the SQL-standard
+    // spelling of agg_string's collect+sort+join; one shuffle, ordered
+    // deterministically inside the aggregate
+    "agg_listagg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 100 === 0)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("listagg(o_orderpriority, '|') WITHIN GROUP " +
+          "(ORDER BY o_orderpriority, o_orderkey)").as("prios"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // discrete (no-interpolation) percentiles: percentile_disc WITHIN
     // GROUP picks an actual data value — the right quantile for prices
     // and latencies where an interpolated value never occurred
@@ -430,6 +443,14 @@ object Ext6Queries {
         |  CAST((length(c_name) // 16 + 1) * 16 AS INTEGER) AS cipher_len,
         |  c_name AS roundtrip, true AS match_ok
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "agg_listagg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(o_orderpriority, '|'
+        |    ORDER BY o_orderpriority, o_orderkey) AS prios,
+        |  count(*) AS n
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "agg_percentile_disc" ->
       """SELECT o_orderstatus,

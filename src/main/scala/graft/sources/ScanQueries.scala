@@ -120,6 +120,19 @@ object ScanQueries {
           sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"))
     }),
 
+    // recursive directory ingest with a glob filter: sweep every parquet
+    // part under a nested hive layout WITHOUT partition inference
+    // (recursiveFileLookup drops the directory-derived columns — the
+    // raw-sweep mode for auditing exactly what bytes are on disk)
+    "scan_glob_filter" -> ((s, dir) => {
+      val path = ordersByPrioDir(s, dir)
+      s.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
     "src_json_roundtrip" -> ((s, dir) => {
       val path = tmp("region_json")
       Tables.region(s, dir).write.mode("overwrite").json(path)
@@ -309,6 +322,11 @@ object ScanQueries {
 
     "src_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "scan_glob_filter" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders""".stripMargin,
 
     "src_csv_permissive" ->
       """SELECT count(*) + 2 AS n_rows, CAST(2 AS BIGINT) AS n_bad,

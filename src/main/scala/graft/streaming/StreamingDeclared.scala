@@ -218,6 +218,10 @@ object StreamingDeclared {
           sinkName("q_stream_stream_join"))
         .orderBy(col("click_id"), col("purchase_id"))),
 
+    // global no-key streaming aggregate (one state row, complete mode)
+    "stream_global_agg" -> ((s, dir) =>
+      StreamingJobs.globalAgg(s, stagedEventsDir(dir), sinkName("q_stream_gagg"))),
+
     // per-window leaderboard over the streaming aggregation's final
     // state: complete-mode tumbling counts ranked to top-3 users per
     // window — the dashboard tier riding directly on the sink table
@@ -479,6 +483,16 @@ object StreamingDeclared {
         |  AND b.event_type = 'purchase'
         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "stream_global_agg" ->
+      """SELECT count(*) AS n_events, round(sum(value), 6) AS sum_value,
+        |  max(user_id) AS max_user
+        |FROM events""".stripMargin,
+
+    "stream_global_agg" ->
+      """SELECT count(*) AS n_events, round(sum(value), 6) AS sum_value,
+        |  max(user_id) AS max_user
+        |FROM events""".stripMargin,
 
     "stream_window_topk" ->
       """WITH c AS (

@@ -83,6 +83,18 @@ object StreamingJobs {
     withStatePartitions(spark, 8) { runToMemory(agg, sinkName, OutputMode.Complete()) }
   }
 
+  /** Global (no-key) streaming aggregate in complete mode: a single
+    * all-stream state row — the running-totals tile every streaming
+    * dashboard has. One state-store entry regardless of stream size.
+    */
+  def globalAgg(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    val agg = readEventsStream(spark, dir)
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"),
+        max(col("user_id")).as("max_user"))
+    withStatePartitions(spark, 8) { runToMemory(agg, sinkName, OutputMode.Complete()) }
+  }
+
   /** Tumbling 1h per-user counts driven through MULTIPLE real
     * microbatches: the source directory holds several staged event files
     * and the scan is throttled to one file per trigger, so the
