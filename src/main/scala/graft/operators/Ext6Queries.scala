@@ -4,8 +4,12 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-6 additions: regression aggregates, interval arithmetic,
-  * AES column crypto, and running-distinct window navigation.
+/** Round-6 operator pack: regression/correlation aggregates (grouped,
+  * global-matrix, rolling), discrete percentiles, native listagg,
+  * Count-Min sketch report, EWMA, running-distinct / rolling-median
+  * windows, null-safe and hint-forced joins, interval / AES / printf /
+  * collation / try_* / map-HOF / JSON / generator function packs,
+  * Gopher quality rules, and the temp-view SQL path.
   *
   * Scale notes:
   * - agg_regression: regr_* are single-pass mergeable co-moment

@@ -218,6 +218,11 @@ object StreamingDeclared {
           sinkName("q_stream_stream_join"))
         .orderBy(col("click_id"), col("purchase_id"))),
 
+    // durable parquet file sink (exactly-once commit log) + read-back
+    "stream_file_sink" -> ((s, dir) =>
+      StreamingJobs.fileSinkTumbling(s, stagedEventsDir(dir))
+        .orderBy(col("user_id"), col("win_start"))),
+
     // global no-key streaming aggregate (one state row, complete mode)
     "stream_global_agg" -> ((s, dir) =>
       StreamingJobs.globalAgg(s, stagedEventsDir(dir), sinkName("q_stream_gagg"))),
@@ -484,10 +489,28 @@ object StreamingDeclared {
         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
 
+    "stream_file_sink" ->
+      """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |  count(*) AS n
+        |FROM events
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+        |  <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |GROUP BY user_id, win_start
+        |ORDER BY user_id, win_start""".stripMargin,
+
     "stream_global_agg" ->
       """SELECT count(*) AS n_events, round(sum(value), 6) AS sum_value,
         |  max(user_id) AS max_user
         |FROM events""".stripMargin,
+
+    "stream_file_sink" ->
+      """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |  count(*) AS n
+        |FROM events
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+        |  <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |GROUP BY user_id, win_start
+        |ORDER BY user_id, win_start""".stripMargin,
 
     "stream_global_agg" ->
       """SELECT count(*) AS n_events, round(sum(value), 6) AS sum_value,

@@ -83,6 +83,36 @@ object StreamingJobs {
     withStatePartitions(spark, 8) { runToMemory(agg, sinkName, OutputMode.Complete()) }
   }
 
+  /** Durable FILE sink: watermarked append-mode tumbling agg written to
+    * a parquet directory with a checkpoint (exactly-once via the sink
+    * commit log), then read back as a batch frame. Unlike AvailableNow,
+    * a started query + processAllAvailable DOES execute the trailing
+    * no-data microbatch, so windows closed under the final watermark
+    * (max ts − 10 min) land in the files — same emission contract as
+    * stream_watermark_late, now surviving in durable storage. Fresh
+    * sink+checkpoint dirs per run: a stale checkpoint pins its committed
+    * source path and offsets.
+    */
+  def fileSinkTumbling(spark: SparkSession, eventsDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_fsink_")
+    val out = base.resolve("out").toString
+    val chk = base.resolve("chk").toString
+    val agg = readEventsStream(spark, eventsDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("window.start").as("win_start"), col("n"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(out)
+  }
+
   /** Global (no-key) streaming aggregate in complete mode: a single
     * all-stream state row — the running-totals tile every streaming
     * dashboard has. One state-store entry regardless of stream size.
