@@ -128,7 +128,7 @@ object ScaleBench {
     // aggregates (single-pass co-moments)
     "sim_ann_pq", "sketch_cms", "ts_ewma", "win_running_distinct",
     "win_rolling_regr", "win_rolling_median", "text_gopher_rules",
-    "agg_regression")
+    "agg_regression", "agg_percentile_disc", "graph_common_neighbors")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/
