@@ -35,7 +35,8 @@ object SparkEntry {
     (MiscQueries.queries, MiscQueries.oracle),
     (TsQueries.queries, TsQueries.oracle),
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
-    (Ext6Queries.queries, Ext6Queries.oracle)
+    (Ext6Queries.queries, Ext6Queries.oracle),
+    (Ext7Queries.queries, Ext7Queries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

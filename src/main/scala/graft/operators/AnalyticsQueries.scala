@@ -789,6 +789,27 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // Jaccard node similarity: common / (deg_a + deg_b − common) —
+    // normalizes common-neighbors by the union size so hubs don't
+    // dominate. Same Σd² wedge join plus a broadcast-sized degree map;
+    // all inputs are exact longs so the ratio is deterministic.
+    "graph_jaccard" -> ((s, dir) => {
+      val e = edges1996(s, dir)
+      val adj = e.select(col("u").as("n"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("n"), col("u").as("nbr")))
+      val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+      adj.select(col("n").as("a"), col("nbr"))
+        .join(adj.select(col("n").as("b"), col("nbr")), "nbr")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(col("a"), col("b"), col("common"),
+          round(col("common") / (col("da") + col("db") - col("common")), 6).as("jac"))
+        .orderBy(desc("jac"), col("a"), col("b"))
+        .limit(10)
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       val e = edges1996(s, dir).cache()
       val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
@@ -1313,6 +1334,22 @@ object AnalyticsQueries {
         |      GROUP BY x.n, y.n)
         |SELECT a, b, common FROM p
         |ORDER BY common DESC, a, b LIMIT 10""".stripMargin,
+
+    "graph_jaccard" ->
+      """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |              AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM le a JOIN le b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+        |p AS (SELECT x.n AS a, y.n AS b, count(*) AS common
+        |      FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.n < y.n
+        |      GROUP BY x.n, y.n)
+        |SELECT p.a, p.b, p.common,
+        |  round(p.common / (da.d + db.d - p.common), 6) AS jac
+        |FROM p JOIN deg da ON da.n = p.a JOIN deg db ON db.n = p.b
+        |ORDER BY jac DESC, p.a, p.b LIMIT 10""".stripMargin,
 
     "graph_triangles" ->
       """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

@@ -440,4 +440,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"per-query lookup tables must broadcast against the code table:\n$p")
   }
+
+  test("dedup_fuzzy compares within blocks on DISTINCT names, never a row pair scan") {
+    val p = plan("dedup_fuzzy")
+    // the Levenshtein comparisons must sit above a names-level aggregate
+    // (vocabulary-bounded), with the block key as the join key
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked fuzzy join must be an equi-join on blk:\n$p")
+    assert(p.contains("HashAggregate"), s"distinct-names collapse missing:\n$p")
+  }
+
+  test("win_gap_islands is one distinct + one keyed window sort, no self-join") {
+    val p = plan("win_gap_islands")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"islands must come from the row_number trick, not a neighbor join:\n$p")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed <= 2, s"distinct agg + custkey window only, got $keyed:\n$p")
+  }
+
+  test("ts_seasonal_naive shifts by equi-join on (type, day-7), not a theta scan") {
+    val p = plan("ts_seasonal_naive")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"seasonal shift must be an equi-join:\n$p")
+  }
 }
