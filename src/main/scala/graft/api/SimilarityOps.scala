@@ -177,6 +177,61 @@ object SimilarityOps {
       .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Maximal Marginal Relevance re-ranking: greedily select `k` of the
+    * `nCand` most query-similar vectors, trading relevance against
+    * redundancy — score(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s). The
+    * retrieval-diversification tail every RAG pipeline hangs behind its
+    * ANN index.
+    *
+    * Scale shape: the candidate fetch is ONE linear scan + global top-k
+    * (TakeOrderedAndProject) — at 100 TB you'd swap it for [[ivfTopK]] /
+    * LSH and keep the tail unchanged. Everything after the fetch is
+    * candidate-sized: the pairwise sim frame is nCand² rows and each
+    * greedy step is a join over ≤ nCand rows, so the k−1 iterations add
+    * constant-size plan nodes, never another corpus scan. Deterministic:
+    * rel and sims are rounded to 6dp before scoring, ties break on
+    * vec_id.
+    *
+    * The query vector is the corpus's lowest-id embedding (a stand-in
+    * for a user query arriving at runtime).
+    */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String,
+      nCand: Int, k: Int, lambda: Double): DataFrame = {
+    val e = asDouble(emb, idCol, vecCol)
+    val q = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("q_id"), col("e").as("q_e"))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("e"),
+        round(DotProduct.dot(col("e"), col("q_e")), 6).as("rel"))
+      .orderBy(desc("rel"), col("vec_id")).limit(nCand)
+    val sims = cand.select(col("vec_id").as("ia"), col("e").as("e_a"))
+      .join(cand.select(col("vec_id").as("ib"), col("e").as("e_b")),
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(DotProduct.dot(col("e_a"), col("e_b")), 6).as("sim"))
+    val rel = cand.select(col("vec_id"), col("rel"))
+    var selected = cand
+      .orderBy(desc("rel"), col("vec_id")).limit(1)
+      .select(col("vec_id"), lit(1).as("rank"), col("rel").cast("double").as("score"))
+    for (step <- 2 to k) {
+      val selIds = selected.select(col("vec_id").as("sid"))
+      val next = rel
+        .join(broadcast(selIds), col("vec_id") === col("sid"), "left_anti")
+        .join(sims, col("ia") === col("vec_id"))
+        .join(broadcast(selected.select(col("vec_id").as("sid2"))),
+          col("ib") === col("sid2"))
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(max(col("sim")).as("maxsim"))
+        .select(col("vec_id"),
+          round(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim"), 6)
+            .as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(step).as("rank"), col("score"))
+      selected = selected.unionAll(next)
+    }
+    selected.select(col("rank"), col("vec_id"), col("score")).orderBy(col("rank"))
+  }
+
   /** Lloyd-iterated k-means centroids over unit embeddings, cosine
     * metric. Centroids are collected to the driver each iteration and
     * re-broadcast — the MLlib pattern: k·dim doubles is tiny however

@@ -145,6 +145,17 @@ object AnnQueries {
             .as("recall_floor_met"))
     }),
 
+    // MMR diversified retrieval: greedy λ-tradeoff between query
+    // relevance and redundancy to already-selected results, over the
+    // brute-force top-8 candidates (the documented exact tier; swap the
+    // fetch for IVF/LSH at scale — the candidate-sized greedy tail is
+    // unchanged). Fully oracle-checked: DuckDB replays the same greedy
+    // via a recursive CTE with identical 6dp rounding and vec_id
+    // tie-breaks.
+    "sim_mmr" -> ((s, dir) =>
+      graft.api.SimilarityOps.mmrTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCand = 8, k = 4, lambda = 0.7)),
+
     "sim_ann_ivf" -> ((s, dir) =>
       annReport(s, dir,
         graft.api.SimilarityOps.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -290,6 +301,41 @@ object AnnQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(range(1, 65),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) >= 0.45""".stripMargin,
+
+    "sim_mmr" ->
+      """WITH RECURSIVE
+        |q AS (SELECT embedding AS e FROM embeddings
+        |      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |cand AS (
+        |  SELECT x.vec_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE))), 6) AS rel
+        |  FROM embeddings x, q
+        |  WHERE x.vec_id <> (SELECT min(vec_id) FROM embeddings)
+        |  ORDER BY rel DESC, x.vec_id LIMIT 8),
+        |sims AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))), 6) AS sim
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        |sel(step, ids, picked, score) AS (
+        |  SELECT * FROM (
+        |    SELECT 1 AS step, [vec_id] AS ids, vec_id AS picked, rel AS score
+        |    FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT s.step + 1, list_append(s.ids, w.vec_id), w.vec_id, w.mmr
+        |  FROM sel s, LATERAL (
+        |    SELECT c.vec_id,
+        |      round(0.7 * c.rel - 0.3 * max(m.sim), 6) AS mmr
+        |    FROM cand c JOIN sims m ON m.ia = c.vec_id AND list_contains(s.ids, m.ib)
+        |    WHERE NOT list_contains(s.ids, c.vec_id)
+        |    GROUP BY c.vec_id, c.rel
+        |    ORDER BY mmr DESC, c.vec_id LIMIT 1) w
+        |  WHERE s.step < 4)
+        |SELECT step AS rank, picked AS vec_id, score
+        |FROM sel ORDER BY step""".stripMargin,
 
     "sim_ann_ivf" -> bruteTop1Sql,
     "sim_ann_kmeans" -> bruteTop1Sql,

@@ -97,6 +97,70 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // corpus-driven stopword pruning: the top-20 most frequent tokens
+    // (global count, deterministic tie-break) are removed from every
+    // doc. The stop list is a broadcast anti-join — two shuffles of the
+    // token frame (vocabulary-bounded count + per-doc agg), no collect.
+    // Docs whose every token is a stopword survive via the left join.
+    "text_stopword_prune" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(20)
+        .select(col("tok").as("stop"))
+      val tot = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_total"))
+      val kept = toks.join(broadcast(top), col("tok") === col("stop"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"), countDistinct(col("tok")).as("n_kept_distinct"))
+      tot.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_kept_distinct"), lit(0L)).as("n_kept_distinct"),
+          round(coalesce(col("n_kept"), lit(0L)) / col("n_total"), 6).as("keep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // robust outlier detection: MAD (median absolute deviation) per
+    // event type over daily counts — the outlier gate that doesn't let
+    // the outliers move the threshold (unlike z-scores). Integer counts
+    // make every median exact (.0 or .5), so no cross-engine ulp risk.
+    "ts_outlier_mad" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy(col("event_type"))
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val dev = daily.join(med, "event_type")
+        .withColumn("adev", abs(col("n") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(mad, "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("count_if(adev > 3 * 1.4826 * mad)").as("n_outliers"))
+        .select(col("event_type"), col("n_days"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
+    // weighted aggregate + group share: price-weighted mean discount and
+    // each group's share of total spend. Weights/values carry ≤2
+    // decimals, so the weighted sums run in exact DECIMAL (immune to
+    // double summation order); only the final ratios go through double.
+    "agg_weighted" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val g = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec2(col("l_discount")) * Tables.dec2(col("l_extendedprice"))).as("wsum_disc"),
+          sum(Tables.dec2(col("l_extendedprice"))).as("w"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      g.select(col("l_returnflag"), col("n"),
+          round(col("wsum_disc").cast("double") / col("w").cast("double"), 6).as("wavg_disc"),
+          round(col("w").cast("double") / sum(col("w")).over(wAll).cast("double"), 6).as("share"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // bitwise aggregates + conditional count: AND/OR/XOR folds are
     // mergeable (two-phase hash agg), count_if is the FILTER clause
     "agg_bitagg" -> ((s, dir) => {
@@ -156,6 +220,56 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "text_stopword_prune" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |top AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 20)),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM toks GROUP BY doc_id),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept, count(DISTINCT tok) AS n_kept_distinct
+        |  FROM toks WHERE tok NOT IN (SELECT tok FROM top)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_total,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.n_kept_distinct, 0) AS n_kept_distinct,
+        |  round(coalesce(k.n_kept, 0) / t.n_total, 6) AS keep_ratio
+        |FROM tot t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "ts_outlier_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY event_type, day),
+        |med AS (
+        |  SELECT event_type, quantile_cont(n, 0.5) AS med
+        |  FROM daily GROUP BY event_type),
+        |dev AS (
+        |  SELECT d.event_type, abs(d.n - m.med) AS adev, m.med
+        |  FROM daily d JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n_days,
+        |  round(d.med, 6) AS med, round(m.mad, 6) AS mad,
+        |  count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type, d.med, m.mad
+        |ORDER BY d.event_type""".stripMargin,
+
+    "agg_weighted" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS wsum_disc,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(CAST(wsum_disc AS DOUBLE) / CAST(w AS DOUBLE), 6) AS wavg_disc,
+        |  round(CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE), 6) AS share
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "agg_bitagg" ->
       """SELECT l_returnflag,

@@ -463,4 +463,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"seasonal shift must be an equi-join:\n$p")
   }
+
+  test("text_stopword_prune removes stopwords via a BROADCAST anti-join") {
+    val p = plan("text_stopword_prune")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the 20-token stop list must broadcast, not shuffle the token frame:\n$p")
+  }
+
+  test("sim_mmr greedy tail is candidate-sized: one corpus top-k, broadcast steps") {
+    val p = plan("sim_mmr")
+    // the candidate fetch is the only corpus-wide operator; greedy
+    // iterations must join ≤8-row frames via broadcast
+    assert(p.contains("TakeOrderedAndProject"), s"candidate fetch must be a top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"greedy steps must broadcast:\n$p")
+  }
 }
