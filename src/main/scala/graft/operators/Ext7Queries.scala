@@ -97,6 +97,71 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // behavioral diversity: Shannon entropy of each user's event-type
+    // distribution via H = ln(n) − Σ c·ln(c)/n (the text_entropy
+    // formulation — one grouped count + one per-user fold, both
+    // two-phase hash aggs; inner round(…,9) pins the fold cross-engine)
+    "events_entropy" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+          sum(round(col("c") * log(col("c")), 9)).as("clnc"))
+        .select(col("user_id"), col("n"), col("n_types"),
+          round(log(col("n")) - col("clnc") / col("n"), 6).as("entropy"))
+        .orderBy(col("user_id"))
+    }),
+
+    // deterministic weighted sampling without replacement (A-ES): key =
+    // −ln(u)/w with a hash-derived uniform u — the 20 smallest keys ARE
+    // the weighted sample. Pseudo-randomness from modular arithmetic
+    // (not rand()) so the draw is reproducible AND oracle-checkable;
+    // selection is a global top-k (TakeOrderedAndProject), one scan
+    "sample_weighted" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (((col("o_orderkey") * lit(2654435761L)) % 1000003L + 1L) / lit(1000004.0)).as("u"))
+        .withColumn("key", -log(col("u")) / col("o_totalprice"))
+        .orderBy(col("key"), col("o_orderkey")).limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round(col("key") * 1e6, 6).as("key_ppm"))
+    }),
+
+    // template-family (prefix) dedup: docs sharing their first 10
+    // tokens collapse to one keeper — the pretraining-pipeline guard
+    // against boilerplate families that exact dedup misses. One
+    // projection + one hash agg on the prefix; never pairwise
+    "doc_prefix_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 10), " ").as("prefix"))
+        .groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(desc("n_docs"), col("prefix"))
+    }),
+
+    // event-type association mining: pointwise mutual information of
+    // type pairs over per-user presence sets. Distinct (user, type) ⇒
+    // pair join is user-keyed (Σ types² per user, types is a small
+    // vocabulary), counts are exact longs, ln of one exact ratio
+    "events_pmi" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val na = ut.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      val nu = ut.select(col("user_id")).distinct().agg(count(lit(1)).as("nu"))
+      ut.select(col("user_id"), col("event_type").as("type_a"))
+        .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(na.select(col("event_type").as("type_a"), col("cnt").as("n_a"))), "type_a")
+        .join(broadcast(na.select(col("event_type").as("type_b"), col("cnt").as("n_b"))), "type_b")
+        .crossJoin(broadcast(nu))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          round(log((col("n_ab") * col("nu")) / (col("n_a") * col("n_b"))), 6).as("pmi"))
+        .orderBy(desc("pmi"), col("type_a"), col("type_b"))
+    }),
+
     // corpus-driven stopword pruning: the top-20 most frequent tokens
     // (global count, deterministic tie-break) are removed from every
     // doc. The stop list is a broadcast anti-join — two shuffles of the
@@ -220,6 +285,55 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "events_entropy" ->
+      """WITH tc AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |agg AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*) AS n_types,
+        |    sum(round(c * ln(c), 9)) AS clnc
+        |  FROM tc GROUP BY user_id)
+        |SELECT user_id, n, n_types,
+        |  round(ln(n) - clnc / n, 6) AS entropy
+        |FROM agg ORDER BY user_id""".stripMargin,
+
+    "sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    -ln(((o_orderkey * 2654435761) % 1000003 + 1) / 1000004.0)
+        |      / o_totalprice AS key
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        |  round(key * 1e6, 6) AS key_ppm
+        |FROM keyed ORDER BY key, o_orderkey LIMIT 20""".stripMargin,
+
+    "doc_prefix_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:10], ' ') AS prefix
+        |  FROM documents)
+        |SELECT prefix, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM p GROUP BY prefix HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, prefix""".stripMargin,
+
+    "events_pmi" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |na AS (SELECT event_type, count(*) AS cnt FROM ut GROUP BY event_type),
+        |nu AS (SELECT count(DISTINCT user_id) AS nu FROM ut),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT p.type_a, p.type_b, p.n_ab,
+        |  round(ln((p.n_ab * nu.nu) / (x.cnt * y.cnt)), 6) AS pmi
+        |FROM p
+        |JOIN na x ON x.event_type = p.type_a
+        |JOIN na y ON y.event_type = p.type_b
+        |CROSS JOIN nu
+        |ORDER BY pmi DESC, p.type_a, p.type_b""".stripMargin,
 
     "text_stopword_prune" ->
       """WITH toks AS (
