@@ -177,6 +177,43 @@ object SimilarityOps {
       .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Power iteration for the top eigenvector of the corpus's uncentered
+    * second-moment matrix M = (1/n)·Σ x·xᵀ — the first PCA/whitening
+    * direction of an embedding table. Each iteration is exactly ONE job:
+    * scan → per-row scalar xᵀv ([[DotProduct]], v inlined as a literal)
+    * → dim-sized weighted sum (posexplode + two-level agg) → collect of
+    * `dim` doubles. The iterate v lives on the driver (dim doubles —
+    * control plane, the same trade as [[kmeansCentroids]]); the data
+    * plane never materializes M (dim² entries) nor any pairwise frame.
+    *
+    * Returns (v, rayleighPerIter) — the unit top-eigenvector estimate
+    * and the Rayleigh quotient vᵀMv after each iteration (nondecreasing
+    * on a PSD matrix; the caller's invariant report folds that in).
+    */
+  def powerIterationTopEig(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int): (Array[Double], Seq[Double]) = {
+    val e = asDouble(emb, idCol, vecCol)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    val rayleighs = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to iters) {
+      val s = e
+        .select(DotProduct.dot(col("e"), typedLit(v.toSeq)).as("d"),
+          posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(sum(col("x") * col("d")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val mv = Array.tabulate(dim)(i => s.getOrElse(i, 0.0))
+      v = normalize(mv)
+      // Rayleigh vᵀMv = (1/n)·Σ (xᵀv)² — one scalar-agg job
+      rayleighs += e.agg(avg(pow(DotProduct.dot(col("e"), typedLit(v.toSeq)), 2)))
+        .head().getDouble(0)
+    }
+    (v, rayleighs.toSeq)
+  }
+
   /** Maximal Marginal Relevance re-ranking: greedily select `k` of the
     * `nCand` most query-similar vectors, trading relevance against
     * redundancy — score(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s). The

@@ -789,6 +789,27 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // k-core-style peeling (k=3, 3 rounds): repeatedly drop nodes of
+    // degree < k and the edges touching them. Each round is one
+    // degree agg + two semi-join-shaped filters of the edge frame —
+    // node-sized exchanges only, the classic distributed peel. Fixed
+    // round count keeps the oracle expressible (unrolled CTEs); a full
+    // fixpoint loops the same body to convergence like dedup_components.
+    "graph_kcore" -> ((s, dir) => {
+      val e = edges1996(s, dir)
+      var adj = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      for (_ <- 1 to 3) {
+        val keep = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 3).select(col("a"))
+        adj = adj.join(keep, "a")
+          .join(keep.select(col("a").as("b")), "b")
+          .select(col("a"), col("b"))
+      }
+      adj.agg(countDistinct(col("a")).as("n_nodes"),
+        expr("CAST(count(1) / 2 AS BIGINT)").as("n_edges"))
+    }),
+
     // Jaccard node similarity: common / (deg_a + deg_b − common) —
     // normalizes common-neighbors by the union size so hubs don't
     // dominate. Same Σd² wedge join plus a broadcast-sized degree map;
@@ -1334,6 +1355,26 @@ object AnalyticsQueries {
         |      GROUP BY x.n, y.n)
         |SELECT a, b, common FROM p
         |ORDER BY common DESC, a, b LIMIT 10""".stripMargin,
+
+    "graph_kcore" ->
+      """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |              AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM le a JOIN le b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj0 AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |k1 AS (SELECT a FROM adj0 GROUP BY a HAVING count(*) >= 3),
+        |adj1 AS (SELECT x.a, x.b FROM adj0 x
+        |         JOIN k1 p ON p.a = x.a JOIN k1 q ON q.a = x.b),
+        |k2 AS (SELECT a FROM adj1 GROUP BY a HAVING count(*) >= 3),
+        |adj2 AS (SELECT x.a, x.b FROM adj1 x
+        |         JOIN k2 p ON p.a = x.a JOIN k2 q ON q.a = x.b),
+        |k3 AS (SELECT a FROM adj2 GROUP BY a HAVING count(*) >= 3),
+        |adj3 AS (SELECT x.a, x.b FROM adj2 x
+        |         JOIN k3 p ON p.a = x.a JOIN k3 q ON q.a = x.b)
+        |SELECT count(DISTINCT a) AS n_nodes,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_edges
+        |FROM adj3""".stripMargin,
 
     "graph_jaccard" ->
       """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

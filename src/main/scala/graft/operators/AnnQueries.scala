@@ -145,6 +145,27 @@ object AnnQueries {
             .as("recall_floor_met"))
     }),
 
+    // top PCA direction by distributed power iteration: the data plane
+    // only ever computes per-row scalars and dim-sized sums (never the
+    // dim² matrix, never pairs); the iterate is driver-held control
+    // plane like k-means centroids. Invariant report: exact trace
+    // (SQL-reproducible: avg self-dot = 1 for unit vectors) + in-band
+    // PSD power-iteration guarantees (unit iterate, nondecreasing
+    // Rayleigh quotient, λ₁ ≥ trace/dim).
+    "emb_pca_power" -> ((s, dir) => {
+      val (v, rayleighs) = graft.api.SimilarityOps.powerIterationTopEig(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, iters = 4)
+      val unitNormOk = math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9
+      val monotoneOk = rayleighs.zip(rayleighs.tail).forall { case (a, b) => b >= a - 1e-9 }
+      embDouble(s, dir)
+        .agg(count(lit(1)).as("n"),
+          round(avg(graft.functions.DotProduct.dot(col("e"), col("e"))), 6).as("trace"))
+        .select(col("n"), lit(64).as("dim"), col("trace"),
+          lit(unitNormOk).as("unit_norm_ok"),
+          lit(monotoneOk).as("rayleigh_monotone_ok"),
+          lit(rayleighs.last >= 1.0 / 64 - 1e-9).as("rayleigh_ge_mean_ok"))
+    }),
+
     // MMR diversified retrieval: greedy λ-tradeoff between query
     // relevance and redundancy to already-selected results, over the
     // brute-force top-8 candidates (the documented exact tier; swap the
@@ -301,6 +322,14 @@ object AnnQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(range(1, 65),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) >= 0.45""".stripMargin,
+
+    "emb_pca_power" ->
+      """SELECT count(*) AS n, 64 AS dim,
+        |  round(avg(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS trace,
+        |  true AS unit_norm_ok, true AS rayleigh_monotone_ok,
+        |  true AS rayleigh_ge_mean_ok
+        |FROM embeddings""".stripMargin,
 
     "sim_mmr" ->
       """WITH RECURSIVE

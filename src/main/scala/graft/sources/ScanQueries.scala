@@ -174,6 +174,31 @@ object ScanQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // binaryFile source: the raw-asset ingest path (images/audio land
+    // as whole files before any decode). Stage one text file per doc
+    // (partitionBy write), then read the directory tree back as opaque
+    // (path, length, content) rows — the same schema a 100 TB media
+    // crawl presents. Declared result pins byte length (= chars + the
+    // sink's trailing newline) and a content prefix, proving payloads
+    // arrive intact; binaryFile never splits a file across tasks, so
+    // partition granularity is the file, as a decode stage needs.
+    "src_binary_files" -> ((s, dir) => {
+      val path = tmp("docs_binfiles")
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 20)
+        .select(col("text"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("doc_id").text(path)
+      s.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+        .select(
+          regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long").as("doc_id"),
+          col("length").as("bin_len"),
+          substring(col("content").cast("string"), 1, 10).as("head10"))
+        .orderBy(col("doc_id"))
+    }),
+
     // static partition pruning: write hive-partitioned parquet, read back
     // with a literal partition predicate. At 100 TB the filter must never
     // touch non-matching partitions — the scan lists 1 of 5 directories
@@ -339,6 +364,12 @@ object ScanQueries {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "src_binary_files" ->
+      """SELECT doc_id,
+        |  CAST(length(text) + 1 AS BIGINT) AS bin_len,
+        |  substring(text, 1, 10) AS head10
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
 
     "src_text_roundtrip" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_rt
