@@ -97,6 +97,142 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // explicit dim caching: a 25-row dimension cached once feeds TWO
+    // join branches — the plan reads InMemoryTableScan twice instead of
+    // re-scanning parquet (PlanSpec pins it). The session-cache hygiene
+    // in Verify/Bench clears it afterwards.
+    "scan_cached" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir).cache()
+      val a = Tables.customer(s, dir)
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+      val b = Tables.supplier(s, dir)
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_supp"))
+      a.join(b, Seq("n_name"), "full_outer")
+        .select(col("n_name"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("n_name"))
+    }),
+
+    // native batch session_window (vs sessionize_batch's manual
+    // gaps-and-islands rewrite): same one-exchange shape, and Spark's
+    // session end = last event + gap, which the oracle models exactly
+    "sessionize_native" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("sess_start_s"),
+          unix_timestamp(col("session_window.end")).as("sess_end_s"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start_s"))
+    }),
+
+    // SQL-surface PIVOT clause (the BI-tool path) over the same engine:
+    // fixed IN-list domain ⇒ one expand+agg pass, no distinct job.
+    // Pivot yields NULL for empty cells where FILTER yields 0 — both
+    // sides coalesce (the documented cross-engine pivot-null quirk)
+    "sql_pivot" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          Tables.dec2(col("o_totalprice")).as("p"))
+        .createOrReplaceTempView("graft_sql_pivot_src")
+      s.sql("""
+        SELECT o_orderstatus,
+          coalesce(urgent_n, 0) AS urgent_n,
+          CAST(coalesce(urgent_amt, 0) AS DOUBLE) AS urgent_amt,
+          coalesce(low_n, 0) AS low_n,
+          CAST(coalesce(low_amt, 0) AS DOUBLE) AS low_amt
+        FROM graft_sql_pivot_src
+        PIVOT (count(*) AS n, sum(p) AS amt
+               FOR o_orderpriority IN ('1-URGENT' AS urgent, '5-LOW' AS low))
+        ORDER BY o_orderstatus""")
+    }),
+
+    // multiple DISTINCT aggregates in one pass: Spark rewrites them via
+    // ONE Expand (3× the input, one row per distinct clause) feeding a
+    // single two-phase agg — not three scans. The plan spec pins the
+    // Expand; at 100 TB this is 1 read + 1 shuffle however many
+    // distinct columns ride along.
+    "agg_multi_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("d_supp"),
+          countDistinct(col("l_partkey")).as("d_part"),
+          countDistinct(to_date(col("l_shipdate"))).as("d_days"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // rounding-mode semantics: HALF_UP (round) vs HALF_EVEN (bround) on
+    // ties, floor/ceil toward ∓∞ on negatives. Inputs are EXACT binary
+    // quarter/half steps (x.25/x.5/x.75 are powers of two) — the only
+    // tie values where double-carried decimals agree across engines;
+    // arbitrary 2dp money ties (x.45) diverge on double conversion and
+    // are deliberately excluded (documented cross-engine hazard).
+    "fn_round_modes" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          ((col("o_orderkey") % 19) - 9 + (col("o_orderkey") % 4) * 0.25).as("x"),
+          ((col("o_orderkey") % 4) * 0.5 - 1).as("h"))
+        .select(col("o_orderkey"), col("x"), col("h"),
+          round(col("x"), 1).as("r1_up"),
+          bround(col("x"), 1).as("r1_even"),
+          round(col("h"), 0).as("r0_up"),
+          bround(col("h"), 0).as("r0_even"),
+          floor(col("x")).cast("long").as("fl"),
+          ceil(col("x")).cast("long").as("ce"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // RFM customer segmentation: recency/frequency/monetary quintiles →
+    // 3-digit segment. The ntile windows are single-partition sorts over
+    // CUSTOMER-sized frames (already aggregated) — at larger cardinality
+    // you'd swap ntile for approx-percentile cutpoints; segment counts
+    // are the declared result either way. Fully deterministic: every
+    // ntile orders with a custkey tie-break.
+    "orders_rfm" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor"))
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("f"),
+          sum(Tables.dec2(col("o_totalprice"))).as("m"))
+        .crossJoin(broadcast(anchor))
+        .select(col("o_custkey"),
+          datediff(col("anchor"), col("last_day")).as("r_days"),
+          col("f"), col("m"))
+      import org.apache.spark.sql.expressions.Window
+      val rW = Window.orderBy(desc("r_days"), col("o_custkey"))
+      val fW = Window.orderBy(col("f"), col("o_custkey"))
+      val mW = Window.orderBy(col("m"), col("o_custkey"))
+      cust
+        .withColumn("r_score", ntile(5).over(rW))
+        .withColumn("f_score", ntile(5).over(fW))
+        .withColumn("m_score", ntile(5).over(mW))
+        .groupBy((col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("segment"))
+    }),
+
+    // deterministic training-data shuffle: hash-derived shard + in-shard
+    // position — the way a 100 TB corpus is permuted for training (a
+    // global ORDER BY rand() is a full sort and not reproducible).
+    // Shards partition-parallel; each position window sorts one shard.
+    "doc_shuffle_shard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = (col("doc_id") * 2654435761L) % 1000003L
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), h.as("h"), (h % 8).cast("int").as("shard"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // behavioral diversity: Shannon entropy of each user's event-type
     // distribution via H = ln(n) − Σ c·ln(c)/n (the text_entropy
     // formulation — one grouped count + one per-user fold, both
@@ -285,6 +421,100 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "scan_cached" ->
+      """WITH a AS (
+        |  SELECT n.n_name, count(*) AS n_cust
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name),
+        |b AS (
+        |  SELECT n.n_name, count(*) AS n_supp
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name)
+        |SELECT coalesce(a.n_name, b.n_name) AS n_name,
+        |  coalesce(a.n_cust, 0) AS n_cust,
+        |  coalesce(b.n_supp, 0) AS n_supp
+        |FROM a FULL OUTER JOIN b ON a.n_name = b.n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "sessionize_native" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN prev_ts IS NULL
+        |             OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM x)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start_s,
+        |  CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS sess_end_s,
+        |  count(*) AS n_events
+        |FROM m GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start_s""".stripMargin,
+
+    "sql_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_n,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS DOUBLE) AS urgent_amt,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low_n,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderpriority = '5-LOW'), 0) AS DOUBLE) AS low_amt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS d_supp,
+        |  count(DISTINCT l_partkey) AS d_part,
+        |  count(DISTINCT CAST(l_shipdate AS DATE)) AS d_days,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "fn_round_modes" ->
+      """WITH v AS (
+        |  SELECT o_orderkey,
+        |    CAST((o_orderkey % 19) - 9 + (o_orderkey % 4) * CAST(0.25 AS DOUBLE) AS DOUBLE) AS x,
+        |    CAST((o_orderkey % 4) * CAST(0.5 AS DOUBLE) - 1 AS DOUBLE) AS h
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, x, h,
+        |  round(x, 1) AS r1_up,
+        |  roundbankers(x, 1) AS r1_even,
+        |  round(h, 0) AS r0_up,
+        |  roundbankers(h, 0) AS r0_even,
+        |  CAST(floor(x) AS BIGINT) AS fl,
+        |  CAST(ceil(x) AS BIGINT) AS ce
+        |FROM v ORDER BY o_orderkey""".stripMargin,
+
+    "orders_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS r_days,
+        |    count(*) AS f,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT o_custkey,
+        |    ntile(5) OVER (ORDER BY r_days DESC, o_custkey) AS r_score,
+        |    ntile(5) OVER (ORDER BY f, o_custkey) AS f_score,
+        |    ntile(5) OVER (ORDER BY m, o_custkey) AS m_score
+        |  FROM cust)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS segment,
+        |  count(*) AS n_cust
+        |FROM scored GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "doc_shuffle_shard" ->
+      """WITH k AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+        |    AS INTEGER) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
 
     "events_entropy" ->
       """WITH tc AS (

@@ -470,6 +470,19 @@ class PlanSpec extends AnyFunSuite {
       s"the 20-token stop list must broadcast, not shuffle the token frame:\n$p")
   }
 
+  test("agg_multi_distinct plans ONE Expand, not one scan per distinct clause") {
+    val p = plan("agg_multi_distinct")
+    assert("Expand".r.findAllIn(p).length >= 1, s"multi-distinct must Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"three distincts must share one lineitem scan:\n$p")
+  }
+
+  test("scan_cached reads the cached dimension from memory in both branches") {
+    val p = plan("scan_cached")
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"both join branches must hit the cache:\n$p")
+  }
+
   test("sim_mmr greedy tail is candidate-sized: one corpus top-k, broadcast steps") {
     val p = plan("sim_mmr")
     // the candidate fetch is the only corpus-wide operator; greedy

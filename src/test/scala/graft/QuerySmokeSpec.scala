@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (268 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 268)
-    assert(SparkEntry.oracleSql.size >= 268)
+  test("declared inventory is complete (275 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 275)
+    assert(SparkEntry.oracleSql.size >= 275)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
