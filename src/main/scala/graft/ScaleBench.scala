@@ -128,7 +128,16 @@ object ScaleBench {
     // aggregates (single-pass co-moments)
     "sim_ann_pq", "sketch_cms", "ts_ewma", "win_running_distinct",
     "win_rolling_regr", "win_rolling_median", "text_gopher_rules",
-    "agg_regression", "agg_percentile_disc", "graph_common_neighbors")
+    "agg_regression", "agg_percentile_disc", "graph_common_neighbors",
+    // round-6 §2.13 additions (dedup_fuzzy excluded only because part
+    // is not synthesized; its pair space is vocabulary-bounded by
+    // construction): islands window, linear doc/event passes, wedge +
+    // peel graph ops, one-scan-per-iter power iteration, candidate-
+    // bounded MMR, ntile RFM (single-partition sort caveat, observed)
+    "win_gap_islands", "text_stopword_prune", "doc_prefix_dedup",
+    "events_pmi", "events_entropy", "doc_shuffle_shard", "graph_kcore",
+    "emb_pca_power", "sim_mmr", "ts_seasonal_naive", "orders_rfm",
+    "sample_weighted", "sessionize_native", "agg_multi_distinct")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

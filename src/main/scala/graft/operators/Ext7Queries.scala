@@ -97,6 +97,39 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // array set algebra: union/intersect/except (all dedup in Spark) +
+    // membership position. Results are sorted before joining to strings
+    // because Spark's set ops preserve first-occurrence order while
+    // DuckDB's rebuild — ORDER is the engine-specific part, the SET is
+    // the contract. Pure codegen projection, no shuffle.
+    "fn_array_setops" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), slice(toks, 1, 6).as("a"), slice(toks, 4, 6).as("b"))
+        .select(col("doc_id"),
+          array_join(array_sort(array_union(col("a"), col("b"))), ",").as("u"),
+          array_join(array_sort(array_intersect(col("a"), col("b"))), ",").as("i"),
+          array_join(array_sort(array_except(col("a"), col("b"))), ",").as("x"),
+          array_position(col("a"), element_at(col("b"), 1)).as("pos1"),
+          size(array_distinct(col("a"))).as("nda"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // dim-broadcast LEFT OUTER: the stream (fact) side is preserved, the
+    // build side is the filtered dim — BroadcastHashJoin LeftOuter in
+    // the plan (asserted), so no shuffle of the fact table at any scale
+    "join_left_broadcast" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      Tables.orders(s, dir)
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(col("c_custkey")).as("n_matched"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // explicit dim caching: a 25-row dimension cached once feeds TWO
     // join branches — the plan reads InMemoryTableScan twice instead of
     // re-scanning parquet (PlanSpec pins it). The session-cache hygiene
@@ -224,7 +257,11 @@ object Ext7Queries {
     // Shards partition-parallel; each position window sorts one shard.
     "doc_shuffle_shard" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val h = (col("doc_id") * 2654435761L) % 1000003L
+      // reduce mod m BEFORE the multiply: (k·a) mod m ≡ ((k mod m)·a)
+      // mod m and the reduced product stays < 2^52 — ANSI-overflow-safe
+      // for any 64-bit id (the unreduced form throws at ids ≥ ~3.5e9;
+      // caught by ScaleBench's 10× id-offset corpus)
+      val h = ((col("doc_id") % 1000003L) * 2654435761L) % 1000003L
       val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
       Tables.documents(s, dir)
         .select(col("doc_id"), h.as("h"), (h % 8).cast("int").as("shard"))
@@ -256,7 +293,8 @@ object Ext7Queries {
     "sample_weighted" -> ((s, dir) => {
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_totalprice"),
-          (((col("o_orderkey") * lit(2654435761L)) % 1000003L + 1L) / lit(1000004.0)).as("u"))
+          // mod-before-multiply: ANSI-overflow-safe for 64-bit keys
+          ((((col("o_orderkey") % 1000003L) * 2654435761L) % 1000003L + 1L) / lit(1000004.0)).as("u"))
         .withColumn("key", -log(col("u")) / col("o_totalprice"))
         .orderBy(col("key"), col("o_orderkey")).limit(20)
         .select(col("o_orderkey"), col("o_totalprice"),
@@ -422,6 +460,30 @@ object Ext7Queries {
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "fn_array_setops" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(text, ' ')[1:6] AS a,
+        |    string_split(text, ' ')[4:9] AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS u,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '') AS i,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS x,
+        |  CAST(coalesce(list_position(a, b[1]), 0) AS BIGINT) AS pos1,
+        |  CAST(len(list_distinct(a)) AS INTEGER) AS nda
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "join_left_broadcast" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count(c.c_custkey) AS n_matched
+        |FROM orders o
+        |LEFT JOIN (SELECT c_custkey, c_name FROM customer
+        |           WHERE c_custkey % 3 = 0) c
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "scan_cached" ->
       """WITH a AS (
         |  SELECT n.n_name, count(*) AS n_cust
@@ -509,7 +571,7 @@ object Ext7Queries {
 
     "doc_shuffle_shard" ->
       """WITH k AS (
-        |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h
+        |  SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 1000003 AS h
         |  FROM documents)
         |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
@@ -532,7 +594,7 @@ object Ext7Queries {
     "sample_weighted" ->
       """WITH keyed AS (
         |  SELECT o_orderkey, o_totalprice,
-        |    -ln(((o_orderkey * 2654435761) % 1000003 + 1) / 1000004.0)
+        |    -ln((((o_orderkey % 1000003) * 2654435761) % 1000003 + 1) / 1000004.0)
         |      / o_totalprice AS key
         |  FROM orders)
         |SELECT o_orderkey, o_totalprice,

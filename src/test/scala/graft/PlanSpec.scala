@@ -470,6 +470,13 @@ class PlanSpec extends AnyFunSuite {
       s"the 20-token stop list must broadcast, not shuffle the token frame:\n$p")
   }
 
+  test("join_left_broadcast keeps the fact side unshuffled (BHJ LeftOuter)") {
+    val p = plan("join_left_broadcast")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"dim must broadcast under the left-outer join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle for the join:\n$p")
+  }
+
   test("agg_multi_distinct plans ONE Expand, not one scan per distinct clause") {
     val p = plan("agg_multi_distinct")
     assert("Expand".r.findAllIn(p).length >= 1, s"multi-distinct must Expand:\n$p")
