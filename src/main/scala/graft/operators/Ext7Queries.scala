@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object Ext7Queries {
 
+  /** Typed rows for the Dataset-API surface (typed_dataset_ops):
+    * case-class Encoders, joinWith, groupByKey.reduceGroups. */
+  case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+  case class Cust(c_custkey: Long, c_name: String)
+
   val queries: Map[String, Q] = Map(
     // gaps-and-islands: longest runs of CONSECUTIVE order days per
     // customer — island id = day − row_number() is constant within a
@@ -95,6 +100,67 @@ object Ext7Queries {
           dayofyear(col("o_orderdate")).as("doy"),
           add_months(col("o_orderdate").cast("date"), 1).as("plus_1mo"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // revenue concentration (Pareto): smallest customer prefix covering
+    // 80% of spend + top-decile share. Exact DECIMAL cumsums; the 80%
+    // threshold compares 5·cum < 4·tot (integer-scaled decimals) so no
+    // double crosses the cut. One customer-sized sort — same caveat and
+    // remedy as orders_rfm at extreme cardinality.
+    "orders_pareto" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(Tables.dec2(col("o_totalprice"))).as("m"))
+      val w = Window.orderBy(desc("m"), col("o_custkey"))
+      val all = Window.partitionBy()
+      val ranked = spend
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("m")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("m")).over(all))
+        .withColumn("n", count(lit(1)).over(all))
+      ranked.agg(
+        max(col("n")).as("n_cust"),
+        (sum(when(col("cum") * 5 < col("tot") * 4, 1L).otherwise(0L)) + 1L).as("n_cust_80"),
+        round(
+          sum(when(col("rank") <= greatest(lit(1L), (col("n") / 10).cast("long")), col("m")))
+            .cast("double") / max(col("tot")).cast("double"), 6).as("top_decile_share"))
+    }),
+
+    // contingency table via the DataFrameStatFunctions surface
+    // (df.stat.crosstab): one pivot-shaped count pass; absent combos
+    // are 0 (not NULL) by crosstab contract
+    "stat_crosstab" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .stat.crosstab("o_orderstatus", "o_orderpriority")
+        .orderBy(col("o_orderstatus_o_orderpriority"))
+    }),
+
+    // typed Dataset surface: case-class Encoders, joinWith (tuple
+    // join), groupByKey.reduceGroups (associative max-by with orderkey
+    // tie-break). Same shuffle shape as the untyped plan — the typed
+    // API costs serialization, not extra exchanges.
+    "typed_dataset_ops" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val ords = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[Ord]
+      val custs = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"))
+        .as[Cust]
+      val top = ords.groupByKey(_.o_custkey)
+        .reduceGroups { (a, b) =>
+          if (a.o_totalprice > b.o_totalprice ||
+            (a.o_totalprice == b.o_totalprice && a.o_orderkey < b.o_orderkey)) a else b
+        }
+        .map(_._2)
+      top.joinWith(custs, top("o_custkey") === custs("c_custkey"), "inner")
+        .map { case (o, c) => (c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice) }
+        .toDF("c_custkey", "c_name", "top_orderkey", "top_price")
+        .orderBy(col("c_custkey"))
     }),
 
     // array set algebra: union/intersect/except (all dedup in Spark) +
@@ -459,6 +525,47 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "orders_pareto" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT m,
+        |    row_number() OVER (ORDER BY m DESC, o_custkey) AS rank,
+        |    sum(m) OVER (ORDER BY m DESC, o_custkey
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(m) OVER () AS tot,
+        |    count(*) OVER () AS n
+        |  FROM spend)
+        |SELECT max(n) AS n_cust,
+        |  sum(CASE WHEN cum * 5 < tot * 4 THEN 1 ELSE 0 END) + 1 AS n_cust_80,
+        |  round(CAST(sum(CASE WHEN rank <= greatest(1, n // 10) THEN m END) AS DOUBLE)
+        |    / CAST(max(tot) AS DOUBLE), 6) AS top_decile_share
+        |FROM ranked""".stripMargin,
+
+    "stat_crosstab" ->
+      """SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus_o_orderpriority""".stripMargin,
+
+    "typed_dataset_ops" ->
+      """WITH mx AS (
+        |  SELECT o_custkey, max(o_totalprice) AS mp
+        |  FROM orders GROUP BY o_custkey),
+        |pick AS (
+        |  SELECT o.o_custkey, min(o.o_orderkey) AS top_orderkey, mx.mp AS top_price
+        |  FROM orders o JOIN mx ON mx.o_custkey = o.o_custkey
+        |    AND o.o_totalprice = mx.mp
+        |  GROUP BY o.o_custkey, mx.mp)
+        |SELECT c.c_custkey, c.c_name, p.top_orderkey, p.top_price
+        |FROM pick p JOIN customer c ON c.c_custkey = p.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "fn_array_setops" ->
       """WITH t AS (
