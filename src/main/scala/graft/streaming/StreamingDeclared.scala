@@ -245,6 +245,15 @@ object StreamingDeclared {
     // changed-group emissions (the changelog a MERGE sink consumes),
     // collapsed to final state for the oracle (count/nonneg-sum are
     // monotone per key)
+    // ListState surface of transformWithState: capped last-3 recent
+    // types per user (state = keys×3 forever — the bounded-state
+    // discipline), update-mode changelog collapsed via the monotone
+    // seen counter
+    "stream_last_n_state" -> ((s, dir) =>
+      StreamingJobs.lastNTypesTws(s, stagedEventsSplitDir(s, dir),
+          sinkName("q_stream_lastn"))
+        .orderBy(col("user_id"))),
+
     "stream_update_mode" -> ((s, dir) =>
       StreamingJobs.tumblingUpdateMode(s, stagedEventsSplitDir(s, dir),
           sinkName("q_stream_update"))._1
@@ -529,6 +538,20 @@ object StreamingDeclared {
         |  FROM c)
         |SELECT win_start, rk, user_id, n FROM r WHERE rk <= 3
         |ORDER BY win_start, rk""".stripMargin,
+
+    "stream_last_n_state" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events),
+        |c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+        |top AS (
+        |  SELECT user_id, string_agg(event_type, ',' ORDER BY rk) AS last3
+        |  FROM r WHERE rk <= 3 GROUP BY user_id)
+        |SELECT c.user_id, c.n_events, t.last3
+        |FROM c JOIN top t ON t.user_id = c.user_id
+        |ORDER BY c.user_id""".stripMargin,
 
     "stream_update_mode" ->
       """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,

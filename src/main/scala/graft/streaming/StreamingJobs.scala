@@ -403,6 +403,82 @@ object StreamingJobs {
     }
   }
 
+  /** Last-N recent event types per user via `ListState` — the typed
+    * state-collection surface of transformWithState (RunningCount
+    * covers ValueState). State per key is CAPPED at n entries (trimmed
+    * every batch), so state size is keys×n however long the stream
+    * runs — the bounded-state discipline an unbounded 100 TB stream
+    * needs. Emits (user, seen_so_far, latest-first type csv); seen is
+    * monotone per key, so max_by(csv, seen) collapses the update-mode
+    * changelog to final state for the oracle.
+    */
+  private class LastNTypesProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), (Long, Long, String)] {
+    @transient private var items:
+      org.apache.spark.sql.streaming.ListState[(Long, Long, String)] = _
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      items = getHandle.getListState[(Long, Long, String)]("items",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, String)] = {
+      val incoming = rows.map(r => (r._2, r._3, r._4)).toSeq
+      val merged = (items.get().toSeq ++ incoming)
+        .sortBy(t => (-t._1, -t._2)).take(n)
+      items.clear()
+      merged.foreach(items.appendValue)
+      val total = (if (seen.exists()) seen.get() else 0L) + incoming.size
+      seen.update(total)
+      Iterator.single((key, total, merged.map(_._3).mkString(",")))
+    }
+  }
+
+  /** Update-mode last-3-types changelog over the split multi-batch
+    * source, collapsed to final state via the monotone `seen` counter.
+    */
+  def lastNTypesTws(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = graft.Tables.normalizeEventsTs(
+        spark.readStream.schema(eventsRawSchema(spark, dir))
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+      val out = src
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new LastNTypesProcessor(3),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "seen", "last3")
+      val sink = withStatePartitions(spark, 8) {
+        runToMemory(out, sinkName, OutputMode.Update())
+      }
+      sink.groupBy(col("user_id"))
+        .agg(max(col("seen")).as("n_events"),
+          expr("max_by(last3, seen)").as("last3"))
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   /** transformWithState twin of [[statefulRunningCount]]. Requires the
     * RocksDB state store; the conf is scoped to this run and restored.
     */

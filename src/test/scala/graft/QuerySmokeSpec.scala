@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (280 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 280)
-    assert(SparkEntry.oracleSql.size >= 280)
+  test("declared inventory is complete (281 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 281)
+    assert(SparkEntry.oracleSql.size >= 281)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
