@@ -177,6 +177,30 @@ object SimilarityOps {
       .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Matryoshka-style truncated retrieval: keep only the first `dims`
+    * coordinates, renormalize, brute-force top-k in the reduced space.
+    * The memory/compute trade every embedding service offers (shorter
+    * prefixes = cheaper search, lower recall); recall is graded by the
+    * same invariant report as the ANN tiers. Truncate+renormalize is a
+    * pure codegen projection — the scan shape is identical to full-dim
+    * brute force at dims/64 of the dot-product cost.
+    */
+  def truncatedTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, dims: Int, k: Int): DataFrame = {
+    val e = asDouble(emb, idCol, vecCol)
+    val t = e.select(col("vec_id"), slice(col("e"), 1, dims).as("te"))
+    val n = t.withColumn("nrm", sqrt(DotProduct.dot(col("te"), col("te"))))
+      .select(col("vec_id"), transform(col("te"), x => x / col("nrm")).as("e"))
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("e").as("q_e"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    broadcast(q).join(n, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(DotProduct.dot(col("q_e"), col("e")), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** Power iteration for the top eigenvector of the corpus's uncentered
     * second-moment matrix M = (1/n)·Σ x·xᵀ — the first PCA/whitening
     * direction of an embedding table. Each iteration is exactly ONE job:

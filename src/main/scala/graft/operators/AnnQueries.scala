@@ -145,6 +145,16 @@ object AnnQueries {
             .as("recall_floor_met"))
     }),
 
+    // Matryoshka truncation: search in the first-32-dim prefix space
+    // (renormalized) at half the dot cost; graded by the same exact
+    // top-1 + recall-floor report as the ANN tiers (floor 1/10 —
+    // measured 0.2/0.6/0.3 across the three sfs)
+    "sim_ann_trunc" -> ((s, dir) =>
+      annReport(s, dir,
+        graft.api.SimilarityOps.truncatedTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, dims = 32, k = 5),
+        minHitNum = 1, minHitDen = 10)),
+
     // top PCA direction by distributed power iteration: the data plane
     // only ever computes per-row scalars and dim-sized sums (never the
     // dim² matrix, never pairs); the iterate is driver-held control
@@ -366,6 +376,7 @@ object AnnQueries {
         |SELECT step AS rank, picked AS vec_id, score
         |FROM sel ORDER BY step""".stripMargin,
 
+    "sim_ann_trunc" -> bruteTop1Sql,
     "sim_ann_ivf" -> bruteTop1Sql,
     "sim_ann_kmeans" -> bruteTop1Sql,
     "sim_ann_pq" -> bruteTop1Sql,

@@ -102,6 +102,55 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // day-of-week seasonality profile: orders/day per ISO dow + index
+    // vs the overall rate. Exact counts; each calendar day has exactly
+    // one dow, so the overall totals are plain window sums
+    "orders_seasonality_dow" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val all = Window.partitionBy()
+      Tables.orders(s, dir)
+        .select((weekday(col("o_orderdate")) + 1).as("dow"),
+          to_date(col("o_orderdate")).as("day"))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_orders"), countDistinct(col("day")).as("n_days"))
+        .withColumn("tot_n", sum(col("n_orders")).over(all))
+        .withColumn("tot_d", sum(col("n_days")).over(all))
+        .select(col("dow"), col("n_orders"), col("n_days"),
+          round(col("n_orders") / col("n_days"), 6).as("per_day"),
+          round((col("n_orders") / col("n_days")) / (col("tot_n") / col("tot_d")), 6)
+            .as("idx"))
+        .orderBy(col("dow"))
+    }),
+
+    // quality-gate waterfall: how many docs survive each successive
+    // filter (length → mean token length → stopword floor → repetition
+    // cap) — the pipeline-observability report every corpus build needs
+    // before committing a filter config. Gate metrics reuse exact
+    // integer arithmetic (mean len = (chars − (n−1))/n on single-spaced
+    // text) so both engines agree bit-for-bit.
+    "doc_filter_waterfall" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        size(toks).as("n_toks"),
+        length(col("text")).as("n_chars"),
+        size(filter(toks, t => t === "the" || t === "a" || t === "of")).as("n_stop"))
+      val rep = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+      base.join(rep, "doc_id")
+        .select(
+          (col("n_toks") >= 10 && col("n_toks") <= 5000).as("g1"),
+          ((col("n_chars") - (col("n_toks") - 1)) / col("n_toks")).as("mean_len"),
+          (col("n_stop") / col("n_toks")).as("stop_frac"),
+          (col("max_tok") / col("n_toks")).as("rep_frac"))
+        .agg(count(lit(1)).as("n_total"),
+          expr("count_if(g1)").as("n_len"),
+          expr("count_if(g1 AND mean_len >= 2 AND mean_len <= 12)").as("n_meanlen"),
+          expr("count_if(g1 AND mean_len >= 2 AND mean_len <= 12 AND stop_frac >= 0.02)").as("n_stopgate"),
+          expr("count_if(g1 AND mean_len >= 2 AND mean_len <= 12 AND stop_frac >= 0.02 AND rep_frac <= 0.3)").as("n_final"))
+    }),
+
     // revenue concentration (Pareto): smallest customer prefix covering
     // 80% of spend + top-decile share. Exact DECIMAL cumsums; the 80%
     // threshold compares 5·cum < 4·tot (integer-scaled decimals) so no
@@ -525,6 +574,50 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "orders_seasonality_dow" ->
+      """WITH d AS (
+        |  SELECT CAST(isodow(o_orderdate) AS INTEGER) AS dow,
+        |    CAST(o_orderdate AS DATE) AS day
+        |  FROM orders),
+        |g AS (
+        |  SELECT dow, count(*) AS n_orders, count(DISTINCT day) AS n_days
+        |  FROM d GROUP BY dow)
+        |SELECT dow, n_orders, n_days,
+        |  round(n_orders / n_days, 6) AS per_day,
+        |  round((n_orders / n_days)
+        |    / (sum(n_orders) OVER () / sum(n_days) OVER ()), 6) AS idx
+        |FROM g ORDER BY dow""".stripMargin,
+
+    "doc_filter_waterfall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |rep AS (
+        |  SELECT doc_id, max(c) AS max_tok FROM (
+        |    SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t)
+        |  GROUP BY doc_id),
+        |base AS (
+        |  SELECT d.doc_id,
+        |    len(string_split(d.text, ' ')) AS n_toks,
+        |    length(d.text) AS n_chars,
+        |    len(list_filter(string_split(d.text, ' '),
+        |      x -> x IN ('the', 'a', 'of'))) AS n_stop,
+        |    r.max_tok
+        |  FROM documents d JOIN rep r ON r.doc_id = d.doc_id),
+        |m AS (
+        |  SELECT n_toks >= 10 AND n_toks <= 5000 AS g1,
+        |    (n_chars - (n_toks - 1)) / n_toks AS mean_len,
+        |    n_stop / CAST(n_toks AS DOUBLE) AS stop_frac,
+        |    max_tok / CAST(n_toks AS DOUBLE) AS rep_frac
+        |  FROM base)
+        |SELECT count(*) AS n_total,
+        |  count(*) FILTER (WHERE g1) AS n_len,
+        |  count(*) FILTER (WHERE g1 AND mean_len >= 2 AND mean_len <= 12) AS n_meanlen,
+        |  count(*) FILTER (WHERE g1 AND mean_len >= 2 AND mean_len <= 12
+        |    AND stop_frac >= 0.02) AS n_stopgate,
+        |  count(*) FILTER (WHERE g1 AND mean_len >= 2 AND mean_len <= 12
+        |    AND stop_frac >= 0.02 AND rep_frac <= 0.3) AS n_final
+        |FROM m""".stripMargin,
 
     "orders_pareto" ->
       """WITH spend AS (
