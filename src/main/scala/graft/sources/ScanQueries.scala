@@ -174,6 +174,22 @@ object ScanQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // custom DataSource V2 connector (graft.sources.v2.SeqDataSource):
+    // the id-range filter is ABSORBED into the source's generator bounds
+    // (pushFilters returns no residual) and the projection reaches the
+    // reader (pruneColumns) — the full connector read contract, scanned
+    // in 8 parallel partitions. PlanSpec asserts the pushed range via
+    // the scan description.
+    "src_custom_v2" -> ((s, dir) => {
+      s.read.format("graft.sources.v2.SeqDataSource")
+        .option("rows", "200000").option("parts", "8").load()
+        .filter(col("id") >= 150000L && col("id") < 190000L)
+        .groupBy(col("cat"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("cat"))
+    }),
+
     // binaryFile source: the raw-asset ingest path (images/audio land
     // as whole files before any decode). Stage one text file per doc
     // (partitionBy write), then read the directory tree back as opaque
@@ -364,6 +380,13 @@ object ScanQueries {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "src_custom_v2" ->
+      """SELECT 'c' || (i % 5) AS cat, count(*) AS n,
+        |  sum((i * 31 + 7) % 997) AS sum_val,
+        |  min(i) AS min_id, max(i) AS max_id
+        |FROM generate_series(150000, 189999) t(i)
+        |GROUP BY cat ORDER BY cat""".stripMargin,
 
     "src_binary_files" ->
       """SELECT doc_id,

@@ -470,6 +470,18 @@ class PlanSpec extends AnyFunSuite {
       s"the 20-token stop list must broadcast, not shuffle the token frame:\n$p")
   }
 
+  test("src_custom_v2 pushes the id range and the projection INTO the connector") {
+    val p = plan("src_custom_v2")
+    // the scan description carries the absorbed generator bounds: both
+    // range predicates became source bounds, not post-scan filters
+    assert(p.contains("lo=150000") && p.contains("hi=190000"),
+      s"id-range must be absorbed into the source:\n$p")
+    assert(p.contains("cols=id,val,cat") || p.contains("cols=cat,val,id") ||
+      p.contains("cols=cat,id,val") || p.contains("cols=id,cat,val") ||
+      p.contains("cols=val,id,cat") || p.contains("cols=val,cat,id"),
+      s"projection must reach the reader:\n$p")
+  }
+
   test("join_left_broadcast keeps the fact side unshuffled (BHJ LeftOuter)") {
     val p = plan("join_left_broadcast")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
