@@ -174,6 +174,29 @@ object ScanQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // custom DataSource V2 WRITE path (graft.sources.v2.CsvSink): tasks
+    // stream to temp files, task-commit renames them visible, and the
+    // driver commit writes a MANIFEST only after every task succeeded —
+    // the exactly-once two-phase protocol. The declared result reads the
+    // COMMITTED files back and cross-checks them against the manifest's
+    // row accounting in-band.
+    "sink_custom_v2" -> ((s, dir) => {
+      val path = tmp("v2_sink")
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .select(col("o_custkey").as("key"), col("n"))
+        .write.format("graft.sources.v2.CsvSink")
+        .option("path", path).mode("overwrite").save()
+      val data = s.read.schema("key LONG, n LONG").csv(s"$path/part-*")
+      val man = s.read.text(s"$path/MANIFEST")
+        .select(split(col("value"), ",").getItem(1).cast("long").as("rows"))
+        .agg(sum(col("rows")).as("manifest_rows"))
+      data.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total_orders"))
+        .crossJoin(man)
+        .select(col("n_keys"), col("total_orders"),
+          (col("manifest_rows") === col("n_keys")).as("manifest_matches"))
+    }),
+
     // custom DataSource V2 connector (graft.sources.v2.SeqDataSource):
     // the id-range filter is ABSORBED into the source's generator bounds
     // (pushFilters returns no residual) and the projection reaches the
@@ -380,6 +403,12 @@ object ScanQueries {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "sink_custom_v2" ->
+      """SELECT count(DISTINCT o_custkey) AS n_keys,
+        |  count(*) AS total_orders,
+        |  true AS manifest_matches
+        |FROM orders""".stripMargin,
 
     "src_custom_v2" ->
       """SELECT 'c' || (i % 5) AS cat, count(*) AS n,
