@@ -102,6 +102,52 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // XPath navigation over row-built XML: xpath_long/string/boolean +
+    // the node-list form. The XML is constructed from source columns,
+    // so the oracle reproduces every extraction arithmetically without
+    // an XML engine (same pattern as fn_aes) — the roundtrip proves the
+    // xpath evaluator, not the oracle's parser
+    "fn_xml" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"),
+          concat(lit("<o><k>"), col("o_orderkey"), lit("</k><s>"),
+            col("o_orderstatus"), lit("</s><p>"),
+            col("o_orderpriority"), lit("</p></o>")).as("xml"))
+        .select(col("o_orderkey"),
+          expr("xpath_long(xml, '/o/k')").as("k_rt"),
+          expr("xpath_string(xml, '/o/s')").as("s_rt"),
+          expr("xpath_boolean(xml, '/o/k > 100')").as("k_gt100"),
+          size(expr("xpath(xml, '/o/*/text()')")).as("n_children"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // catalog surface: saveAsTable writes a MANAGED table into the
+    // session warehouse and registers it; spark.table reads it back by
+    // NAME (no paths), and tableExists proves the metadata round-trip.
+    // The BI/notebook path onto the same engine.
+    "sql_catalog_table" -> ((s, dir) => {
+      val tbl = "graft_cat_orders_summary"
+      // a FRESH session's catalog doesn't know the table, but the
+      // managed location in the warehouse survives the JVM — drop both
+      // (LOCATION_ALREADY_EXISTS otherwise; overwrite alone is not
+      // enough across sessions)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      val loc = java.nio.file.Paths.get(wh, tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").saveAsTable(tbl)
+      s.table(tbl)
+        .withColumn("listed", lit(s.catalog.tableExists(tbl)))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // day-of-week seasonality profile: orders/day per ISO dow + index
     // vs the overall rate. Exact counts; each calendar day has exactly
     // one dow, so the overall totals are plain window sums
@@ -574,6 +620,20 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_xml" ->
+      """SELECT o_orderkey,
+        |  o_orderkey AS k_rt,
+        |  o_orderstatus AS s_rt,
+        |  o_orderkey > 100 AS k_gt100,
+        |  3 AS n_children
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sql_catalog_table" ->
+      """SELECT o_orderstatus, count(*) AS n, true AS listed
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "orders_seasonality_dow" ->
       """WITH d AS (
