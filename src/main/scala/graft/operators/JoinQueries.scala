@@ -179,6 +179,59 @@ object JoinQueries {
     // cannot observe the overrides (the set/restore race a shared conf
     // would have). The bloom filter survives in the plan (asserted in
     // PlanSpec: might_contain on the probe side).
+    // AQE runtime skew-join split: 90% of the fact rows share ONE join
+    // key, so a static plan leaves one straggler task doing 90% of the
+    // probe. With skew thresholds scoped down to the test's data volume
+    // (a child session — at 100 TB the defaults fire on real skew), AQE
+    // re-plans the sort-merge join at runtime and splits the oversized
+    // partition across tasks (`skew=true` in the final adaptive plan,
+    // asserted by AqeSpec). The manual twin is join_skew_salted; this is
+    // the zero-code-change runtime alternative.
+    "join_aqe_skew" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // coalescing would merge the small partitions FIRST and mask the
+      // skew signal at test scale; production keeps it on (the hot
+      // partition is then far above the default 256MB threshold anyway)
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // pin the reduce width so the skew statistics (hot vs median) are
+      // host-independent; the md5 payload keeps the hot partition
+      // INCOMPRESSIBLE (bare numeric constant-key columns compress below
+      // any workable threshold at test scale)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // skew splits happen at MAP-TASK granularity: a reduce partition
+      // fed by ONE mapper cannot be split at all — the silent reason
+      // "obvious" skew demos report 0 skewed partitions. The testdata
+      // table is a single small parquet file (= one row group = one
+      // mapper), so spread the fact over 8 mappers first; a real
+      // multi-file table has many mappers for free. The md5 payload
+      // keeps the hot partition incompressible so the byte stats see it.
+      val fact = Tables.lineitem(s, dir)
+        .repartition(8)
+        .select(when(col("l_orderkey") % 10 < 9, 0L)
+          .otherwise(col("l_orderkey") % 1000).as("k"),
+          Tables.dec2(col("l_quantity")).as("q"),
+          concat((0 until 4).map(i =>
+            md5(concat(lit(i.toString), col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string")))): _*).as("h"))
+      // the dim must reach the join as a BARE shuffle (no agg between
+      // stage and join) — OptimizeSkewedJoin pattern-matches
+      // SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) and an intermediate
+      // operator on either side disables the rewrite
+      val dim = s.range(1000).select(col("id").as("k"), (col("id") % 7).as("dim_tag"))
+      fact.join(dim, "k")
+        .groupBy((col("k") === 0).as("is_hot"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).cast("double").as("sum_q"),
+          min(col("h")).as("min_h"))
+        .orderBy(col("is_hot"))
+    }),
+
     "join_bloom" -> ((s0, dir) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -205,6 +258,23 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_aqe_skew" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+        |              ELSE l_orderkey % 1000 END AS k,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |    md5('0' || l_orderkey || ':' || l_linenumber)
+        |      || md5('1' || l_orderkey || ':' || l_linenumber)
+        |      || md5('2' || l_orderkey || ':' || l_linenumber)
+        |      || md5('3' || l_orderkey || ':' || l_linenumber) AS h
+        |  FROM lineitem),
+        |dim AS (SELECT i AS k FROM generate_series(0, 999) t(i))
+        |SELECT f.k = 0 AS is_hot, count(*) AS n,
+        |  CAST(sum(f.q) AS DOUBLE) AS sum_q,
+        |  min(f.h) AS min_h
+        |FROM fact f JOIN dim d ON d.k = f.k
+        |GROUP BY is_hot ORDER BY is_hot""".stripMargin,
+
     "join_bloom" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

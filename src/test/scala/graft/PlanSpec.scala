@@ -470,6 +470,16 @@ class PlanSpec extends AnyFunSuite {
       s"the 20-token stop list must broadcast, not shuffle the token frame:\n$p")
   }
 
+  test("join_aqe_skew's FINAL adaptive plan splits the hot partition (skew=true)") {
+    // AQE re-plans at runtime, so this asserts on the executed plan
+    // after an action — not the static explain the other tests use
+    val df = SparkEntry.queries("join_aqe_skew")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"hot partition must be split by the skew-join rule:\n${p.take(4000)}")
+  }
+
   test("src_custom_v2 pushes the id range and the projection INTO the connector") {
     val p = plan("src_custom_v2")
     // the scan description carries the absorbed generator bounds: both
