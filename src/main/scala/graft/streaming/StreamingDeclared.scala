@@ -245,6 +245,16 @@ object StreamingDeclared {
     // changed-group emissions (the changelog a MERGE sink consumes),
     // collapsed to final state for the oracle (count/nonneg-sum are
     // monotone per key)
+    // event-time TIMER surface of transformWithState: inactivity-flush
+    // sessions (30-min gap) — intra-batch closures emit inline, the
+    // final open session per user flushes when the sentinel-advanced
+    // watermark fires its timer. Oracle = the same gaps-and-islands
+    // sessionization in SQL.
+    "stream_timer_sessions" -> ((s, dir) =>
+      StreamingJobs.sessionFlushTws(s, stagedEventsSentinelDir(s, dir),
+          sinkName("q_stream_timer_sess"))
+        .orderBy(col("user_id"), col("sess_start_s"))),
+
     // ListState surface of transformWithState: capped last-3 recent
     // types per user (state = keys×3 forever — the bounded-state
     // discipline), update-mode changelog collapsed via the monotone
@@ -538,6 +548,25 @@ object StreamingDeclared {
         |  FROM c)
         |SELECT win_start, rk, user_id, n FROM r WHERE rk <= 3
         |ORDER BY win_start, rk""".stripMargin,
+
+    "stream_timer_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN prev_ts IS NULL
+        |             OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM x)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start_s,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS sess_end_s,
+        |  count(*) AS n_events
+        |FROM m GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start_s""".stripMargin,
 
     "stream_last_n_state" ->
       """WITH r AS (

@@ -445,6 +445,110 @@ object StreamingJobs {
     }
   }
 
+  /** Inactivity-flush sessionization via EVENT-TIME TIMERS — the timer
+    * surface of transformWithState (ListState/ValueState are covered by
+    * the other processors). Per user: extend the open session while
+    * events arrive within `gapMs`; emit intra-batch closed sessions
+    * immediately; keep ONE open session in state with a timer armed at
+    * last_ts + gap. The timer fires when the WATERMARK passes it — the
+    * flush no event could trigger. A stale timer (state advanced since
+    * it was armed) is detected by comparing the expiry to the current
+    * last_ts + gap and ignored — without that guard a batch that both
+    * extends the session and passes the old deadline double-emits.
+    */
+  private class SessionFlushProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var out = List.empty[(Long, Long, Long, Long)]
+      var cur: Option[(Long, Long, Long)] =
+        if (sess.exists()) Some(sess.get()) else None
+      sorted.foreach { case (_, ts, _) =>
+        cur = cur match {
+          case Some((st, last, n)) if ts - last <= gapMs => Some((st, ts, n + 1))
+          case Some((st, last, n)) =>
+            out ::= (key, st / 1000, last / 1000, n)
+            Some((ts, ts, 1L))
+          case None => Some((ts, ts, 1L))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(c._2 + gapMs)
+      }
+      out.reverse.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] = {
+      if (!sess.exists()) return Iterator.empty
+      val (st, last, n) = sess.get()
+      if (expiredTimerInfo.getExpiryTimeInMs >= last + gapMs) {
+        sess.clear()
+        Iterator.single((key, st / 1000, last / 1000, n))
+      } else Iterator.empty // stale timer from a since-extended session
+    }
+  }
+
+  /** Timer-flushed sessions over the double-sentinel staged source
+    * (sentinel batch #2 applies #1's watermark — timers then fire for
+    * every still-open session; sentinel rows themselves advance the
+    * watermark BEFORE the negative-id filter and match nothing).
+    */
+  def sessionFlushTws(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = graft.Tables.normalizeEventsTs(
+        spark.readStream.schema(eventsRawSchema(spark, dir))
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+      // sentinel rows MUST flow through the watermark collector AND the
+      // processor: a pre-processor `user_id >= 0` filter gets pushed
+      // below EventTimeWatermark by Catalyst (user_id is not the
+      // watermark column), silently freezing the watermark at real-data
+      // time — observed as exactly the globally-latest session never
+      // flushing. Negative sentinel keys just make their own sessions,
+      // dropped at the sink side.
+      val out = src
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), expr("unix_micros(ts) div 1000").as("ts_ms"),
+          col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionFlushProcessor(30L * 60 * 1000),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "sess_start_s", "sess_end_s", "n_events")
+        .filter(col("user_id") >= 0)
+      withStatePartitions(spark, 8) {
+        runToMemory(out, sinkName, OutputMode.Append())
+      }
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   /** Update-mode last-3-types changelog over the split multi-batch
     * source, collapsed to final state via the monotone `seen` counter.
     */
