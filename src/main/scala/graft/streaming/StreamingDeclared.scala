@@ -245,6 +245,14 @@ object StreamingDeclared {
     // changed-group emissions (the changelog a MERGE sink consumes),
     // collapsed to final state for the oracle (count/nonneg-sum are
     // monotone per key)
+    // MapState surface of transformWithState: per-user type→count map
+    // with point updates (RocksDB entry-level, not whole-blob), emitted
+    // as a sorted histogram csv; monotone total collapses the changelog
+    "stream_map_state" -> ((s, dir) =>
+      StreamingJobs.typeHistogramTws(s, stagedEventsSplitDir(s, dir),
+          sinkName("q_stream_mapstate"))
+        .orderBy(col("user_id"))),
+
     // event-time TIMER surface of transformWithState: inactivity-flush
     // sessions (30-min gap) — intra-batch closures emit inline, the
     // final open session per user flushes when the sentinel-advanced
@@ -548,6 +556,14 @@ object StreamingDeclared {
         |  FROM c)
         |SELECT win_start, rk, user_id, n FROM r WHERE rk <= 3
         |ORDER BY win_start, rk""".stripMargin,
+
+    "stream_map_state" ->
+      """WITH tc AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |  string_agg(event_type || ':' || c, ',' ORDER BY event_type) AS hist
+        |FROM tc GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_timer_sessions" ->
       """WITH x AS (

@@ -445,6 +445,73 @@ object StreamingJobs {
     }
   }
 
+  /** Per-user event-type histogram via MapState — the keyed-collection
+    * state surface (ValueState/ListState/timers covered by the other
+    * processors). The map holds type→count per user: point updates
+    * touch only the changed key's state entry (RocksDB column family),
+    * not a serialized blob of the whole map — the access pattern that
+    * matters when a key's state is wide. Emits the histogram as a
+    * type-sorted csv + monotone total for update-mode collapse.
+    */
+  private class TypeHistogramProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, Long, String)] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, String)] = {
+      rows.foreach { case (_, typ) =>
+        val cur = if (counts.containsKey(typ)) counts.getValue(typ) else 0L
+        counts.updateValue(typ, cur + 1)
+      }
+      val entries = counts.iterator().toSeq.sortBy(_._1)
+      val total = entries.map(_._2).sum
+      Iterator.single((key, total,
+        entries.map { case (t, n) => s"$t:$n" }.mkString(",")))
+    }
+  }
+
+  /** Update-mode per-user type histogram over the split multi-batch
+    * source, collapsed to final state via the monotone total.
+    */
+  def typeHistogramTws(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = graft.Tables.normalizeEventsTs(
+        spark.readStream.schema(eventsRawSchema(spark, dir))
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+      val out = src
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new TypeHistogramProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "total", "hist")
+      val sink = withStatePartitions(spark, 8) {
+        runToMemory(out, sinkName, OutputMode.Update())
+      }
+      sink.groupBy(col("user_id"))
+        .agg(max(col("total")).as("n_events"),
+          expr("max_by(hist, total)").as("hist"))
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   /** Inactivity-flush sessionization via EVENT-TIME TIMERS — the timer
     * surface of transformWithState (ListState/ValueState are covered by
     * the other processors). Per user: extend the open session while

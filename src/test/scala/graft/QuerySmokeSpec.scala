@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (290 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 290)
-    assert(SparkEntry.oracleSql.size >= 290)
+  test("declared inventory is complete (291 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 291)
+    assert(SparkEntry.oracleSql.size >= 291)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
