@@ -789,6 +789,22 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // degree assortativity: Pearson correlation of endpoint degrees
+    // over the (bidirectional) edge list — one number summarizing
+    // whether hubs attach to hubs (r>0) or to leaves (r<0). Degree agg
+    // + two node-keyed joins + a single-pass corr; exact-long inputs
+    "graph_assortativity" -> ((s, dir) => {
+      val e = edges1996(s, dir)
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      adj
+        .join(deg.select(col("a"), col("d").as("da")), "a")
+        .join(deg.select(col("a").as("b"), col("d").as("db")), "b")
+        .agg(count(lit(1)).as("n_dir_edges"),
+          round(corr(col("da"), col("db")), 6).as("assortativity"))
+    }),
+
     // k-core-style peeling (k=3, 3 rounds): repeatedly drop nodes of
     // degree < k and the edges touching them. Each round is one
     // degree agg + two semi-join-shaped filters of the edge frame —
@@ -1355,6 +1371,18 @@ object AnalyticsQueries {
         |      GROUP BY x.n, y.n)
         |SELECT a, b, common FROM p
         |ORDER BY common DESC, a, b LIMIT 10""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |              AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM le a JOIN le b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT a, count(*) AS d FROM adj GROUP BY a)
+        |SELECT count(*) AS n_dir_edges,
+        |  round(corr(da.d, db.d), 6) AS assortativity
+        |FROM adj JOIN deg da ON da.a = adj.a JOIN deg db ON db.a = adj.b""".stripMargin,
 
     "graph_kcore" ->
       """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem

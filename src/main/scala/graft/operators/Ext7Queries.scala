@@ -102,6 +102,70 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // CUSUM change-point detection: per event type, the day where the
+    // cumulative deviation from the mean peaks — the classic shift
+    // detector. Deviations ride ONE ordered window (sequential running
+    // sum ⇒ identical fp order in both engines); argmax via rank with
+    // a day tie-break.
+    "ts_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy(col("event_type"))
+        .orderBy(desc("abs_s"), col("day"))
+      daily
+        .withColumn("dev", col("n") - avg(col("n")).over(wAll))
+        .withColumn("abs_s", abs(sum(col("dev")).over(wOrd)))
+        .withColumn("n_days", count(lit(1)).over(wAll))
+        .withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          round(col("abs_s"), 6).as("peak_cusum"), col("n_days"))
+        .orderBy(col("event_type"))
+    }),
+
+    // string surface #3: initcap/overlay (modeled arithmetically in the
+    // oracle — DuckDB lacks both), translate/repeat/ascii/chr/reverse/
+    // starts/ends — pure codegen projection
+    "fn_string3" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          initcap(lower(col("c_name"))).as("ic"),
+          translate(col("c_name"), "0#", "O-").as("tr"),
+          repeat(substring(col("c_name"), 1, 4), 2).as("rep"),
+          ascii(col("c_name")).as("asc"),
+          chr(lit(65) + (col("c_custkey") % 26)).as("ch"),
+          reverse(col("c_name")).as("rev"),
+          expr("overlay(c_name PLACING 'XX' FROM 3 FOR 2)").as("ov"),
+          col("c_name").startsWith("Customer").as("sw"),
+          col("c_name").endsWith("1").as("ew"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // inter-arrival analysis: histogram of day-gaps between consecutive
+    // orders per customer, bucketed by ~month. One keyed window (lag)
+    // + one small hash agg; share denominators via a window total
+    "orders_interarrival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"), col("o_orderkey"))
+      val gaps = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("day"))
+        .withColumn("prev", lag(col("day"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(datediff(col("day"), col("prev")).as("gap"))
+      val wAll = Window.partitionBy()
+      gaps.groupBy((col("gap") / 30).cast("int").as("bucket_months"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n") / sum(col("n")).over(wAll), 6))
+        .orderBy(col("bucket_months"))
+    }),
+
     // XPath navigation over row-built XML: xpath_long/string/boolean +
     // the node-list form. The XML is constructed from source columns,
     // so the oracle reproduces every extraction arithmetically without
@@ -620,6 +684,57 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "ts_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY event_type, day),
+        |c AS (
+        |  SELECT event_type, day,
+        |    abs(sum(n - avg_n) OVER (PARTITION BY event_type ORDER BY day
+        |        ROWS UNBOUNDED PRECEDING)) AS abs_s,
+        |    n_days
+        |  FROM (
+        |    SELECT event_type, day, n,
+        |      avg(n) OVER (PARTITION BY event_type) AS avg_n,
+        |      count(*) OVER (PARTITION BY event_type) AS n_days
+        |    FROM daily)),
+        |r AS (
+        |  SELECT event_type, day, abs_s, n_days,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY abs_s DESC, day) AS rk
+        |  FROM c)
+        |SELECT event_type, day AS change_day,
+        |  round(abs_s, 6) AS peak_cusum, n_days
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "fn_string3" ->
+      """WITH b AS (SELECT c_custkey, c_name, lower(c_name) AS lc FROM customer)
+        |SELECT c_custkey,
+        |  upper(lc[1]) || lc[2:] AS ic,
+        |  translate(c_name, '0#', 'O-') AS tr,
+        |  repeat(substring(c_name, 1, 4), 2) AS rep,
+        |  CAST(ascii(c_name) AS INTEGER) AS asc,
+        |  chr(CAST(65 + c_custkey % 26 AS INTEGER)) AS ch,
+        |  reverse(c_name) AS rev,
+        |  substring(c_name, 1, 2) || 'XX' || substring(c_name, 5) AS ov,
+        |  starts_with(c_name, 'Customer') AS sw,
+        |  ends_with(c_name, '1') AS ew
+        |FROM b ORDER BY c_custkey""".stripMargin,
+
+    "orders_interarrival" ->
+      """WITH g AS (
+        |  SELECT CAST(date_diff('day', prev, day) AS INTEGER) AS gap FROM (
+        |    SELECT CAST(o_orderdate AS DATE) AS day,
+        |      lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |        ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+        |    FROM orders)
+        |  WHERE prev IS NOT NULL),
+        |h AS (SELECT CAST(gap // 30 AS INTEGER) AS bucket_months, count(*) AS n
+        |      FROM g GROUP BY bucket_months)
+        |SELECT bucket_months, n,
+        |  round(n / sum(n) OVER (), 6) AS share
+        |FROM h ORDER BY bucket_months""".stripMargin,
 
     "fn_xml" ->
       """SELECT o_orderkey,
