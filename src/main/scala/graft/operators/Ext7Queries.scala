@@ -102,6 +102,44 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // DAU/WAU/stickiness: daily actives, trailing-7-day actives, and
+    // their ratio. WAU must NOT be a distinct agg inside a window (not
+    // supported) nor a theta range join (pair blowup) — each user-day
+    // replicates to the ≤7 grid days it serves (explode sequence), so
+    // the count is an EQUI-grouped distinct; the oracle uses the
+    // equivalent quadratic BETWEEN formulation
+    "events_dau_wau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("d"))
+        .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, col("day") === col("d"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau") / col("wau"), 6).as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
+    // skyline staircase: the days offering a strictly-cheaper minimum
+    // order price than EVERY later day (maximize recency, minimize
+    // price). One day-level agg + one descending window with a running
+    // min — the O(n log n) frontier, no pairwise dominance scan
+    "orders_price_frontier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byDay = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(min(Tables.dec2(col("o_totalprice"))).as("p"))
+      val w = Window.orderBy(desc("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byDay
+        .withColumn("later_min", min(col("p")).over(w))
+        .filter(col("later_min").isNull || col("p") < col("later_min"))
+        .select(col("day"), col("p").cast("double").as("min_price"))
+        .orderBy(col("day"))
+    }),
+
     // CUSUM change-point detection: per event type, the day where the
     // cumulative deviation from the mean peaks — the classic shift
     // detector. Deviations ride ONE ordered window (sequential running
@@ -684,6 +722,32 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "events_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day)
+        |SELECT d.day, d.dau,
+        |  (SELECT count(DISTINCT u.user_id) FROM ud u
+        |   WHERE u.day BETWEEN d.day - 6 AND d.day) AS wau,
+        |  round(d.dau / (SELECT count(DISTINCT u.user_id) FROM ud u
+        |    WHERE u.day BETWEEN d.day - 6 AND d.day), 6) AS stickiness
+        |FROM dau d ORDER BY d.day""".stripMargin,
+
+    "orders_price_frontier" ->
+      """WITH byday AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    min(CAST(o_totalprice AS DECIMAL(18,2))) AS p
+        |  FROM orders GROUP BY day),
+        |f AS (
+        |  SELECT day, p,
+        |    min(p) OVER (ORDER BY day DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS later_min
+        |  FROM byday)
+        |SELECT day, CAST(p AS DOUBLE) AS min_price
+        |FROM f WHERE later_min IS NULL OR p < later_min
+        |ORDER BY day""".stripMargin,
 
     "ts_cusum" ->
       """WITH daily AS (
