@@ -137,7 +137,14 @@ object ScaleBench {
     "win_gap_islands", "text_stopword_prune", "doc_prefix_dedup",
     "events_pmi", "events_entropy", "doc_shuffle_shard", "graph_kcore",
     "emb_pca_power", "sim_mmr", "ts_seasonal_naive", "orders_rfm",
-    "sample_weighted", "sessionize_native", "agg_multi_distinct")
+    "sample_weighted", "sessionize_native", "agg_multi_distinct",
+    // later §2.13 batches: wedge-join assortativity, windowed CUSUM /
+    // frontier / interarrival passes, replicated-grid DAU-WAU,
+    // truncated-dim ANN, decimal-cumsum Pareto, typed max-by reduction
+    "graph_assortativity", "ts_cusum", "orders_interarrival",
+    "events_dau_wau", "orders_price_frontier", "sim_ann_trunc",
+    "orders_pareto", "typed_dataset_ops", "fn_array_setops",
+    "doc_filter_waterfall")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/
