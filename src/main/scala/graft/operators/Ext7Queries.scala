@@ -102,6 +102,75 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // rank correlation: Spearman = Pearson over AVERAGE ranks (exact
+    // tie handling via avg(row_number) per value group) alongside
+    // Pearson and covariance, per returnflag. Two keyed window sorts
+    // for the ranks + one single-pass co-moment agg
+    "agg_spearman" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("f"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      val wx = Window.partitionBy(col("f"))
+        .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+      val wy = Window.partitionBy(col("f"))
+        .orderBy(col("y"), col("l_orderkey"), col("l_linenumber"))
+      base
+        .withColumn("rnx", row_number().over(wx))
+        .withColumn("rny", row_number().over(wy))
+        .withColumn("rx", avg(col("rnx")).over(Window.partitionBy(col("f"), col("x"))))
+        .withColumn("ry", avg(col("rny")).over(Window.partitionBy(col("f"), col("y"))))
+        .groupBy(col("f"))
+        .agg(round(corr(col("x"), col("y")), 6).as("pearson"),
+          round(corr(col("rx"), col("ry")), 6).as("spearman"),
+          round(covar_samp(col("x"), col("y")), 4).as("cov_s"),
+          count(lit(1)).as("n"))
+        .orderBy(col("f"))
+    }),
+
+    // explicit lineage truncation: localCheckpoint materializes the agg
+    // and replaces its plan with the materialized RDD (Scan ExistingRDD,
+    // plan-asserted) — the tool iterative algorithms (CC, PageRank) use
+    // to stop plan growth; here surfaced as a declared query
+    "plan_checkpoint" -> ((s, dir) => {
+      val agg = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec2(col("l_extendedprice"))).cast("double").as("total"))
+      agg.localCheckpoint(true)
+        .filter(col("n") > 0)
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // survival analysis (Kaplan-Meier-lite): time from signup to first
+    // purchase per user; S(t) = fraction not yet converted (or never —
+    // right-censored) at day t over a 15-day grid. The grid join
+    // replicates each user ≤15 times — linear, never a theta scan
+    "events_survival" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s0"))
+      val p1 = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      // pre-signup purchases are NULLed (not filtered) so a user whose
+      // only purchases precede signup stays as right-censored instead of
+      // vanishing; min() ignores nulls
+      val conv = s0.join(p1, Seq("user_id"), "left")
+        .select(col("user_id"), col("s0"),
+          when(col("pts") >= col("s0"), col("pts")).as("pp"))
+        .groupBy(col("user_id"), col("s0"))
+        .agg(min(col("pp")).as("p1"))
+        .select(col("user_id"),
+          datediff(to_date(col("p1")), to_date(col("s0"))).as("t_days"))
+      conv
+        .crossJoin(broadcast(s.range(15).select(col("id").cast("int").as("t"))))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(when(col("t_days").isNull || col("t_days") > col("t"), 1L)
+            .otherwise(0L)) / count(lit(1)), 6).as("s_t"))
+        .orderBy(col("t"))
+    }),
+
     // DAU/WAU/stickiness: daily actives, trailing-7-day actives, and
     // their ratio. WAU must NOT be a distinct agg inside a window (not
     // supported) nor a theta range join (pair blowup) — each user-day
@@ -722,6 +791,54 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_spearman" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS f, l_orderkey, l_linenumber,
+        |    l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT f, x, y,
+        |    avg(rnx) OVER (PARTITION BY f, x) AS rx,
+        |    avg(rny) OVER (PARTITION BY f, y) AS ry
+        |  FROM (
+        |    SELECT f, x, y,
+        |      row_number() OVER (PARTITION BY f ORDER BY x, l_orderkey, l_linenumber) AS rnx,
+        |      row_number() OVER (PARTITION BY f ORDER BY y, l_orderkey, l_linenumber) AS rny
+        |    FROM b))
+        |SELECT f, round(corr(x, y), 6) AS pearson,
+        |  round(corr(rx, ry), 6) AS spearman,
+        |  round(covar_samp(x, y), 4) AS cov_s,
+        |  count(*) AS n
+        |FROM r GROUP BY f ORDER BY f""".stripMargin,
+
+    "plan_checkpoint" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY l_returnflag
+        |HAVING count(*) > 0 ORDER BY l_returnflag""".stripMargin,
+
+    "events_survival" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS s0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT s.user_id,
+        |    CAST(date_diff('day', CAST(s.s0 AS DATE), CAST(min(p.pp) AS DATE))
+        |      AS INTEGER) AS t_days
+        |  FROM s0 s LEFT JOIN (
+        |    SELECT e.user_id, s2.s0,
+        |      CASE WHEN e.ts >= s2.s0 THEN e.ts END AS pp
+        |    FROM events e JOIN s0 s2 ON s2.user_id = e.user_id
+        |    WHERE e.event_type = 'purchase') p
+        |  ON p.user_id = s.user_id
+        |  GROUP BY s.user_id, s.s0)
+        |SELECT t.t, count(*) AS n_users,
+        |  round(sum(CASE WHEN c.t_days IS NULL OR c.t_days > t.t
+        |                 THEN 1 ELSE 0 END) / count(*), 6) AS s_t
+        |FROM conv c CROSS JOIN (SELECT CAST(i AS INTEGER) AS t
+        |                        FROM generate_series(0, 14) g(i)) t
+        |GROUP BY t.t ORDER BY t.t""".stripMargin,
 
     "events_dau_wau" ->
       """WITH ud AS (

@@ -470,6 +470,14 @@ class PlanSpec extends AnyFunSuite {
       s"the 20-token stop list must broadcast, not shuffle the token frame:\n$p")
   }
 
+  test("plan_checkpoint truncates lineage to a materialized RDD scan") {
+    val p = plan("plan_checkpoint")
+    assert(p.contains("ExistingRDD"),
+      s"post-checkpoint plan must read the materialized RDD, not re-derive the agg:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"the aggregate must NOT reappear above the checkpoint:\n$p")
+  }
+
   test("join_aqe_skew's FINAL adaptive plan splits the hot partition (skew=true)") {
     // AQE re-plans at runtime, so this asserts on the executed plan
     // after an action — not the static explain the other tests use
