@@ -102,6 +102,77 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // inequality of engagement: Gini coefficient over per-user event
+    // counts via the rank formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n —
+    // every term exact-integer until the final division. One count agg
+    // + one ordered window (user-count-sized frame)
+    "events_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c"), col("user_id"))
+      counts.withColumn("rn", row_number().over(w))
+        .agg(count(lit(1)).as("n_users"),
+          round(
+            (sum(col("rn") * col("c")) * 2).cast("double")
+              / (count(lit(1)) * sum(col("c"))).cast("double")
+              - (count(lit(1)) + 1).cast("double") / count(lit(1)).cast("double"),
+            6).as("gini"))
+    }),
+
+    // novelty scoring: fraction of a doc's distinct 3-grams FIRST seen
+    // in that doc (by doc_id order) — the dataset-curation signal for
+    // "how much does this doc add". Gram attribution is one min-agg on
+    // the gram key; never doc-pairwise
+    "doc_novelty" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 3), i -> array_join(slice(t, i + 1, 3), ' '))"))
+          .as("g"))
+        .distinct()
+      val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+      grams.join(first, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", round(col("n_novel") / col("n_grams"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // robust mean: winsorize at the DISCRETE p5/p95 rank cutoffs
+    // (actual data values — interpolated percentiles differ in the last
+    // ulp across engines) then average in exact DECIMAL. Two window
+    // ranks + a broadcast-sized cutoff join
+    "agg_winsorized" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("f"), col("l_orderkey"), col("l_linenumber"),
+          Tables.dec2(col("l_extendedprice")).as("p"))
+      val w = Window.partitionBy(col("f"))
+        .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("f"))))
+        .withColumn("lo_rank",
+          greatest(lit(1L), ceil(col("cnt") * lit(0.05)).cast("long")))
+        .withColumn("hi_rank", ceil(col("cnt") * lit(0.95)).cast("long"))
+      val cuts = ranked
+        .filter(col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
+        .groupBy(col("f"))
+        .agg(min(col("p")).as("lo"), max(col("p")).as("hi"))
+      ranked.join(broadcast(cuts), "f")
+        .select(col("f"),
+          when(col("p") < col("lo"), col("lo"))
+            .when(col("p") > col("hi"), col("hi"))
+            .otherwise(col("p")).as("cp"))
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("cp")).cast("double") / count(lit(1)), 6).as("wins_mean"))
+        .orderBy(col("f"))
+    }),
+
     // rank correlation: Spearman = Pearson over AVERAGE ranks (exact
     // tie handling via avg(row_number) per value group) alongside
     // Pearson and covariance, per returnflag. Two keyed window sorts
@@ -791,6 +862,57 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "events_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn FROM c)
+        |SELECT count(*) AS n_users,
+        |  round(CAST(sum(rn * c) * 2 AS DOUBLE) / CAST(count(*) * sum(c) AS DOUBLE)
+        |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
+
+    "doc_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+        |pos AS (
+        |  SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 3)) AS i
+        |  FROM t WHERE len(tk) >= 3),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(tk, i + 1, i + 3), ' ') AS g
+        |  FROM pos),
+        |fd AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY g)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN fd.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN fd.fd = g.doc_id THEN 1 ELSE 0 END)
+        |    / count(*), 6) AS novelty
+        |FROM g JOIN fd ON fd.g = g.g
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "agg_winsorized" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS f, l_orderkey, l_linenumber,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT f, p,
+        |    row_number() OVER (PARTITION BY f
+        |      ORDER BY p, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY f) AS cnt
+        |  FROM base),
+        |cuts AS (
+        |  SELECT f, min(p) AS lo, max(p) AS hi FROM ranked
+        |  WHERE rn = greatest(1, CAST(ceil(cnt * CAST(0.05 AS DOUBLE)) AS BIGINT))
+        |     OR rn = CAST(ceil(cnt * CAST(0.95 AS DOUBLE)) AS BIGINT)
+        |  GROUP BY f)
+        |SELECT r.f, count(*) AS n,
+        |  round(CAST(sum(CASE WHEN r.p < c.lo THEN c.lo
+        |                      WHEN r.p > c.hi THEN c.hi
+        |                      ELSE r.p END) AS DOUBLE) / count(*), 6) AS wins_mean
+        |FROM ranked r JOIN cuts c ON c.f = r.f
+        |GROUP BY r.f ORDER BY r.f""".stripMargin,
 
     "agg_spearman" ->
       """WITH b AS (
