@@ -102,6 +102,65 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // regex surface #2: extract_all / count / instr / group-reference
+    // replace. Each engine uses its own group-ref syntax ($1 vs \1) and
+    // regexp_count/instr are modeled via extract_all-length and strpos
+    // in the oracle — semantics pinned, spellings engine-local
+    "fn_regex2" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_join(slice(regexp_extract_all(col("text"), lit("\\b\\w{5}\\b"), lit(0)), 1, 3), ",")
+            .as("first5s"),
+          expr("regexp_count(text, 'ab')").as("n_ab"),
+          expr("regexp_instr(text, 'data')").as("pos_data"),
+          regexp_replace(substring(col("text"), 1, 40), "(\\w+) (\\w+)", "$2 $1")
+            .as("swapped"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ABC inventory classification: parts bucketed by cumulative revenue
+    // share (A ≤ 80%, B ≤ 95%, C rest). Exact DECIMAL cumsums with the
+    // integer-scaled boundary compares (5·cum ≤ 4·tot, 20·cum ≤ 19·tot)
+    // so no double ever decides a class
+    "orders_abc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(Tables.dec2(col("l_extendedprice"))).as("r"))
+      val w = Window.orderBy(desc("r"), col("l_partkey"))
+      rev
+        .withColumn("cum", sum(col("r")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("r")).over(Window.partitionBy()))
+        .withColumn("cls",
+          when(col("cum") * 5 <= col("tot") * 4, "A")
+            .when(col("cum") * 20 <= col("tot") * 19, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("r")).cast("double") / max(col("tot")).cast("double"), 6)
+            .as("rev_share"))
+        .orderBy(col("cls"))
+    }),
+
+    // model-then-score: fit price~quantity per returnflag (single-pass
+    // co-moments, coefficients rounded to 6dp so BOTH engines score
+    // with identical parameters), then surface the top-10 largest
+    // absolute residuals — the outlier triage a fit exists for
+    "agg_regression_residuals" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("f"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      val fit = li.groupBy(col("f"))
+        .agg(round(regr_slope(col("y"), col("x")), 6).as("b"),
+          round(regr_intercept(col("y"), col("x")), 6).as("a"))
+      li.join(broadcast(fit), "f")
+        .select(col("f"), col("l_orderkey"), col("l_linenumber"),
+          round(col("y") - (col("a") + col("b") * col("x")), 4).as("residual"))
+        .orderBy(abs(col("residual")).desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    }),
+
     // inequality of engagement: Gini coefficient over per-user event
     // counts via the rank formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n —
     // every term exact-integer until the final division. One count agg
@@ -862,6 +921,51 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_regex2" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(regexp_extract_all(text, '\b\w{5}\b')[1:3], ','), '')
+        |    AS first5s,
+        |  CAST(len(regexp_extract_all(text, 'ab')) AS INTEGER) AS n_ab,
+        |  CAST(strpos(text, 'data') AS INTEGER) AS pos_data,
+        |  regexp_replace(substring(text, 1, 40), '(\w+) (\w+)', '\2 \1', 'g') AS swapped
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "orders_abc" ->
+      """WITH rev AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+        |  FROM lineitem GROUP BY l_partkey),
+        |c AS (
+        |  SELECT r,
+        |    sum(r) OVER (ORDER BY r DESC, l_partkey
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(r) OVER () AS tot
+        |  FROM rev),
+        |k AS (
+        |  SELECT r, tot,
+        |    CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |         WHEN cum * 20 <= tot * 19 THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM c)
+        |SELECT cls, count(*) AS n_parts,
+        |  round(CAST(sum(r) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) AS rev_share
+        |FROM k GROUP BY cls ORDER BY cls""".stripMargin,
+
+    "agg_regression_residuals" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS f, l_orderkey, l_linenumber,
+        |    l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem),
+        |fit AS (
+        |  SELECT f, round(regr_slope(y, x), 6) AS b,
+        |    round(regr_intercept(y, x), 6) AS a
+        |  FROM li GROUP BY f)
+        |SELECT li.f, li.l_orderkey, li.l_linenumber,
+        |  round(li.y - (fit.a + fit.b * li.x), 4) AS residual
+        |FROM li JOIN fit ON fit.f = li.f
+        |ORDER BY abs(round(li.y - (fit.a + fit.b * li.x), 4)) DESC,
+        |  li.l_orderkey, li.l_linenumber
+        |LIMIT 10""".stripMargin,
 
     "events_gini" ->
       """WITH c AS (

@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (303 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 303)
-    assert(SparkEntry.oracleSql.size >= 303)
+  test("declared inventory is complete (306 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 306)
+    assert(SparkEntry.oracleSql.size >= 306)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
