@@ -102,6 +102,73 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // 2D activity heatmap: event counts on the (ISO dow × hour) grid +
+    // global share — one hash agg over a 168-cell domain, window total
+    "events_heatmap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, dir)
+        .groupBy((weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
+        .orderBy(col("dow"), col("hr"))
+    }),
+
+    // basket-size distribution: lineitems per order → order-count
+    // histogram (two cheap hash aggs; the second is domain-bounded)
+    "orders_basket_dist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+        .groupBy(col("n_items")).agg(count(lit(1)).as("n_orders"))
+        .withColumn("share",
+          round(col("n_orders") / sum(col("n_orders")).over(Window.partitionBy()), 6))
+        .orderBy(col("n_items"))
+    }),
+
+    // market concentration: Herfindahl-Hirschman index of supplier
+    // revenue shares per nation (Σ share²) — shares from exact DECIMAL
+    // revenue, squared/summed in fp (round 6 absorbs order ulps)
+    "agg_hhi" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(Tables.dec2(col("l_extendedprice"))).as("r"))
+      val w = Window.partitionBy(col("s_nationkey"))
+      rev
+        .withColumn("share", col("r").cast("double") / sum(col("r")).over(w).cast("double"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("share") * col("share")), 6).as("hhi"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nationkey"), col("n_name"))), "s_nationkey")
+        .select(col("n_name"), col("n_suppliers"), col("hhi"))
+        .orderBy(col("n_name"))
+    }),
+
+    // autocorrelation diagnostics: ACF of daily event counts at lags 1
+    // and 7 per type — the shift is an equi-join on (type, day−k) like
+    // ts_seasonal_naive, one corr pass per lag
+    "ts_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1990-01-01").cast("date")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val acf = Seq(1, 7).map { k =>
+        val lagged = daily.select(col("event_type"), (col("day") + k).as("day"),
+          col("n").as("n_lag"))
+        daily.join(lagged, Seq("event_type", "day"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(corr(col("n"), col("n_lag")), 6).as("acf"))
+          .withColumn("lag", lit(k))
+      }
+      acf.reduce(_ unionByName _)
+        .select(col("event_type"), col("lag"), col("n_pairs"), col("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
     // regex surface #2: extract_all / count / instr / group-reference
     // replace. Each engine uses its own group-ref syntax ($1 vs \1) and
     // regexp_count/instr are modeled via extract_all-length and strpos
@@ -921,6 +988,56 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "events_heatmap" ->
+      """WITH g AS (
+        |  SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+        |    CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n
+        |  FROM events GROUP BY dow, hr)
+        |SELECT dow, hr, n,
+        |  round(n / sum(n) OVER (), 6) AS share
+        |FROM g ORDER BY dow, hr""".stripMargin,
+
+    "orders_basket_dist" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, count(*) AS n_items
+        |  FROM lineitem GROUP BY l_orderkey),
+        |h AS (SELECT n_items, count(*) AS n_orders FROM b GROUP BY n_items)
+        |SELECT n_items, n_orders,
+        |  round(n_orders / sum(n_orders) OVER (), 6) AS share
+        |FROM h ORDER BY n_items""".stripMargin,
+
+    "agg_hhi" ->
+      """WITH rev AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey, s_suppkey),
+        |sh AS (
+        |  SELECT s_nationkey,
+        |    CAST(r AS DOUBLE) / CAST(sum(r) OVER (PARTITION BY s_nationkey) AS DOUBLE)
+        |      AS share
+        |  FROM rev)
+        |SELECT n.n_name, count(*) AS n_suppliers,
+        |  round(sum(share * share), 6) AS hhi
+        |FROM sh JOIN nation n ON n.n_nationkey = sh.s_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "ts_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS INTEGER) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY event_type, day),
+        |pairs AS (
+        |  SELECT d.event_type, k.lag, d.n, f.n AS n_lag
+        |  FROM (SELECT 1 AS lag UNION ALL SELECT 7) k
+        |  JOIN daily d ON true
+        |  JOIN daily f ON f.event_type = d.event_type AND d.day = f.day + k.lag)
+        |SELECT event_type, CAST(lag AS INTEGER) AS lag, count(*) AS n_pairs,
+        |  round(corr(n, n_lag), 6) AS acf
+        |FROM pairs GROUP BY event_type, lag
+        |ORDER BY event_type, lag""".stripMargin,
 
     "fn_regex2" ->
       """SELECT doc_id,
