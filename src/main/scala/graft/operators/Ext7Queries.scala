@@ -102,6 +102,53 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // marketing attribution: for each purchase, the user's first- and
+    // last-touch clicks within the preceding 7 days. The window match
+    // is the binned-replicate equi-join (purchase replicates to its two
+    // candidate 7-day bins — join_range_binned's 100 TB shape), never a
+    // per-user theta scan. Exact-µs hour averages
+    "events_attribution" -> ((s, dir) => {
+      val binUs = 7L * 86400 * 1000000L
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          unix_micros(col("ts")).as("pus"))
+        .withColumn("bin", explode(array(
+          floor(col("pus") / binUs) - 1, floor(col("pus") / binUs))))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("cus"))
+        .withColumn("bin", floor(col("cus") / binUs))
+      val touched = purchases.join(clicks, Seq("user_id", "bin"))
+        .filter(col("cus") <= col("pus") && col("cus") > col("pus") - binUs)
+        .groupBy(col("pid"), col("pus"))
+        .agg(min(col("cus")).as("first_us"), max(col("cus")).as("last_us"))
+      val nP = ev.filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n_purchases"))
+      touched.agg(
+          count(lit(1)).as("n_attributed"),
+          sum(when(col("first_us") === col("last_us"), 1L).otherwise(0L))
+            .as("n_single_touch"),
+          round(avg((col("pus") - col("first_us")) / lit(3600000000.0)), 6)
+            .as("avg_hours_first_to_purchase"))
+        .crossJoin(nP)
+        .select(col("n_purchases"), col("n_attributed"), col("n_single_touch"),
+          col("avg_hours_first_to_purchase"))
+    }),
+
+    // trend detection: least-squares slope of monthly order counts per
+    // status (x = calendar month index) — two hash aggs + the mergeable
+    // co-moment slope
+    "orders_trend" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+        .agg(count(lit(1)).as("n"))
+      monthly.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_months"),
+          round(regr_slope(col("n"), col("m")), 6).as("slope"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // 2D activity heatmap: event counts on the (ISO dow × hour) grid +
     // global share — one hash agg over a 168-cell domain, window total
     "events_heatmap" -> ((s, dir) => {
@@ -988,6 +1035,36 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "events_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT p.pid, p.pus, min(c.cus) AS first_us, max(c.cus) AS last_us
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.cus <= p.pus AND c.cus > p.pus - 604800000000
+        |  GROUP BY p.pid, p.pus)
+        |SELECT (SELECT count(*) FROM p) AS n_purchases,
+        |  count(*) AS n_attributed,
+        |  CAST(sum(CASE WHEN first_us = last_us THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_single_touch,
+        |  round(avg((pus - first_us) / CAST(3600000000.0 AS DOUBLE)), 6)
+        |    AS avg_hours_first_to_purchase
+        |FROM t""".stripMargin,
+
+    "orders_trend" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    count(*) AS n
+        |  FROM orders GROUP BY o_orderstatus, m)
+        |SELECT o_orderstatus, count(*) AS n_months,
+        |  round(regr_slope(n, m), 6) AS slope
+        |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "events_heatmap" ->
       """WITH g AS (
