@@ -102,6 +102,57 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // A/B-test readout: deterministic parity split, metric = purchases
+    // per user, Welch z on the group means — the experimentation
+    // primitive (every user converts in this corpus, so a proportion
+    // test degenerates; the mean test stays interior). Counts exact;
+    // the z formula is one deterministic double expression per engine
+    "events_ab_test" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+        .select((col("user_id") % 2).as("grp"), col("c"))
+      val g = perUser.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), avg(col("c")).as("m"), var_samp(col("c")).as("v"))
+      val wide = g.groupBy()
+        .pivot("grp", Seq(0, 1))
+        .agg(first(col("n")).as("n"), first(col("m")).as("m"), first(col("v")).as("v"))
+        .select(col("0_n").as("n_a"), col("0_m").as("m_a"), col("0_v").as("v_a"),
+          col("1_n").as("n_b"), col("1_m").as("m_b"), col("1_v").as("v_b"))
+      wide.select(col("n_a"), col("n_b"),
+        round(col("m_a"), 6).as("mean_a"),
+        round(col("m_b"), 6).as("mean_b"),
+        round((col("m_b") - col("m_a")) /
+          sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")), 6).as("z"))
+    }),
+
+    // collocation mining: PMI of top-20 token pairs over doc presence
+    // sets (the text-mining twin of events_pmi). The pair join runs on
+    // the vocabulary-bounded top set only — broadcast membership, then
+    // a doc-keyed self-join of ≤20 rows per doc
+    "text_pmi" -> ((s, dir) => {
+      val dt = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val top = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("tok")).limit(20)
+        .select(col("tok"))
+      val dtTop = dt.join(broadcast(top), "tok")
+      val nd = dt.select(col("doc_id")).distinct().agg(count(lit(1)).as("nd"))
+      val na = dtTop.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      dtTop.select(col("doc_id"), col("tok").as("ta"))
+        .join(dtTop.select(col("doc_id"), col("tok").as("tb")), "doc_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(na.select(col("tok").as("ta"), col("cnt").as("n_a"))), "ta")
+        .join(broadcast(na.select(col("tok").as("tb"), col("cnt").as("n_b"))), "tb")
+        .crossJoin(broadcast(nd))
+        .select(col("ta"), col("tb"), col("n_ab"),
+          round(log((col("n_ab") * col("nd")) / (col("n_a") * col("n_b"))), 6).as("pmi"))
+        .orderBy(desc("pmi"), col("ta"), col("tb"))
+        .limit(20)
+    }),
+
     // marketing attribution: for each purchase, the user's first- and
     // last-touch clicks within the preceding 7 days. The window match
     // is the binned-replicate equi-join (purchase replicates to its two
@@ -1035,6 +1086,53 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "events_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id % 2 AS grp,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT grp, count(*) AS n, avg(c) AS m, var_samp(c) AS v
+        |  FROM pu GROUP BY grp),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN grp = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN grp = 0 THEN m END) AS m_a,
+        |    max(CASE WHEN grp = 0 THEN v END) AS v_a,
+        |    max(CASE WHEN grp = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN grp = 1 THEN m END) AS m_b,
+        |    max(CASE WHEN grp = 1 THEN v END) AS v_b
+        |  FROM g)
+        |SELECT n_a, n_b,
+        |  round(m_a, 6) AS mean_a,
+        |  round(m_b, 6) AS mean_b,
+        |  round((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 6) AS z
+        |FROM w""".stripMargin,
+
+    "text_pmi" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |top AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS df FROM dt GROUP BY tok
+        |    ORDER BY df DESC, tok LIMIT 20)),
+        |dtt AS (SELECT dt.doc_id, dt.tok FROM dt JOIN top USING (tok)),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
+        |na AS (SELECT tok, count(*) AS cnt FROM dtt GROUP BY tok),
+        |p AS (
+        |  SELECT a.tok AS ta, b.tok AS tb, count(*) AS n_ab
+        |  FROM dtt a JOIN dtt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY ta, tb)
+        |SELECT p.ta, p.tb, p.n_ab,
+        |  round(ln((p.n_ab * nd.nd) / (x.cnt * y.cnt)), 6) AS pmi
+        |FROM p
+        |JOIN na x ON x.tok = p.ta
+        |JOIN na y ON y.tok = p.tb
+        |CROSS JOIN nd
+        |ORDER BY pmi DESC, p.ta, p.tb LIMIT 20""".stripMargin,
 
     "events_attribution" ->
       """WITH p AS (
