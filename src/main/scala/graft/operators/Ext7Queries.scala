@@ -102,6 +102,60 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // deterministic train/val/test split (80/10/10 by overflow-safe
+    // hash) with per-source composition report — the reproducible
+    // dataset-split every training run needs; shares within source via
+    // a source-keyed window
+    "doc_train_split" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = (((col("doc_id") % 1000003L) * 2654435761L) % 1000003L) % 10
+      val w = Window.partitionBy(col("source"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          when(b < 8, "train").when(b < 9, "val").otherwise("test").as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_in_source", round(col("n") / sum(col("n")).over(w), 6))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // chi-square test of independence (order year × priority): Σ
+    // (obs − exp)²/exp from exact counts; expectations are deterministic
+    // double ratios, the 35-cell sum's order ulps vanish under round 4
+    "orders_chi2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val obs = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("p"))
+        .agg(count(lit(1)).as("o"))
+      val withTot = obs
+        .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("y"))))
+        .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("p"))))
+        .withColumn("tt", sum(col("o")).over(Window.partitionBy()))
+      withTot
+        .select(col("y"), col("p"), col("o"),
+          (col("rt") * col("ct") / col("tt")).as("e"))
+        .agg(round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 4)
+            .as("chi2"),
+          ((countDistinct(col("y")) - 1) * (countDistinct(col("p")) - 1)).as("dof"),
+          sum(col("o")).as("n"))
+    }),
+
+    // Zipf law fit: slope of ln(freq) on ln(rank) over the top-100
+    // tokens — the corpus-health diagnostic behind text_vocab_stats.
+    // One count agg + one ordered window + a co-moment fit
+    "text_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(desc("c"), col("tok"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 100)
+        .agg(count(lit(1)).as("n_tokens"),
+          round(regr_slope(log(col("c")), log(col("rank"))), 6).as("zipf_slope"),
+          round(regr_r2(log(col("c")), log(col("rank"))), 6).as("r2"))
+    }),
+
     // A/B-test readout: deterministic parity split, metric = purchases
     // per user, Welch z on the group means — the experimentation
     // primitive (every user converts in this corpus, so a proportion
@@ -1086,6 +1140,46 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "doc_train_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 10 < 8
+        |           THEN 'train'
+        |         WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 10 < 9
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (SELECT source, split, count(*) AS n FROM d GROUP BY source, split)
+        |SELECT source, split, n,
+        |  round(n / sum(n) OVER (PARTITION BY source), 6) AS share_in_source
+        |FROM g ORDER BY source, split""".stripMargin,
+
+    "orders_chi2" ->
+      """WITH obs AS (
+        |  SELECT year(o_orderdate) AS y, o_orderpriority AS p, count(*) AS o
+        |  FROM orders GROUP BY y, p),
+        |t AS (
+        |  SELECT y, p, o,
+        |    sum(o) OVER (PARTITION BY y) * sum(o) OVER (PARTITION BY p)
+        |      / sum(o) OVER () AS e
+        |  FROM obs)
+        |SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+        |  CAST((count(DISTINCT y) - 1) * (count(DISTINCT p) - 1) AS BIGINT) AS dof,
+        |  CAST(sum(o) AS BIGINT) AS n
+        |FROM t""".stripMargin,
+
+    "text_zipf_fit" ->
+      """WITH c AS (
+        |  SELECT tok, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank FROM c)
+        |SELECT count(*) AS n_tokens,
+        |  round(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
+        |  round(regr_r2(ln(c), ln(rank)), 6) AS r2
+        |FROM r WHERE rank <= 100""".stripMargin,
 
     "events_ab_test" ->
       """WITH pu AS (
