@@ -102,6 +102,40 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // MATCH_RECOGNIZE-lite: regex over each user's time-ordered event-
+    // type sequence (funnel-with-gaps 'signup…click…purchase' and the
+    // adjacency pattern 'error,error'). Sequences built per key via
+    // sorted collect (bounded by a user's activity); matching is one
+    // codegen rlike/contains pass
+    "events_seq_match" -> ((s, dir) => {
+      val seq = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ",").as("seq"))
+      seq.agg(count(lit(1)).as("n_users"),
+          sum(when(col("seq").rlike("signup.*click.*purchase"), 1L).otherwise(0L))
+            .as("n_funnel"),
+          sum(when(col("seq").contains("error,error"), 1L).otherwise(0L))
+            .as("n_double_error"))
+        .select(col("n_users"), col("n_funnel"), col("n_double_error"),
+          round(col("n_funnel") / col("n_users"), 6).as("funnel_share"))
+    }),
+
+    // cross-source contamination: identical texts appearing under 2+
+    // sources — the leakage exact dedup within one source misses. One
+    // hash agg on the text key, never pairwise
+    "doc_cross_source_dup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .filter(col("n_sources") >= 2)
+        .select(col("keeper"), col("n_docs"), col("n_sources"))
+        .orderBy(col("keeper"))
+    }),
+
     // deterministic train/val/test split (80/10/10 by overflow-safe
     // hash) with per-source composition report — the reproducible
     // dataset-split every training run needs; shares within source via
@@ -1140,6 +1174,27 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "events_seq_match" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN regexp_matches(seq, 'signup.*click.*purchase')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel,
+        |  CAST(sum(CASE WHEN contains(seq, 'error,error')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_double_error,
+        |  round(sum(CASE WHEN regexp_matches(seq, 'signup.*click.*purchase')
+        |                 THEN 1 ELSE 0 END) / count(*), 6) AS funnel_share
+        |FROM s""".stripMargin,
+
+    "doc_cross_source_dup" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY text
+        |HAVING count(DISTINCT source) >= 2
+        |ORDER BY keeper""".stripMargin,
 
     "doc_train_split" ->
       """WITH d AS (
