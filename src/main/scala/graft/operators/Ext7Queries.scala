@@ -102,6 +102,76 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Benford's-law audit: first-digit distribution of order totals vs
+    // the log10(1+1/d) expectation + chi-square divergence — the
+    // classic books-cooking detector. Digit extraction and expectations
+    // are identical double expressions in both engines
+    "agg_benford" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d1 = floor(col("o_totalprice") /
+        pow(lit(10.0), floor(log10(col("o_totalprice"))))).cast("int")
+      val obs = Tables.orders(s, dir)
+        .select(d1.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+      obs.select(col("digit"), col("n"),
+          round(col("n") / col("tot"), 6).as("obs_share"),
+          round(log(10.0, lit(1) + lit(1.0) / col("digit")), 6).as("benford_share"),
+          col("tot"))
+        .withColumn("cell_chi2", round(
+          pow(col("n") - col("tot") * log(10.0, lit(1) + lit(1.0) / col("digit")), 2)
+            / (col("tot") * log(10.0, lit(1) + lit(1.0) / col("digit"))), 4))
+        .select(col("digit"), col("n"), col("obs_share"), col("benford_share"),
+          col("cell_chi2"))
+        .orderBy(col("digit"))
+    }),
+
+    // one-way ANOVA: F statistic of order totals across weekdays from
+    // exact group counts and DECIMAL sums (SSB/SSW assembled from
+    // sufficient statistics — one pass, no per-row residual join)
+    "agg_anova" -> ((s, dir) => {
+      val g = Tables.orders(s, dir)
+        .groupBy((weekday(col("o_orderdate")) + 1).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec2(col("o_totalprice"))).cast("double").as("s"),
+          sum(Tables.dec2(col("o_totalprice")) * Tables.dec2(col("o_totalprice")))
+            .cast("double").as("ss"))
+      // SSB = Σ sᵢ²/nᵢ − S²/N, SSW = ΣSS − Σ sᵢ²/nᵢ; all from the 7
+      // group rows' sufficient statistics (exact-DECIMAL sums cast once)
+      g.agg(sum(col("n")).as("N"), count(lit(1)).as("k"),
+          sum(col("s")).as("S"), sum(col("ss")).as("SS"),
+          sum(col("s") * col("s") / col("n")).as("ssb_part"))
+        .select(col("N").as("n"), col("k"),
+          round(
+            ((col("ssb_part") - col("S") * col("S") / col("N")) / (col("k") - 1)) /
+              ((col("SS") - col("ssb_part")) / (col("N") - col("k"))), 4).as("f_stat"))
+    }),
+
+    // revenue waterfall in exact DECIMAL end-to-end: gross → discount →
+    // net → tax → final; every intermediate is summation-order-immune
+    "orders_revenue_waterfall" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ep = Tables.dec2(col("l_extendedprice"))
+      val disc = col("l_discount").cast("decimal(4,2)")
+      val tax = col("l_tax").cast("decimal(4,2)")
+      // multipliers re-pinned to (4,2): Spark widens (1 − dec) through
+      // the int operand to (13,2), and the THREE-factor product then
+      // exceeds decimal precision 38 and silently ROUNDS — the values
+      // fit (4,2) exactly, keeping the whole chain exact at (28,6)
+      val keep = (lit(1) - disc).cast("decimal(4,2)")
+      val markup = (lit(1) + tax).cast("decimal(4,2)")
+      li.agg(
+        sum(ep).cast("double").as("gross"),
+        sum(ep * disc).cast("double").as("discount_amt"),
+        sum(ep * keep).cast("double").as("net"),
+        sum(ep * keep * tax).cast("double").as("tax_amt"),
+        // final_amt's exact dec(…,6) sum carries 17 significant digits —
+        // past double precision, and decimal→double conversion is NOT
+        // correctly rounded the same way in both engines. Round to 4dp
+        // first: the scaled integer then fits 2^53 exactly
+        round(sum(ep * keep * markup), 4).cast("double").as("final_amt"))
+    }),
+
     // MATCH_RECOGNIZE-lite: regex over each user's time-ordered event-
     // type sequence (funnel-with-gaps 'signup…click…purchase' and the
     // adjacency pattern 'error,error'). Sequences built per key via
@@ -1174,6 +1244,55 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(o_totalprice /
+        |    power(10, floor(log10(o_totalprice)))) AS INTEGER) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT digit, n, sum(n) OVER () AS tot FROM g)
+        |SELECT digit, n,
+        |  round(n / tot, 6) AS obs_share,
+        |  round(log10(1 + CAST(1.0 AS DOUBLE) / digit), 6) AS benford_share,
+        |  round(power(n - tot * log10(1 + CAST(1.0 AS DOUBLE) / digit), 2)
+        |    / (tot * log10(1 + CAST(1.0 AS DOUBLE) / digit)), 4) AS cell_chi2
+        |FROM t ORDER BY digit""".stripMargin,
+
+    "agg_anova" ->
+      """WITH g AS (
+        |  SELECT CAST(isodow(o_orderdate) AS INTEGER) AS dow,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+        |      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        |  FROM orders GROUP BY dow),
+        |a AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS N, count(*) AS k,
+        |    sum(s) AS S, sum(ss) AS SS,
+        |    sum(s * s / n) AS ssb_part
+        |  FROM g)
+        |SELECT N AS n, k,
+        |  round(((ssb_part - S * S / N) / (k - 1)) /
+        |        ((SS - ssb_part) / (N - k)), 4) AS f_stat
+        |FROM a""".stripMargin,
+
+    "orders_revenue_waterfall" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS discount_amt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+        |    AS DOUBLE) AS net,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+        |    * CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS tax_amt,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+        |    * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))), 4)
+        |    AS DOUBLE) AS final_amt
+        |FROM lineitem""".stripMargin,
 
     "events_seq_match" ->
       """WITH s AS (
