@@ -102,6 +102,48 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SPC p-chart: daily error-rate control limits at pbar ± 3σ(n) and
+    // the out-of-control day count. Center/limits from exact event
+    // counts; per-day arithmetic is pure row-local expressions
+    "events_control_chart" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+      val all = Window.partitionBy()
+      daily
+        .withColumn("pbar", sum(col("err")).over(all) / sum(col("n")).over(all))
+        .withColumn("p", col("err") / col("n"))
+        .withColumn("sigma", sqrt(col("pbar") * (lit(1) - col("pbar")) / col("n")))
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("pbar")), 6).as("pbar"),
+          sum(when(col("p") > col("pbar") + lit(3) * col("sigma"), 1L)
+            .when(col("p") < col("pbar") - lit(3) * col("sigma"), 1L)
+            .otherwise(0L)).as("n_out_of_control"))
+    }),
+
+    // two-sample Kolmogorov-Smirnov: D = max ECDF gap between
+    // parity-split order totals — exact rational ECDF steps via two
+    // windowed cumcounts over ONE global sort (tie-broken), no binning
+    "agg_ks_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_custkey") % 2 === 0).as("is_a"))
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+      pts
+        .withColumn("cum_a", sum(when(col("is_a"), 1L).otherwise(0L)).over(w))
+        .withColumn("cum_b", sum(when(col("is_a"), 0L).otherwise(1L)).over(w))
+        .withColumn("n_a", sum(when(col("is_a"), 1L).otherwise(0L)).over(all))
+        .withColumn("n_b", sum(when(col("is_a"), 0L).otherwise(1L)).over(all))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          round(max(abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b"))), 6)
+            .as("ks_d"))
+    }),
+
     // Benford's-law audit: first-digit distribution of order totals vs
     // the log10(1+1/d) expectation + chi-square divergence — the
     // classic books-cooking detector. Digit extraction and expectations
@@ -1244,6 +1286,45 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "events_control_chart" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+        |  FROM events GROUP BY day),
+        |t AS (
+        |  SELECT n, err,
+        |    sum(err) OVER () / CAST(sum(n) OVER () AS DOUBLE) AS pbar
+        |  FROM daily)
+        |SELECT count(*) AS n_days,
+        |  round(max(pbar), 6) AS pbar,
+        |  CAST(sum(CASE WHEN err / CAST(n AS DOUBLE)
+        |      > pbar + 3 * sqrt(pbar * (1 - pbar) / n) THEN 1
+        |    WHEN err / CAST(n AS DOUBLE)
+        |      < pbar - 3 * sqrt(pbar * (1 - pbar) / n) THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_out_of_control
+        |FROM t""".stripMargin,
+
+    "agg_ks_test" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey, o_totalprice, o_custkey % 2 = 0 AS is_a
+        |  FROM orders),
+        |c AS (
+        |  SELECT
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY o_totalprice, o_orderkey
+        |            ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(CASE WHEN is_a THEN 0 ELSE 1 END)
+        |      OVER (ORDER BY o_totalprice, o_orderkey
+        |            ROWS UNBOUNDED PRECEDING) AS cum_b,
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END) OVER () AS n_a,
+        |    sum(CASE WHEN is_a THEN 0 ELSE 1 END) OVER () AS n_b
+        |  FROM pts)
+        |SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+        |  CAST(max(n_b) AS BIGINT) AS n_b,
+        |  round(max(abs(cum_a / CAST(n_a AS DOUBLE)
+        |    - cum_b / CAST(n_b AS DOUBLE))), 6) AS ks_d
+        |FROM c""".stripMargin,
 
     "agg_benford" ->
       """WITH d AS (
