@@ -102,6 +102,76 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Mann-Whitney U (rank-sum) between parity-split order totals:
+    // average ranks for ties (exact binary halves ⇒ exact sums), then
+    // the normal approximation z. One global tie-broken sort + a
+    // value-keyed averaging window — the nonparametric A/B cousin of
+    // agg_ks_test
+    "agg_mann_whitney" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_custkey") % 2 === 0).as("is_a"))
+      val wOrd = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      val ranked = pts
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("avgrank", avg(col("rn")).over(Window.partitionBy(col("o_totalprice"))))
+      ranked.agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"),
+          sum(when(col("is_a"), col("avgrank")).otherwise(lit(0.0))).as("r_a"))
+        .select(col("n_a"), col("n_b"),
+          (col("r_a") - col("n_a") * (col("n_a") + 1) / 2).as("u"),
+          round(
+            ((col("r_a") - col("n_a") * (col("n_a") + 1) / 2)
+              - col("n_a") * col("n_b") / lit(2.0)) /
+              sqrt(col("n_a") * col("n_b") * (col("n_a") + col("n_b") + 1) / lit(12.0)),
+            6).as("z"))
+    }),
+
+    // great-circle distances: haversine over nation "warehouse" coords
+    // derived deterministically from keys — the geo-distance utility as
+    // pure trig composition (no geo libs); 25-node pair scan is
+    // vocabulary-bounded, top-10 nearest
+    "fn_haversine" -> ((s, dir) => {
+      val n = Tables.nation(s, dir).select(col("n_nationkey").as("k"),
+        ((col("n_nationkey") * 7 % 140) - 70 + 0.5).as("lat"),
+        ((col("n_nationkey") * 13 % 360) - 180 + 0.5).as("lon"))
+      val a = n.select(col("k").as("ka"), col("lat").as("la"), col("lon").as("oa"))
+      val b = n.select(col("k").as("kb"), col("lat").as("lb"), col("lon").as("ob"))
+      val rad = lit(math.Pi / 180.0)
+      a.join(b, col("ka") < col("kb"))
+        .select(col("ka"), col("kb"),
+          round(lit(2 * 6371.0) * asin(sqrt(
+            pow(sin((col("lb") - col("la")) * rad / 2), 2) +
+              cos(col("la") * rad) * cos(col("lb") * rad) *
+                pow(sin((col("ob") - col("oa")) * rad / 2), 2))), 3).as("km"))
+        .orderBy(col("km"), col("ka"), col("kb"))
+        .limit(10)
+    }),
+
+    // jackknife sensitivity: leave-one-weekday-out means of order
+    // totals from group sufficient statistics — how much one weekday
+    // moves the global mean; exact DECIMAL sums, 7 LOO ratios
+    "agg_jackknife" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.orders(s, dir)
+        .groupBy((weekday(col("o_orderdate")) + 1).as("dow"))
+        .agg(count(lit(1)).as("n"), sum(Tables.dec2(col("o_totalprice"))).as("s"))
+      val all = Window.partitionBy()
+      // NOT "N"/"S": Spark resolves column names case-insensitively, so
+      // withColumn("N", …) silently REPLACES "n" and the LOO denominator
+      // becomes 0 (observed as an ANSI divide-by-zero)
+      g.withColumn("tot_n", sum(col("n")).over(all))
+        .withColumn("tot_s", sum(col("s")).over(all))
+        .select(((col("tot_s") - col("s")).cast("double")
+          / (col("tot_n") - col("n")).cast("double")).as("loo_mean"))
+        .agg(count(lit(1)).as("k"),
+          round(min(col("loo_mean")), 4).as("loo_min"),
+          round(max(col("loo_mean")), 4).as("loo_max"),
+          round(max(col("loo_mean")) - min(col("loo_mean")), 6).as("loo_spread"))
+    }),
+
     // SPC p-chart: daily error-rate control limits at pbar ± 3σ(n) and
     // the out-of-control day count. Center/limits from exact event
     // counts; per-day arithmetic is pure row-local expressions
@@ -1286,6 +1356,57 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_mann_whitney" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey, o_totalprice, o_custkey % 2 = 0 AS is_a
+        |  FROM orders),
+        |r AS (
+        |  SELECT is_a,
+        |    avg(rn) OVER (PARTITION BY o_totalprice) AS avgrank
+        |  FROM (
+        |    SELECT is_a, o_totalprice,
+        |      row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+        |    FROM pts)),
+        |a AS (
+        |  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN is_a THEN avgrank ELSE 0.0 END) AS r_a
+        |  FROM r)
+        |SELECT n_a, n_b,
+        |  r_a - n_a * (n_a + 1) / 2 AS u,
+        |  round(((r_a - n_a * (n_a + 1) / 2) - n_a * n_b / CAST(2.0 AS DOUBLE)) /
+        |    sqrt(n_a * n_b * (n_a + n_b + 1) / CAST(12.0 AS DOUBLE)), 6) AS z
+        |FROM a""".stripMargin,
+
+    "fn_haversine" ->
+      """WITH n AS (
+        |  SELECT n_nationkey AS k,
+        |    (n_nationkey * 7 % 140) - 70 + CAST(0.5 AS DOUBLE) AS lat,
+        |    (n_nationkey * 13 % 360) - 180 + CAST(0.5 AS DOUBLE) AS lon
+        |  FROM nation)
+        |SELECT a.k AS ka, b.k AS kb,
+        |  round(2 * 6371.0 * asin(sqrt(
+        |    power(sin((b.lat - a.lat) * pi() / 180 / 2), 2) +
+        |    cos(a.lat * pi() / 180) * cos(b.lat * pi() / 180) *
+        |    power(sin((b.lon - a.lon) * pi() / 180 / 2), 2))), 3) AS km
+        |FROM n a JOIN n b ON a.k < b.k
+        |ORDER BY km, ka, kb LIMIT 10""".stripMargin,
+
+    "agg_jackknife" ->
+      """WITH g AS (
+        |  SELECT CAST(isodow(o_orderdate) AS INTEGER) AS dow,
+        |    count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        |  FROM orders GROUP BY dow),
+        |l AS (
+        |  SELECT CAST(sum(s) OVER () - s AS DOUBLE)
+        |    / CAST(sum(n) OVER () - n AS DOUBLE) AS loo_mean
+        |  FROM g)
+        |SELECT count(*) AS k,
+        |  round(min(loo_mean), 4) AS loo_min,
+        |  round(max(loo_mean), 4) AS loo_max,
+        |  round(max(loo_mean) - min(loo_mean), 6) AS loo_spread
+        |FROM l""".stripMargin,
 
     "events_control_chart" ->
       """WITH daily AS (
