@@ -102,6 +102,58 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // vocabulary saturation curve: cumulative distinct 3-grams after
+    // 10/25/50/100% of docs (doc_id order) — how fast new data stops
+    // adding coverage. Gram→first-doc attribution (one min agg) feeds a
+    // doc-ordered cumsum; checkpoints picked by rank arithmetic
+    "doc_coverage_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 3), i -> array_join(slice(t, i + 1, 3), ' '))"))
+          .as("g"))
+        .distinct()
+      val newPerDoc = grams.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+        .groupBy(col("fd")).agg(count(lit(1)).as("n_new"))
+      val docs = grams.select(col("doc_id")).distinct()
+        .join(newPerDoc.withColumnRenamed("fd", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      val w = Window.orderBy(col("doc_id"))
+      val all = Window.partitionBy()
+      val cum = docs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum_grams", sum(col("n_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("d_total", count(lit(1)).over(all))
+        .withColumn("g_total", sum(col("n_new")).over(all))
+      cum
+        .withColumn("checkpoint",
+          when(col("rn") === ceil(col("d_total") * lit(0.1)), 10)
+            .when(col("rn") === ceil(col("d_total") * lit(0.25)), 25)
+            .when(col("rn") === ceil(col("d_total") * lit(0.5)), 50)
+            .when(col("rn") === col("d_total"), 100))
+        .filter(col("checkpoint").isNotNull)
+        .select(col("checkpoint"), col("rn").as("n_docs"), col("cum_grams"),
+          round(col("cum_grams") / col("g_total"), 6).as("coverage"))
+        .orderBy(col("checkpoint"))
+    }),
+
+    // repeat-purchase metrics: repeat rate + depth among repeaters —
+    // the loyalty KPI tile; two hash aggs over customer counts
+    "orders_repeat_rate" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+          round(sum(when(col("c") >= 2, 1L).otherwise(0L)) / count(lit(1)), 6)
+            .as("repeat_rate"),
+          round(sum(when(col("c") >= 2, col("c")).otherwise(lit(0L)))
+            / sum(when(col("c") >= 2, 1L).otherwise(0L)), 6).as("avg_orders_repeaters"),
+          max(col("c")).as("max_orders"))
+    }),
+
     // Mann-Whitney U (rank-sum) between parity-split order totals:
     // average ranks for ties (exact binary halves ⇒ exact sums), then
     // the normal approximation z. One global tie-broken sort + a
@@ -1356,6 +1408,57 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "doc_coverage_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+        |pos AS (
+        |  SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 3)) AS i
+        |  FROM t WHERE len(tk) >= 3),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(tk, i + 1, i + 3), ' ') AS g
+        |  FROM pos),
+        |npd AS (
+        |  SELECT fd AS doc_id, count(*) AS n_new FROM (
+        |    SELECT g, min(doc_id) AS fd FROM g GROUP BY g)
+        |  GROUP BY fd),
+        |docs AS (
+        |  SELECT d.doc_id, coalesce(n.n_new, 0) AS n_new
+        |  FROM (SELECT DISTINCT doc_id FROM g) d
+        |  LEFT JOIN npd n ON n.doc_id = d.doc_id),
+        |c AS (
+        |  SELECT doc_id, n_new,
+        |    row_number() OVER (ORDER BY doc_id) AS rn,
+        |    sum(n_new) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_grams,
+        |    count(*) OVER () AS d_total,
+        |    sum(n_new) OVER () AS g_total
+        |  FROM docs)
+        |SELECT CAST(CASE WHEN rn = ceil(d_total * CAST(0.1 AS DOUBLE)) THEN 10
+        |       WHEN rn = ceil(d_total * CAST(0.25 AS DOUBLE)) THEN 25
+        |       WHEN rn = ceil(d_total * CAST(0.5 AS DOUBLE)) THEN 50
+        |       WHEN rn = d_total THEN 100 END AS INTEGER) AS checkpoint,
+        |  CAST(rn AS INTEGER) AS n_docs,
+        |  CAST(cum_grams AS BIGINT) AS cum_grams,
+        |  round(cum_grams / CAST(g_total AS DOUBLE), 6) AS coverage
+        |FROM c
+        |WHERE rn = ceil(d_total * CAST(0.1 AS DOUBLE))
+        |   OR rn = ceil(d_total * CAST(0.25 AS DOUBLE))
+        |   OR rn = ceil(d_total * CAST(0.5 AS DOUBLE))
+        |   OR rn = d_total
+        |ORDER BY checkpoint""".stripMargin,
+
+    "orders_repeat_rate" ->
+      """WITH c AS (
+        |  SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey)
+        |SELECT count(*) AS n_cust,
+        |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+        |  round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+        |    AS repeat_rate,
+        |  round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+        |    / sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 6) AS avg_orders_repeaters,
+        |  CAST(max(c) AS BIGINT) AS max_orders
+        |FROM c""".stripMargin,
 
     "agg_mann_whitney" ->
       """WITH pts AS (
