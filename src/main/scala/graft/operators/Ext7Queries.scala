@@ -102,6 +102,21 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // five-number summary (boxplot) of event values per type using
+    // DISCRETE percentiles — actual data values, since interpolated
+    // quantiles ulp-diverge across engines; one sorted-agg pass
+    "events_boxplot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("v_min"),
+          round(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)"), 6).as("q1"),
+          round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 6).as("med"),
+          round(expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)"), 6).as("q3"),
+          round(max(col("value")), 6).as("v_max"))
+        .orderBy(col("event_type"))
+    }),
+
     // vocabulary saturation curve: cumulative distinct 3-grams after
     // 10/25/50/100% of docs (doc_id order) — how fast new data stops
     // adding coverage. Gram→first-doc attribution (one min agg) feeds a
@@ -1408,6 +1423,15 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "events_boxplot" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(min(value), 6) AS v_min,
+        |  round(quantile_disc(value, 0.25), 6) AS q1,
+        |  round(quantile_disc(value, 0.5), 6) AS med,
+        |  round(quantile_disc(value, 0.75), 6) AS q3,
+        |  round(max(value), 6) AS v_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "doc_coverage_curve" ->
       """WITH t AS (
