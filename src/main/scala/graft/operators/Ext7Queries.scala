@@ -102,6 +102,61 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Wilson score interval for the daily error rate — the CI that
+    // behaves at small n and extreme p (unlike the Wald interval).
+    // Exact counts into one deterministic double expression (z = 1.96)
+    "agg_wilson_ci" -> ((s, dir) => {
+      val z2 = lit(1.96 * 1.96)
+      Tables.events(s, dir)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("k"))
+        .select(col("n"), col("k"),
+          round(col("k") / col("n"), 6).as("p_hat"),
+          round(((col("k") / col("n")) + z2 / (lit(2) * col("n"))
+            - lit(1.96) * sqrt((col("k") / col("n")) * (lit(1) - col("k") / col("n")) / col("n")
+              + z2 / (lit(4) * col("n") * col("n"))))
+            / (lit(1) + z2 / col("n")), 6).as("ci_lo"),
+          round(((col("k") / col("n")) + z2 / (lit(2) * col("n"))
+            + lit(1.96) * sqrt((col("k") / col("n")) * (lit(1) - col("k") / col("n")) / col("n")
+              + z2 / (lit(4) * col("n") * col("n"))))
+            / (lit(1) + z2 / col("n")), 6).as("ci_hi"))
+    }),
+
+    // maximum drawdown of cumulative daily net order value: DECIMAL
+    // cumsum (exact), running peak, deepest peak-to-trough gap + its
+    // day — two ordered windows, the classic risk metric
+    "ts_drawdown" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(Tables.dec2(col("o_totalprice")) - lit(250000).cast("decimal(18,2)"))
+          .as("net"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("cum", sum(col("net")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .withColumn("drawdown", col("peak") - col("cum"))
+      dd.orderBy(desc("drawdown"), col("day")).limit(1)
+        .select(col("day").as("trough_day"),
+          col("drawdown").cast("double").as("max_drawdown"),
+          col("peak").cast("double").as("peak_at_trough"))
+    }),
+
+    // overdispersion check: variance/mean ratio of daily counts per
+    // type (Poisson ⇒ ≈1; >1 flags bursty arrivals) — the diagnostic
+    // before fitting count models
+    "agg_poisson_dispersion" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(col("n")), 6).as("mean_n"),
+          round(var_samp(col("n")) / avg(col("n")), 6).as("dispersion"))
+        .orderBy(col("event_type"))
+    }),
+
     // five-number summary (boxplot) of event values per type using
     // DISCRETE percentiles — actual data values, since interpolated
     // quantiles ulp-diverge across engines; one sorted-agg pass
@@ -1423,6 +1478,53 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_wilson_ci" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events)
+        |SELECT n, k,
+        |  round(k / CAST(n AS DOUBLE), 6) AS p_hat,
+        |  round(((k / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2 * n)
+        |    - 1.96 * sqrt((k / CAST(n AS DOUBLE)) * (1 - k / CAST(n AS DOUBLE)) / n
+        |      + 1.96 * 1.96 / (4.0 * n * n)))
+        |    / (1 + 1.96 * 1.96 / n), 6) AS ci_lo,
+        |  round(((k / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2 * n)
+        |    + 1.96 * sqrt((k / CAST(n AS DOUBLE)) * (1 - k / CAST(n AS DOUBLE)) / n
+        |      + 1.96 * 1.96 / (4.0 * n * n)))
+        |    / (1 + 1.96 * 1.96 / n), 6) AS ci_hi
+        |FROM a""".stripMargin,
+
+    "ts_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))
+        |      - CAST(250000 AS DECIMAL(18,2))) AS net
+        |  FROM orders GROUP BY day),
+        |dd AS (
+        |  SELECT day,
+        |    max(sum2) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - sum2
+        |      AS drawdown,
+        |    max(sum2) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM (
+        |    SELECT day,
+        |      sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sum2
+        |    FROM daily))
+        |SELECT day AS trough_day,
+        |  CAST(drawdown AS DOUBLE) AS max_drawdown,
+        |  CAST(peak AS DOUBLE) AS peak_at_trough
+        |FROM dd ORDER BY drawdown DESC, day LIMIT 1""".stripMargin,
+
+    "agg_poisson_dispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY event_type, day)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(avg(n), 6) AS mean_n,
+        |  round(var_samp(n) / avg(n), 6) AS dispersion
+        |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_boxplot" ->
       """SELECT event_type, count(*) AS n,
