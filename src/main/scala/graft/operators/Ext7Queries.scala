@@ -102,6 +102,41 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // YoY growth leaders: per-customer 1997/1996 spend ratio, top-10
+    // among customers active both years — pinned-domain pivot (two
+    // conditional sums), exact DECIMAL numerators
+    "orders_yoy_growth" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(sum(when(year(col("o_orderdate")) === 1996,
+            Tables.dec2(col("o_totalprice")))).as("r96"),
+          sum(when(year(col("o_orderdate")) === 1997,
+            Tables.dec2(col("o_totalprice")))).as("r97"))
+        .filter(col("r96").isNotNull && col("r97").isNotNull)
+        .select(col("o_custkey"),
+          col("r96").cast("double").as("spend_96"),
+          col("r97").cast("double").as("spend_97"),
+          round(col("r97").cast("double") / col("r96").cast("double"), 6).as("growth"))
+        .orderBy(desc("growth"), col("o_custkey"))
+        .limit(10)
+    }),
+
+    // array editing surface: append/prepend/insert/remove — the
+    // list-manipulation ops a feature pipeline reshapes with; DuckDB
+    // lacks array_insert/remove so the oracle rebuilds them from slices
+    // and filters. Pure codegen projection
+    "fn_array_edit" -> ((s, dir) => {
+      val a = slice(split(col("text"), " "), 1, 4)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_join(array_append(a, lit("zz")), ",").as("appended"),
+          array_join(array_prepend(a, lit("aa")), ",").as("prepended"),
+          array_join(array_insert(a, lit(2), lit("xx")), ",").as("inserted"),
+          array_join(array_remove(a, element_at(a, 1)), ",").as("removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Wilson score interval for the daily error rate — the CI that
     // behaves at small n and extreme p (unlike the Wald interval).
     // Exact counts into one deterministic double expression (z = 1.96)
@@ -1478,6 +1513,34 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "orders_yoy_growth" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    sum(CASE WHEN year(o_orderdate) = 1996
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS r96,
+        |    sum(CASE WHEN year(o_orderdate) = 1997
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS r97
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |  CAST(r96 AS DOUBLE) AS spend_96,
+        |  CAST(r97 AS DOUBLE) AS spend_97,
+        |  round(CAST(r97 AS DOUBLE) / CAST(r96 AS DOUBLE), 6) AS growth
+        |FROM g WHERE r96 IS NOT NULL AND r97 IS NOT NULL
+        |ORDER BY growth DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "fn_array_edit" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ')[1:4] AS a FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_append(a, 'zz'), ',') AS appended,
+        |  array_to_string(list_prepend('aa', a), ',') AS prepended,
+        |  array_to_string(list_concat(list_concat(a[1:1], ['xx']), a[2:]), ',')
+        |    AS inserted,
+        |  coalesce(array_to_string(list_filter(a, x -> x <> a[1]), ','), '')
+        |    AS removed
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "agg_wilson_ci" ->
       """WITH a AS (
