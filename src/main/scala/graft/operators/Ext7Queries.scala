@@ -102,6 +102,56 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // fulfillment SLA: order→ship lag distribution per priority
+    // (p50/p90 as DISCRETE percentiles over exact day counts + breach
+    // rate past 60 days) — one fact join + grouped sorted-agg
+    "orders_ship_lag" -> ((s, dir) => {
+      val lag = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("lag_d"))
+      lag.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_d)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_d)").as("p90"),
+          round(sum(when(col("lag_d") > 60, 1L).otherwise(0L)) / count(lit(1)), 6)
+            .as("breach_rate_60d"))
+        .orderBy(col("prio"))
+    }),
+
+    // data profiling: per-column null/empty/distinct counts over the
+    // documents table — the automatic profile a catalog shows before
+    // anyone writes a quality rule. One pass; long-form rows
+    "etl_profile" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cols = Seq("text", "lang", "source")
+      val per = cols.map { c =>
+        d.agg(lit(c).as("column"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col(c) === "", 1L).otherwise(0L)).as("n_empty"),
+          countDistinct(col(c)).as("n_distinct"))
+      }
+      per.reduce(_ unionByName _).orderBy(col("column"))
+    }),
+
+    // crude readability: vowel-group syllable proxy per token — mean
+    // syllables/word and the share of 3+-syllable ("complex") words per
+    // source. regexp_extract_all count is a row-local codegen pass
+    "text_syllable_stats" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("source"),
+          size(regexp_extract_all(col("w"), lit("[aeiouy]+"), lit(0))).as("syl"))
+      toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          round(avg(col("syl")), 6).as("mean_syllables"),
+          round(sum(when(col("syl") >= 3, 1L).otherwise(0L)) / count(lit(1)), 6)
+            .as("complex_share"))
+        .orderBy(col("source"))
+    }),
+
     // YoY growth leaders: per-customer 1997/1996 spend ratio, top-10
     // among customers active both years — pinned-domain pivot (two
     // conditional sums), exact DECIMAL numerators
@@ -1513,6 +1563,51 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "orders_ship_lag" ->
+      """WITH lag AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS INTEGER) AS lag_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT prio, count(*) AS n,
+        |  CAST(quantile_disc(lag_d, 0.5) AS INTEGER) AS p50,
+        |  CAST(quantile_disc(lag_d, 0.9) AS INTEGER) AS p90,
+        |  round(sum(CASE WHEN lag_d > 60 THEN 1 ELSE 0 END) / count(*), 6)
+        |    AS breach_rate_60d
+        |FROM lag GROUP BY prio ORDER BY prio""".stripMargin,
+
+    "etl_profile" ->
+      """SELECT 'lang' AS "column", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN lang = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  count(DISTINCT lang) AS n_distinct
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*),
+        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN source = '' THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT source)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*),
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT text)
+        |FROM documents
+        |ORDER BY "column" """.stripMargin,
+
+    "text_syllable_stats" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |s AS (
+        |  SELECT source, len(regexp_extract_all(w, '[aeiouy]+')) AS syl
+        |  FROM toks WHERE w <> '')
+        |SELECT source, count(*) AS n_words,
+        |  round(avg(syl), 6) AS mean_syllables,
+        |  round(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) / count(*), 6)
+        |    AS complex_share
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
     "orders_yoy_growth" ->
       """WITH g AS (
