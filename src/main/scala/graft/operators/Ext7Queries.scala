@@ -102,6 +102,47 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // data-drift monitor: weekly event-type composition vs the overall
+    // mix — max absolute share drift per week (the ML-ops alarm for
+    // shifting input distributions). Shares from exact counts; two
+    // small keyed joins, never a row-level window
+    "events_drift_monitor" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val typed = Tables.events(s, dir)
+        .select(weekofyear(col("ts")).as("wk"), col("event_type"))
+      val weekly = typed.groupBy(col("wk"), col("event_type")).agg(count(lit(1)).as("n"))
+        .withColumn("wn", sum(col("n")).over(Window.partitionBy(col("wk"))))
+      val overall = typed.groupBy(col("event_type")).agg(count(lit(1)).as("tn"))
+        .withColumn("tt", sum(col("tn")).over(Window.partitionBy()))
+      weekly.join(broadcast(overall), "event_type")
+        .select(col("wk"), col("wn"),
+          abs(col("n") / col("wn") - col("tn") / col("tt")).as("drift"))
+        .groupBy(col("wk"))
+        .agg(max(col("wn")).as("n_events"), round(max(col("drift")), 6).as("max_drift"))
+        .orderBy(col("wk"))
+    }),
+
+    // return-rate lift: P(returnflag = 'R' | priority) / P(R) — which
+    // order priorities over-index on returns. Exact conditional counts
+    // into one deterministic ratio
+    "orders_return_lift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val j = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          (col("l_returnflag") === "R").as("ret"))
+      val all = Window.partitionBy()
+      j.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ret"), 1L).otherwise(0L)).as("n_ret"))
+        .withColumn("tot", sum(col("n")).over(all))
+        .withColumn("tot_ret", sum(col("n_ret")).over(all))
+        .select(col("prio"), col("n"),
+          round(col("n_ret") / col("n"), 6).as("return_rate"),
+          round((col("n_ret") / col("n")) / (col("tot_ret") / col("tot")), 6).as("lift"))
+        .orderBy(col("prio"))
+    }),
+
     // fulfillment SLA: order→ship lag distribution per priority
     // (p50/p90 as DISCRETE percentiles over exact day counts + breach
     // rate past 60 days) — one fact join + grouped sorted-agg
@@ -1563,6 +1604,41 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "events_drift_monitor" ->
+      """WITH typed AS (
+        |  SELECT CAST(week(ts) AS INTEGER) AS wk, event_type FROM events),
+        |weekly AS (
+        |  SELECT wk, event_type, count(*) AS n,
+        |    sum(count(*)) OVER (PARTITION BY wk) AS wn
+        |  FROM typed GROUP BY wk, event_type),
+        |overall AS (
+        |  SELECT event_type, count(*) AS tn,
+        |    sum(count(*)) OVER () AS tt
+        |  FROM typed GROUP BY event_type)
+        |SELECT w.wk, CAST(max(w.wn) AS BIGINT) AS n_events,
+        |  round(max(abs(w.n / CAST(w.wn AS DOUBLE)
+        |    - o.tn / CAST(o.tt AS DOUBLE))), 6) AS max_drift
+        |FROM weekly w JOIN overall o ON o.event_type = w.event_type
+        |GROUP BY w.wk ORDER BY w.wk""".stripMargin,
+
+    "orders_return_lift" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority AS prio, l_returnflag = 'R' AS ret
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (
+        |  SELECT prio, count(*) AS n,
+        |    CAST(sum(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) AS n_ret
+        |  FROM j GROUP BY prio),
+        |t AS (
+        |  SELECT prio, n, n_ret,
+        |    sum(n) OVER () AS tot, sum(n_ret) OVER () AS tot_ret
+        |  FROM g)
+        |SELECT prio, n,
+        |  round(n_ret / CAST(n AS DOUBLE), 6) AS return_rate,
+        |  round((n_ret / CAST(n AS DOUBLE))
+        |    / (tot_ret / CAST(tot AS DOUBLE)), 6) AS lift
+        |FROM t ORDER BY prio""".stripMargin,
 
     "orders_ship_lag" ->
       """WITH lag AS (
