@@ -102,6 +102,47 @@ object Ext7Queries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // association rules over order baskets: support/confidence/lift for
+    // part pairs bought together — Σ|basket|² pair cost (baskets ≤ 7
+    // items), broadcast part supports, exact-count ratios; top-10 by
+    // lift among pairs with support ≥ 3
+    "orders_basket_rules" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val nOrders = items.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+      val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("s"))
+      val pairs = items.select(col("ok"), col("pk").as("a"))
+        .join(items.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(broadcast(supp.select(col("pk").as("a"), col("s").as("s_a"))), "a")
+        .join(broadcast(supp.select(col("pk").as("b"), col("s").as("s_b"))), "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("n_ab"),
+          round(col("n_ab") / col("s_a"), 6).as("confidence"),
+          round((col("n_ab") * col("n_orders")) / (col("s_a") * col("s_b")), 6).as("lift"))
+        .orderBy(desc("lift"), col("a"), col("b"))
+        .limit(10)
+    }),
+
+    // embedding drift probe: pairwise cosine between label centroids —
+    // are the class clusters separating? Centroids via posexplode mean
+    // (dim-sized frames), pairwise dots over label²
+    "emb_centroid_distance" -> ((s, dir) => {
+      val cent = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+      val dots = cent.select(col("label").as("la"), col("pos"), col("m").as("ma"))
+        .join(cent.select(col("label").as("lb"), col("pos"), col("m").as("mb")), "pos")
+        .filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(round(sum(round(col("ma") * col("mb"), 9)), 6).as("dot"))
+      dots.orderBy(col("la"), col("lb"))
+    }),
+
     // data-drift monitor: weekly event-type composition vs the overall
     // mix — max absolute share drift per week (the ML-ops alarm for
     // shifting input distributions). Shares from exact counts; two
@@ -1604,6 +1645,35 @@ object Ext7Queries {
         |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1mo
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "orders_basket_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+        |supp AS (SELECT pk, count(*) AS s FROM items GROUP BY pk),
+        |p AS (
+        |  SELECT a.pk AS a, b.pk AS b, count(*) AS n_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 3)
+        |SELECT p.a, p.b, p.n_ab,
+        |  round(p.n_ab / CAST(sa.s AS DOUBLE), 6) AS confidence,
+        |  round((p.n_ab * no.n_orders) / CAST(sa.s * sb.s AS DOUBLE), 6) AS lift
+        |FROM p JOIN supp sa ON sa.pk = p.a JOIN supp sb ON sb.pk = p.b
+        |CROSS JOIN no
+        |ORDER BY lift DESC, p.a, p.b LIMIT 10""".stripMargin,
+
+    "emb_centroid_distance" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest(range(1, len(embedding) + 1)) AS pos,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos)
+        |SELECT a.label AS la, b.label AS lb,
+        |  round(sum(round(a.m * b.m, 9)), 6) AS dot
+        |FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        |GROUP BY a.label, b.label ORDER BY la, lb""".stripMargin,
 
     "events_drift_monitor" ->
       """WITH typed AS (
