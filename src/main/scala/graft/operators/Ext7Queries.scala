@@ -924,6 +924,27 @@ object Ext7Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // robust mean #2: TRIM (drop) the top/bottom 5% by rank instead of
+    // clipping — the winsorized mean's sibling; same rank windows,
+    // retained sum in exact DECIMAL
+    "agg_trimmed_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("f"), col("l_orderkey"), col("l_linenumber"),
+          Tables.dec2(col("l_extendedprice")).as("p"))
+      val w = Window.partitionBy(col("f"))
+        .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+      base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("f"))))
+        .filter(col("rn") > ceil(col("cnt") * lit(0.05)) &&
+          col("rn") <= floor(col("cnt") * lit(0.95)))
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("p")).cast("double") / count(lit(1)), 6).as("trimmed_mean"))
+        .orderBy(col("f"))
+    }),
+
     // robust mean: winsorize at the DISCRETE p5/p95 rank cutoffs
     // (actual data values — interpolated percentiles differ in the last
     // ulp across engines) then average in exact DECIMAL. Two window
@@ -2289,6 +2310,24 @@ object Ext7Queries {
         |    / count(*), 6) AS novelty
         |FROM g JOIN fd ON fd.g = g.g
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "agg_trimmed_mean" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS f, l_orderkey, l_linenumber,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT f, p,
+        |    row_number() OVER (PARTITION BY f
+        |      ORDER BY p, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY f) AS cnt
+        |  FROM base)
+        |SELECT f, count(*) AS n_kept,
+        |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS trimmed_mean
+        |FROM ranked
+        |WHERE rn > ceil(cnt * CAST(0.05 AS DOUBLE))
+        |  AND rn <= floor(cnt * CAST(0.95 AS DOUBLE))
+        |GROUP BY f ORDER BY f""".stripMargin,
 
     "agg_winsorized" ->
       """WITH base AS (

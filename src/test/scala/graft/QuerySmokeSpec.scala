@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (342 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 342)
-    assert(SparkEntry.oracleSql.size >= 342)
+  test("declared inventory is complete (343 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 343)
+    assert(SparkEntry.oracleSql.size >= 343)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
