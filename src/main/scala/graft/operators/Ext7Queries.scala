@@ -924,6 +924,51 @@ object Ext7Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // empirical-Bayes shrinkage: per-supplier return rates shrunk
+    // toward the global rate with a Beta(α,β) prior (k=50 pseudo-
+    // observations) — the small-sample leaderboard fix (raw rates rank
+    // tiny-n suppliers absurdly). Exact counts; top-10 by shrunk rate
+    "agg_shrunk_rates" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+      val all = Window.partitionBy()
+      g.withColumn("gr", sum(col("k")).over(all) / sum(col("n")).over(all))
+        .select(col("l_suppkey"), col("n"), col("k"),
+          round(col("k") / col("n"), 6).as("raw_rate"),
+          round((col("k") + lit(50) * col("gr")) / (col("n") + 50), 6).as("shrunk_rate"))
+        .orderBy(desc("shrunk_rate"), col("l_suppkey"))
+        .limit(10)
+    }),
+
+    // cumulative VWAP per returnflag over ship days: running Σ(p·q) /
+    // running Σq, both in exact DECIMAL — the order-book metric shape;
+    // one keyed ordered window, final 10 days shown
+    "win_vwap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("f"), to_date(col("l_shipdate")).as("day"))
+        .agg(sum(Tables.dec2(col("l_extendedprice")) * Tables.dec2(col("l_quantity")))
+            .as("pq"),
+          sum(Tables.dec2(col("l_quantity"))).as("q"))
+      val w = Window.partitionBy(col("f")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDesc = Window.partitionBy(col("f")).orderBy(desc("day"))
+      daily
+        // round the cumulative numerator to 2dp before the double cast:
+        // its exact decimal reaches ~7e15 scaled units at sf0.1 — the
+        // same DECIMAL→DOUBLE divergence edge as the revenue waterfall
+        .withColumn("vwap", round(
+          round(sum(col("pq")).over(w), 2).cast("double")
+            / sum(col("q")).over(w).cast("double"), 6))
+        .withColumn("rk", row_number().over(wDesc))
+        .filter(col("rk") <= 10)
+        .select(col("f"), col("day"), col("vwap"))
+        .orderBy(col("f"), col("day"))
+    }),
+
     // robust mean #2: TRIM (drop) the top/bottom 5% by rank instead of
     // clipping — the winsorized mean's sibling; same rank windows,
     // retained sum in exact DECIMAL
@@ -2310,6 +2355,39 @@ object Ext7Queries {
         |    / count(*), 6) AS novelty
         |FROM g JOIN fd ON fd.g = g.g
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "agg_shrunk_rates" ->
+      """WITH g AS (
+        |  SELECT l_suppkey, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (
+        |  SELECT l_suppkey, n, k,
+        |    sum(k) OVER () / CAST(sum(n) OVER () AS DOUBLE) AS gr
+        |  FROM g)
+        |SELECT l_suppkey, n, k,
+        |  round(k / CAST(n AS DOUBLE), 6) AS raw_rate,
+        |  round((k + 50 * gr) / (n + 50), 6) AS shrunk_rate
+        |FROM t ORDER BY shrunk_rate DESC, l_suppkey LIMIT 10""".stripMargin,
+
+    "win_vwap" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS f, CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS pq,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |  FROM lineitem GROUP BY f, day),
+        |c AS (
+        |  SELECT f, day,
+        |    round(CAST(round(sum(pq) OVER (PARTITION BY f ORDER BY day
+        |        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+        |      / CAST(sum(q) OVER (PARTITION BY f ORDER BY day
+        |        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS vwap,
+        |    row_number() OVER (PARTITION BY f ORDER BY day DESC) AS rk
+        |  FROM daily)
+        |SELECT f, day, vwap FROM c WHERE rk <= 10
+        |ORDER BY f, day""".stripMargin,
 
     "agg_trimmed_mean" ->
       """WITH base AS (
