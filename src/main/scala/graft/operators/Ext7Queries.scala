@@ -924,6 +924,51 @@ object Ext7Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // conversion latency: signup→first-purchase days at discrete
+    // p50/p90 plus conversion coverage — the funnel-speed companion to
+    // events_survival (same censoring-safe derivation)
+    "events_conversion_latency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s0"))
+      val conv = s0.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("pts")), Seq("user_id"), "left")
+        .select(col("user_id"), col("s0"),
+          when(col("pts") >= col("s0"), col("pts")).as("pp"))
+        .groupBy(col("user_id"), col("s0")).agg(min(col("pp")).as("p1"))
+        .select(datediff(to_date(col("p1")), to_date(col("s0"))).as("t_days"))
+      conv.agg(count(lit(1)).as("n_signups"),
+          count(col("t_days")).as("n_converted"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY t_days)").as("p50_days"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY t_days)").as("p90_days"))
+    }),
+
+    // Lorenz curve: cumulative spend share at each customer decile —
+    // the graphic behind orders_pareto/events_gini. Exact DECIMAL
+    // cumsums; decile points picked by rank arithmetic
+    "orders_lorenz" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(Tables.dec2(col("o_totalprice"))).as("m"))
+      val w = Window.orderBy(col("m"), col("o_custkey"))
+      val all = Window.partitionBy()
+      spend
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum", sum(col("m")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("tot", sum(col("m")).over(all))
+        .withColumn("decile", (col("rn") * 10 / col("n")).cast("int"))
+        .filter(col("rn") * 10 % col("n") === 0 || col("rn") === col("n"))
+        .filter(col("decile") >= 1)
+        .groupBy(col("decile"))
+        .agg(round(max(col("cum")).cast("double") / max(col("tot")).cast("double"), 6)
+          .as("cum_spend_share"))
+        .orderBy(col("decile"))
+    }),
+
     // empirical-Bayes shrinkage: per-supplier return rates shrunk
     // toward the global rate with a Beta(α,β) prior (k=50 pseudo-
     // observations) — the small-sample leaderboard fix (raw rates rank
@@ -2355,6 +2400,44 @@ object Ext7Queries {
         |    / count(*), 6) AS novelty
         |FROM g JOIN fd ON fd.g = g.g
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "events_conversion_latency" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS s0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT s.user_id,
+        |    CAST(date_diff('day', CAST(s.s0 AS DATE), CAST(min(p.pp) AS DATE))
+        |      AS INTEGER) AS t_days
+        |  FROM s0 s LEFT JOIN (
+        |    SELECT e.user_id, CASE WHEN e.ts >= s2.s0 THEN e.ts END AS pp
+        |    FROM events e JOIN s0 s2 ON s2.user_id = e.user_id
+        |    WHERE e.event_type = 'purchase') p
+        |  ON p.user_id = s.user_id
+        |  GROUP BY s.user_id, s.s0)
+        |SELECT count(*) AS n_signups,
+        |  count(t_days) AS n_converted,
+        |  CAST(quantile_disc(t_days, 0.5) AS INTEGER) AS p50_days,
+        |  CAST(quantile_disc(t_days, 0.9) AS INTEGER) AS p90_days
+        |FROM conv""".stripMargin,
+
+    "orders_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT m,
+        |    row_number() OVER (ORDER BY m, o_custkey) AS rn,
+        |    sum(m) OVER (ORDER BY m, o_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |    count(*) OVER () AS n,
+        |    sum(m) OVER () AS tot
+        |  FROM spend)
+        |SELECT CAST(rn * 10 / n AS INTEGER) AS decile,
+        |  round(CAST(max(cum) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+        |    AS cum_spend_share
+        |FROM r
+        |WHERE (rn * 10 % n = 0 OR rn = n) AND rn * 10 / n >= 1
+        |GROUP BY decile ORDER BY decile""".stripMargin,
 
     "agg_shrunk_rates" ->
       """WITH g AS (

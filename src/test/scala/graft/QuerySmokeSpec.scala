@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (345 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 345)
-    assert(SparkEntry.oracleSql.size >= 345)
+  test("declared inventory is complete (347 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 347)
+    assert(SparkEntry.oracleSql.size >= 347)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
