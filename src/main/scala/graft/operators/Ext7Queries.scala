@@ -924,6 +924,37 @@ object Ext7Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // engagement-decay curve: events per user by days-since-signup
+    // (offsets 0–13) — does activity fade after onboarding? Exact
+    // per-offset counts normalized by the signed-up population
+    "events_age_curve" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d0"))
+      val aged = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+        .join(s0, "user_id")
+        .select(datediff(col("d"), col("d0")).as("age_d"))
+        .filter(col("age_d").between(0, 13))
+      val nUsers = s0.agg(count(lit(1)).as("nu"))
+      aged.groupBy(col("age_d")).agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("age_d"), col("n_events"),
+          round(col("n_events") / col("nu"), 6).as("events_per_user"))
+        .orderBy(col("age_d"))
+    }),
+
+    // discount-response profile: order volume and quantity by exact
+    // discount level — the elasticity read before pricing changes.
+    // Discount levels are exact 2dp values (clean group keys)
+    "orders_discount_response" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_discount").cast("decimal(4,2)").as("disc"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(avg(Tables.dec2(col("l_quantity")).cast("double")), 6).as("avg_qty"),
+          sum(Tables.dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy(col("disc"))
+    }),
+
     // conversion latency: signup→first-purchase days at discrete
     // p50/p90 plus conversion coverage — the funnel-speed companion to
     // events_survival (same censoring-safe derivation)
@@ -2400,6 +2431,29 @@ object Ext7Queries {
         |    / count(*), 6) AS novelty
         |FROM g JOIN fd ON fd.g = g.g
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "events_age_curve" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |aged AS (
+        |  SELECT CAST(date_diff('day', s.d0, CAST(e.ts AS DATE)) AS INTEGER)
+        |    AS age_d
+        |  FROM events e JOIN s0 s ON s.user_id = e.user_id),
+        |nu AS (SELECT count(*) AS nu FROM s0)
+        |SELECT age_d, count(*) AS n_events,
+        |  round(count(*) / CAST(nu.nu AS DOUBLE), 6) AS events_per_user
+        |FROM aged CROSS JOIN nu
+        |WHERE age_d BETWEEN 0 AND 13
+        |GROUP BY age_d, nu.nu ORDER BY age_d""".stripMargin,
+
+    "orders_discount_response" ->
+      """SELECT CAST(l_discount AS DECIMAL(4,2)) AS disc,
+        |  count(*) AS n_lines,
+        |  round(avg(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)), 6)
+        |    AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY disc ORDER BY disc""".stripMargin,
 
     "events_conversion_latency" ->
       """WITH s0 AS (

@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (347 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 347)
-    assert(SparkEntry.oracleSql.size >= 347)
+  test("declared inventory is complete (349 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 349)
+    assert(SparkEntry.oracleSql.size >= 349)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
