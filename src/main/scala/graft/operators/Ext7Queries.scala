@@ -924,6 +924,24 @@ object Ext7Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // split-balance audit: are train/val/test statistically alike?
+    // Per split: size, mean length, quality-gate keep rate — the
+    // leakage/imbalance check after doc_train_split's hash assignment
+    "doc_split_balance" -> ((s, dir) => {
+      val b = (((col("doc_id") % 1000003L) * 2654435761L) % 1000003L) % 10
+      Tables.documents(s, dir)
+        .select(
+          when(b < 8, "train").when(b < 9, "val").otherwise("test").as("split"),
+          length(col("text")).as("len"),
+          (size(split(col("text"), " ")) >= 10).as("keep"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("len")), 6).as("mean_len"),
+          round(sum(when(col("keep"), 1L).otherwise(0L)) / count(lit(1)), 6)
+            .as("keep_rate"))
+        .orderBy(col("split"))
+    }),
+
     // engagement-decay curve: events per user by days-since-signup
     // (offsets 0–13) — does activity fade after onboarding? Exact
     // per-offset counts normalized by the signed-up population
@@ -2431,6 +2449,21 @@ object Ext7Queries {
         |    / count(*), 6) AS novelty
         |FROM g JOIN fd ON fd.g = g.g
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "doc_split_balance" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 10 < 8
+        |           THEN 'train'
+        |         WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 10 < 9
+        |           THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    length(text) AS len,
+        |    len(string_split(text, ' ')) >= 10 AS keep
+        |  FROM documents)
+        |SELECT split, count(*) AS n,
+        |  round(avg(len), 6) AS mean_len,
+        |  round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / count(*), 6) AS keep_rate
+        |FROM d GROUP BY split ORDER BY split""".stripMargin,
 
     "events_age_curve" ->
       """WITH s0 AS (
