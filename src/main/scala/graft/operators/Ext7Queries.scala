@@ -924,6 +924,42 @@ object Ext7Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Tukey fences: IQR-based outlier counts per returnflag using
+    // DISCRETE quartiles (actual data values — no interpolation
+    // divergence); fences are then pure row-local compares
+    "agg_tukey_fences" -> ((s, dir) => {
+      val q = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("f"))
+        .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("q1"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("q3"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("f"), col("l_extendedprice").as("p"))
+        .join(broadcast(q), "f")
+        .groupBy(col("f"), col("q1"), col("q3"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("p") < col("q1") - (col("q3") - col("q1")) * 1.5, 1L)
+            .otherwise(0L)).as("n_low"),
+          sum(when(col("p") > col("q3") + (col("q3") - col("q1")) * 1.5, 1L)
+            .otherwise(0L)).as("n_high"))
+        .select(col("f"), col("n"),
+          round(col("q1"), 2).as("q1"), round(col("q3"), 2).as("q3"),
+          col("n_low"), col("n_high"))
+        .orderBy(col("f"))
+    }),
+
+    // tokenizer diagnostic: token-length distribution (lengths 1–20)
+    // with shares — the quick look before choosing shingle/BPE params
+    "text_wordlen_dist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(least(length(col("w")), lit(20)).as("len"))
+        .groupBy(col("len")).agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
+        .orderBy(col("len"))
+    }),
+
     // split-balance audit: are train/val/test statistically alike?
     // Per split: size, mean length, quality-gate keep rate — the
     // leakage/imbalance check after doc_train_split's hash assignment
@@ -2449,6 +2485,31 @@ object Ext7Queries {
         |    / count(*), 6) AS novelty
         |FROM g JOIN fd ON fd.g = g.g
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "agg_tukey_fences" ->
+      """WITH q AS (
+        |  SELECT l_returnflag AS f,
+        |    quantile_disc(l_extendedprice, 0.25) AS q1,
+        |    quantile_disc(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem GROUP BY f)
+        |SELECT li.l_returnflag AS f, count(*) AS n,
+        |  round(q.q1, 2) AS q1, round(q.q3, 2) AS q3,
+        |  CAST(sum(CASE WHEN li.l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN li.l_extendedprice > q.q3 + (q.q3 - q.q1) * 1.5
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM lineitem li JOIN q ON q.f = li.l_returnflag
+        |GROUP BY li.l_returnflag, q.q1, q.q3 ORDER BY f""".stripMargin,
+
+    "text_wordlen_dist" ->
+      """WITH w AS (
+        |  SELECT least(length(t), 20) AS len FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |g AS (SELECT len, count(*) AS n FROM w GROUP BY len)
+        |SELECT CAST(len AS INTEGER) AS len, n,
+        |  round(n / sum(n) OVER (), 6) AS share
+        |FROM g ORDER BY len""".stripMargin,
 
     "doc_split_balance" ->
       """WITH d AS (
