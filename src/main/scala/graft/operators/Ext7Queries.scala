@@ -924,6 +924,60 @@ object Ext7Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // capacity planning: peak-hour to mean-hour load factor per event
+    // type — how much headroom a provisioned-for-average system needs.
+    // Exact hourly counts, one grouped ratio
+    "events_load_factor" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          max(col("n")).as("peak"),
+          round(avg(col("n")), 6).as("mean_n"),
+          round(max(col("n")) / avg(col("n")), 6).as("load_factor"))
+        .orderBy(col("event_type"))
+    }),
+
+    // corpus-mix divergence: Jensen-Shannon distance between source
+    // token distributions over the global top-100 vocabulary — how
+    // different two data sources really are. Grid = source-pairs ×
+    // top vocab (bounded), probabilities from exact counts, xlogx
+    // contributions summed under round 6
+    "text_source_jsd" -> ((s, dir) => {
+      val dt = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val top = dt.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("tok")).limit(100).select(col("tok"))
+      val cnt = dt.join(broadcast(top), "tok")
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("t"))
+      val dist = cnt.join(broadcast(tot), "source")
+        .select(col("source"), col("tok"), (col("c") / col("t")).as("p"))
+      val srcs = dist.select(col("source")).distinct()
+      val grid = srcs.select(col("source").as("sa"))
+        .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+        .join(broadcast(top), lit(true))
+      grid
+        .join(dist.select(col("source").as("sa"), col("tok"), col("p").as("pa")),
+          Seq("sa", "tok"), "left")
+        .join(dist.select(col("source").as("sb"), col("tok"), col("p").as("pb")),
+          Seq("sb", "tok"), "left")
+        .select(col("sa"), col("sb"),
+          coalesce(col("pa"), lit(0.0)).as("pa"),
+          coalesce(col("pb"), lit(0.0)).as("pb"))
+        .select(col("sa"), col("sb"),
+          (when(col("pa") > 0,
+            col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))))
+            .otherwise(lit(0.0)) +
+           when(col("pb") > 0,
+            col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+            .otherwise(lit(0.0))).as("contrib"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(round(sum(col("contrib")) / 2, 6).as("jsd"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // Tukey fences: IQR-based outlier counts per returnflag using
     // DISCRETE quartiles (actual data values — no interpolation
     // divergence); fences are then pure row-local compares
@@ -2485,6 +2539,48 @@ object Ext7Queries {
         |    / count(*), 6) AS novelty
         |FROM g JOIN fd ON fd.g = g.g
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "events_load_factor" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY event_type, hr)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(max(n) AS BIGINT) AS peak,
+        |  round(avg(n), 6) AS mean_n,
+        |  round(max(n) / avg(n), 6) AS load_factor
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "text_source_jsd" ->
+      """WITH dt AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |top AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM dt GROUP BY tok
+        |    ORDER BY c DESC, tok LIMIT 100)),
+        |cnt AS (
+        |  SELECT source, dt.tok, count(*) AS c
+        |  FROM dt JOIN top ON top.tok = dt.tok
+        |  GROUP BY source, dt.tok),
+        |tot AS (SELECT source, sum(c) AS t FROM cnt GROUP BY source),
+        |dist AS (
+        |  SELECT cnt.source, cnt.tok, cnt.c / CAST(tot.t AS DOUBLE) AS p
+        |  FROM cnt JOIN tot ON tot.source = cnt.source),
+        |srcs AS (SELECT DISTINCT source FROM dist),
+        |grid AS (
+        |  SELECT a.source AS sa, b.source AS sb, top.tok
+        |  FROM srcs a JOIN srcs b ON a.source < b.source CROSS JOIN top),
+        |j AS (
+        |  SELECT g.sa, g.sb,
+        |    coalesce(da.p, 0) AS pa, coalesce(db.p, 0) AS pb
+        |  FROM grid g
+        |  LEFT JOIN dist da ON da.source = g.sa AND da.tok = g.tok
+        |  LEFT JOIN dist db ON db.source = g.sb AND db.tok = g.tok)
+        |SELECT sa, sb,
+        |  round(sum(
+        |    CASE WHEN pa > 0 THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0 END +
+        |    CASE WHEN pb > 0 THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0 END) / 2, 6)
+        |    AS jsd
+        |FROM j GROUP BY sa, sb ORDER BY sa, sb""".stripMargin,
 
     "agg_tukey_fences" ->
       """WITH q AS (
