@@ -924,6 +924,22 @@ object Ext7Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // normal-approximation CI for group means: mean ± 1.96·sd/√n per
+    // returnflag — the error bars every KPI tile should carry. One
+    // co-moment pass; round 6 absorbs co-moment merge ulps
+    "agg_mean_ci" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("f"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("l_extendedprice")).as("m"),
+          stddev_samp(col("l_extendedprice")).as("sd"))
+        .select(col("f"), col("n"),
+          round(col("m"), 4).as("mean_price"),
+          round(col("m") - lit(1.96) * col("sd") / sqrt(col("n")), 4).as("ci_lo"),
+          round(col("m") + lit(1.96) * col("sd") / sqrt(col("n")), 4).as("ci_hi"))
+        .orderBy(col("f"))
+    }),
+
     // capacity planning: peak-hour to mean-hour load factor per event
     // type — how much headroom a provisioned-for-average system needs.
     // Exact hourly counts, one grouped ratio
@@ -2539,6 +2555,15 @@ object Ext7Queries {
         |    / count(*), 6) AS novelty
         |FROM g JOIN fd ON fd.g = g.g
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "agg_mean_ci" ->
+      """SELECT l_returnflag AS f, count(*) AS n,
+        |  round(avg(l_extendedprice), 4) AS mean_price,
+        |  round(avg(l_extendedprice)
+        |    - 1.96 * stddev_samp(l_extendedprice) / sqrt(count(*)), 4) AS ci_lo,
+        |  round(avg(l_extendedprice)
+        |    + 1.96 * stddev_samp(l_extendedprice) / sqrt(count(*)), 4) AS ci_hi
+        |FROM lineitem GROUP BY f ORDER BY f""".stripMargin,
 
     "events_load_factor" ->
       """WITH h AS (
