@@ -414,12 +414,17 @@ object SimilarityOps {
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("c_v")))),
         p => p.getField("c_v")).as("c_e"))
     val e = asDouble(emb, idCol, vecCol)
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("dot"), col("c_label"))
+    // argmax as a mergeable aggregate, NOT a rank-filter: row_number over
+    // partitionBy(vec_id) would shuffle AND SORT the full vecs×labels frame
+    // just to keep one row per vector. min_by(label, struct(-dot, label))
+    // partial-aggregates map-side to one row per vec_id before the
+    // exchange, and the struct ordering (-dot asc = dot desc, then label
+    // asc) reproduces the old desc(dot)/asc(label) tie-break exactly.
     e.crossJoin(broadcast(centroids))
       .withColumn("dot", DotProduct.dot(col("e"), col("c_e")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_label").as("pred_label"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("c_label"),
+        struct((-col("dot")).as("nd"), col("c_label"))).as("pred_label"))
   }
 
   /** SemDeDup-style cluster-blocked near-duplicate pairs: k-means

@@ -194,8 +194,8 @@ object Ext7Queries {
           datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("lag_d"))
       lag.groupBy(col("prio"))
         .agg(count(lit(1)).as("n"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_d)").as("p50"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_d)").as("p90"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_d)").cast("int").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_d)").cast("int").as("p90"),
           round(sum(when(col("lag_d") > 60, 1L).otherwise(0L)) / count(lit(1)), 6)
             .as("breach_rate_60d"))
         .orderBy(col("prio"))
@@ -1072,7 +1072,7 @@ object Ext7Queries {
     // Discount levels are exact 2dp values (clean group keys)
     "orders_discount_response" -> ((s, dir) => {
       Tables.lineitem(s, dir)
-        .groupBy(col("l_discount").cast("decimal(4,2)").as("disc"))
+        .groupBy(col("l_discount").cast("decimal(4,2)").cast("double").as("disc"))
         .agg(count(lit(1)).as("n_lines"),
           round(avg(Tables.dec2(col("l_quantity")).cast("double")), 6).as("avg_qty"),
           sum(Tables.dec2(col("l_extendedprice"))).cast("double").as("revenue"))
@@ -1095,8 +1095,8 @@ object Ext7Queries {
         .select(datediff(to_date(col("p1")), to_date(col("s0"))).as("t_days"))
       conv.agg(count(lit(1)).as("n_signups"),
           count(col("t_days")).as("n_converted"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY t_days)").as("p50_days"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY t_days)").as("p90_days"))
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY t_days)").cast("int").as("p50_days"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY t_days)").cast("int").as("p90_days"))
     }),
 
     // Lorenz curve: cumulative spend share at each customer decile —
@@ -2663,7 +2663,7 @@ object Ext7Queries {
         |GROUP BY age_d, nu.nu ORDER BY age_d""".stripMargin,
 
     "orders_discount_response" ->
-      """SELECT CAST(l_discount AS DECIMAL(4,2)) AS disc,
+      """SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS disc,
         |  count(*) AS n_lines,
         |  round(avg(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)), 6)
         |    AS avg_qty,
@@ -2978,7 +2978,8 @@ object Ext7Queries {
         |    count(*) OVER () AS n
         |  FROM spend)
         |SELECT max(n) AS n_cust,
-        |  sum(CASE WHEN cum * 5 < tot * 4 THEN 1 ELSE 0 END) + 1 AS n_cust_80,
+        |  CAST(sum(CASE WHEN cum * 5 < tot * 4 THEN 1 ELSE 0 END) + 1
+        |    AS BIGINT) AS n_cust_80,
         |  round(CAST(sum(CASE WHEN rank <= greatest(1, n // 10) THEN m END) AS DOUBLE)
         |    / CAST(max(tot) AS DOUBLE), 6) AS top_decile_share
         |FROM ranked""".stripMargin,

@@ -412,7 +412,7 @@ object ScanQueries {
 
     "src_custom_v2" ->
       """SELECT 'c' || (i % 5) AS cat, count(*) AS n,
-        |  sum((i * 31 + 7) % 997) AS sum_val,
+        |  CAST(sum((i * 31 + 7) % 997) AS BIGINT) AS sum_val,
         |  min(i) AS min_id, max(i) AS max_id
         |FROM generate_series(150000, 189999) t(i)
         |GROUP BY cat ORDER BY cat""".stripMargin,
@@ -456,7 +456,7 @@ object ScanQueries {
     "sink_zorder" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  sum(l_orderkey) AS sum_ok
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
         |FROM lineitem
         |WHERE l_partkey BETWEEN 0 AND 39 AND l_suppkey BETWEEN 0 AND 3
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
