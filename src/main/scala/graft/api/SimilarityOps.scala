@@ -204,11 +204,16 @@ object SimilarityOps {
   /** Power iteration for the top eigenvector of the corpus's uncentered
     * second-moment matrix M = (1/n)·Σ x·xᵀ — the first PCA/whitening
     * direction of an embedding table. Each iteration is exactly ONE job:
-    * scan → per-row scalar xᵀv ([[DotProduct]], v inlined as a literal)
-    * → dim-sized weighted sum (posexplode + two-level agg) → collect of
-    * `dim` doubles. The iterate v lives on the driver (dim doubles —
-    * control plane, the same trade as [[kmeansCentroids]]); the data
-    * plane never materializes M (dim² entries) nor any pairwise frame.
+    * scan → per-row scalar d = xᵀv ([[DotProduct]], v inlined as a
+    * literal) → dim-sized weighted sum (posexplode + two-level agg) →
+    * collect of `dim` doubles. The Rayleigh quotient of the ENTERING
+    * iterate rides along in the same scan — every pos group aggregates
+    * over all rows' d, so avg(d²) within any one group IS the corpus
+    * vᵀMv — and one extra scalar-agg job after the loop scores the
+    * final iterate: iters+1 jobs total. The iterate v lives on the
+    * driver (dim doubles — control plane, the same trade as
+    * [[kmeansCentroids]]); the data plane never materializes M (dim²
+    * entries) nor any pairwise frame.
     *
     * Returns (v, rayleighPerIter) — the unit top-eigenvector estimate
     * and the Rayleigh quotient vᵀMv after each iteration (nondecreasing
@@ -221,20 +226,27 @@ object SimilarityOps {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
     }
+    def rayleigh(v: Array[Double]): Double =
+      e.agg(avg(pow(DotProduct.dot(col("e"), typedLit(v.toSeq)), 2)))
+        .head().getDouble(0)
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))
     val rayleighs = scala.collection.mutable.ArrayBuffer[Double]()
-    for (_ <- 1 to iters) {
-      val s = e
+    for (it <- 1 to iters) {
+      val rows = e
         .select(DotProduct.dot(col("e"), typedLit(v.toSeq)).as("d"),
           posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy(col("pos")).agg(sum(col("x") * col("d")).as("s"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        .groupBy(col("pos"))
+        .agg(sum(col("x") * col("d")).as("s"), avg(pow(col("d"), 2)).as("r"))
+        .collect()
+      // rides along: vᵀMv of the iterate that ENTERED this scan = the
+      // Rayleigh recorded after the previous iteration's update
+      if (it >= 2) rayleighs += rows.head.getDouble(2)
+      val s = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val mv = Array.tabulate(dim)(i => s.getOrElse(i, 0.0))
       v = normalize(mv)
-      // Rayleigh vᵀMv = (1/n)·Σ (xᵀv)² — one scalar-agg job
-      rayleighs += e.agg(avg(pow(DotProduct.dot(col("e"), typedLit(v.toSeq)), 2)))
-        .head().getDouble(0)
     }
+    // the final iterate never enters another scan — one extra job
+    if (iters >= 1) rayleighs += rayleigh(v)
     (v, rayleighs.toSeq)
   }
 
@@ -418,8 +430,13 @@ object SimilarityOps {
     // partitionBy(vec_id) would shuffle AND SORT the full vecs×labels frame
     // just to keep one row per vector. min_by(label, struct(-dot, label))
     // partial-aggregates map-side to one row per vec_id before the
-    // exchange, and the struct ordering (-dot asc = dot desc, then label
-    // asc) reproduces the old desc(dot)/asc(label) tie-break exactly.
+    // exchange, and for FINITE dots the struct ordering (-dot asc = dot
+    // desc, then label asc) reproduces the old desc(dot)/asc(label)
+    // tie-break exactly. Caveat: a NaN dot would sort FIRST under
+    // desc(dot) (picked) but -NaN sorts last under min (ignored) —
+    // unreachable here because centroids are finite averages of finite
+    // unit-normalized embeddings, but not an identity to lean on if this
+    // aggregate is reused over unvetted vectors.
     e.crossJoin(broadcast(centroids))
       .withColumn("dot", DotProduct.dot(col("e"), col("c_e")))
       .groupBy(col("vec_id"))

@@ -175,11 +175,13 @@ object ScanQueries {
     }),
 
     // custom DataSource V2 WRITE path (graft.sources.v2.CsvSink): tasks
-    // stream to temp files, task-commit renames them visible, and the
-    // driver commit writes a MANIFEST only after every task succeeded —
-    // the exactly-once two-phase protocol. The declared result reads the
-    // COMMITTED files back and cross-checks them against the manifest's
-    // row accounting in-band.
+    // stream to temp files, task-commit renames them to job-unique
+    // STAGED names, and the driver commit atomically swaps in a MANIFEST
+    // only after every task succeeded — the exactly-once two-phase
+    // protocol (a failed job's abort leaves the previous generation
+    // intact; see CsvSink's crash matrix). The declared result reads the
+    // manifest-LISTED files back (readers trust the manifest, never a
+    // directory glob) and cross-checks the row accounting in-band.
     "sink_custom_v2" -> ((s, dir) => {
       val path = tmp("v2_sink")
       Tables.orders(s, dir)
@@ -187,7 +189,9 @@ object ScanQueries {
         .select(col("o_custkey").as("key"), col("n"))
         .write.format("graft.sources.v2.CsvSink")
         .option("path", path).mode("overwrite").save()
-      val data = s.read.schema("key LONG, n LONG").csv(s"$path/part-*")
+      // control-plane read: one tiny manifest file on the driver
+      val committed = graft.sources.v2.CsvSink.committedFiles(path)
+      val data = s.read.schema("key LONG, n LONG").csv(committed: _*)
       val man = s.read.text(s"$path/MANIFEST")
         .select(split(col("value"), ",").getItem(1).cast("long").as("rows"))
         .agg(sum(col("rows")).as("manifest_rows"))

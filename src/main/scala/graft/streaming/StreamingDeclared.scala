@@ -530,20 +530,6 @@ object StreamingDeclared {
         |  max(user_id) AS max_user
         |FROM events""".stripMargin,
 
-    "stream_file_sink" ->
-      """SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,
-        |  count(*) AS n
-        |FROM events
-        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
-        |  <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
-        |GROUP BY user_id, win_start
-        |ORDER BY user_id, win_start""".stripMargin,
-
-    "stream_global_agg" ->
-      """SELECT count(*) AS n_events, round(sum(value), 6) AS sum_value,
-        |  max(user_id) AS max_user
-        |FROM events""".stripMargin,
-
     "stream_window_topk" ->
       """WITH c AS (
         |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS win_start,

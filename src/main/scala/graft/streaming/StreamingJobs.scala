@@ -64,6 +64,15 @@ object StreamingJobs {
     }
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally walk.close()
+    }
+  }
+
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream
       .format("memory").queryName(name)
@@ -89,12 +98,17 @@ object StreamingJobs {
     * a started query + processAllAvailable DOES execute the trailing
     * no-data microbatch, so windows closed under the final watermark
     * (max ts − 10 min) land in the files — same emission contract as
-    * stream_watermark_late, now surviving in durable storage. Fresh
-    * sink+checkpoint dirs per run: a stale checkpoint pins its committed
-    * source path and offsets.
+    * stream_watermark_late, now surviving in durable storage. The
+    * sink+checkpoint base dir is FIXED per source path and wiped at the
+    * start of every invocation — a stale checkpoint would pin its
+    * committed source path and offsets, and per-run random dirs would
+    * leak one parquet+checkpoint tree into /tmp per bench run.
     */
   def fileSinkTumbling(spark: SparkSession, eventsDir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_fsink_")
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_fsink_${Integer.toHexString(eventsDir.hashCode)}")
+    deleteRecursively(base)
+    java.nio.file.Files.createDirectories(base)
     val out = base.resolve("out").toString
     val chk = base.resolve("chk").toString
     val agg = readEventsStream(spark, eventsDir)

@@ -73,6 +73,15 @@ def canon(rows):
     return sorted([tuple(r) for r in rows], key=key)
 
 
+def table_rows(tbl):
+    """Rows built POSITIONALLY from the arrow columns — to_pylist() dicts
+    would silently collapse duplicate output column names to one entry."""
+    cols = [c.to_pylist() for c in tbl.columns]
+    if not cols:
+        return []
+    return [tuple(r) for r in zip(*cols)]
+
+
 def main(sf_dir, out_dir, prefixes):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -83,10 +92,11 @@ def main(sf_dir, out_dir, prefixes):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
 
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_matched = 0
     for name, sql in sorted(oracle.items()):
         if prefixes and not any(name.startswith(p) for p in prefixes):
             continue
+        n_matched += 1
         spark_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
@@ -96,21 +106,22 @@ def main(sf_dir, out_dir, prefixes):
         try:
             dres = con.execute(sql)
             dtbl = dres.fetch_arrow_table()
-            duck = [tuple(r.values()) for r in dtbl.to_pylist()]
+            duck = table_rows(dtbl)
             duck_cols = dtbl.column_names
-            duck_fams = {duck_cols[i]: family(dtbl.schema.field(i).type)
-                         for i in range(len(duck_cols))}
+            duck_fams = [family(dtbl.schema.field(i).type)
+                         for i in range(len(duck_cols))]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         stbl = con.execute(
             f"SELECT * FROM '{files[0]}'").fetch_arrow_table()
-        sp = [tuple(r.values()) for r in stbl.to_pylist()]
+        sp = table_rows(stbl)
         sp_cols = stbl.column_names
-        sp_fams = {sp_cols[i]: family(stbl.schema.field(i).type)
-                   for i in range(len(sp_cols))}
-        # sort columns by name (driver behavior)
+        sp_fams = [family(stbl.schema.field(i).type)
+                   for i in range(len(sp_cols))]
+        # sort columns by name (driver behavior); Python's sort is stable,
+        # so duplicate names pair up in original order on both sides
         d_ix = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
         s_ix = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])
         if sorted(duck_cols) != sorted(sp_cols):
@@ -118,15 +129,18 @@ def main(sf_dir, out_dir, prefixes):
             n_fail += 1
             continue
         # type-class gate 1: no DECIMAL output columns on the Spark side
-        dec_cols = [c for c, f in sp_fams.items() if "decimal" in f]
+        dec_cols = [sp_cols[i] for i in range(len(sp_cols))
+                    if "decimal" in sp_fams[i]]
         if dec_cols:
             print(f"FAIL {name}: spark output has DECIMAL column(s) {dec_cols} "
                   f"(driver hash mismatches decimals; cast to double/int)")
             n_fail += 1
             continue
-        # type-class gate 2: per-column family must match
-        fam_bad = [(c, sp_fams[c], duck_fams[c]) for c in sp_cols
-                   if not fam_match(sp_fams[c], duck_fams[c])]
+        # type-class gate 2: per-column family must match (keyed by the
+        # sorted-column POSITION, not name — duplicate names stay distinct)
+        fam_bad = [(sp_cols[si], sp_fams[si], duck_fams[di])
+                   for si, di in zip(s_ix, d_ix)
+                   if not fam_match(sp_fams[si], duck_fams[di])]
         if fam_bad:
             print(f"FAIL {name}: type-class mismatch "
                   + "; ".join(f"{c}: spark={a} duck={b}" for c, a, b in fam_bad))
@@ -149,6 +163,10 @@ def main(sf_dir, out_dir, prefixes):
                 only_d = [r for r in dd if r not in ss][:2]
                 print(f"    only-spark(2)={only_s}\n    only-duck(2) ={only_d}")
     print(f"\n{n_pass} pass / {n_fail} fail")
+    if prefixes and n_matched == 0:
+        print(f"ERROR: no oracle query matched prefixes {prefixes} — "
+              f"a typo here would otherwise read as a green selfcheck")
+        return 2
     return 1 if n_fail else 0
 
 
