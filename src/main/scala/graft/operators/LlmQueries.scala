@@ -663,34 +663,112 @@ object LlmQueries {
     })
   )
 
-  /** The shingle-Jaccard pair graph + recursive transitive closure in
-    * DuckDB SQL — the shared oracle core for every query derived from the
-    * near-dup component graph (components, logstar twin, keep-list,
-    * cluster histogram). Ends with the `reach(node, r)` CTE open so
-    * consumers append their own final SELECT (or further CTEs after a
-    * comma).
+  /** Token-set staging for the oracle pair scans: one BIT bitstring per
+    * doc over the corpus vocabulary (the synthetic corpus has a tiny,
+    * heavily shared vocabulary, so an inverted gram index degenerates to
+    * Σ df² ≈ n² join rows while `bit_count(a.bm & b.bm)` over all pairs
+    * is seconds). MATERIALIZED is load-bearing: DuckDB 1.0 inlines CTEs
+    * per reference, and the multiply-referenced chain would otherwise
+    * recompute the whole upstream per use (measured: OOM at sf0.1).
+    */
+  private val tokenBitmaskCte: String =
+    """d AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts
+      |  FROM documents),
+      |s AS MATERIALIZED (SELECT doc_id, len(ts) AS n FROM d),
+      |v AS (SELECT DISTINCT unnest(ts) AS tok FROM d),
+      |m AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(string_agg(CASE WHEN list_contains(d.ts, v.tok) THEN '1' ELSE '0' END,
+      |      '' ORDER BY v.tok) AS BIT) AS bm
+      |  FROM d CROSS JOIN v GROUP BY doc_id)""".stripMargin
+
+  /** Exact connected components from an open `pairs(id_a, id_b)` CTE to
+    * a closed `reach(node, r)` CTE (one row per node, r = component id =
+    * min doc_id in the component — so the historical consumers'
+    * `min(r) GROUP BY node` is unchanged).
+    *
+    * Shape: three deterministic min-neighbor star-contraction rounds
+    * (each node relabels to least(self, min neighbor); edges project
+    * through the relabeling) and a recursive closure ONLY on the tiny
+    * residue, with the three mappings composed back. Contraction
+    * preserves components, and the component-minimum always maps to
+    * itself, so the residue's min-label is the true component min —
+    * validated against union-find on paths/stars/cliques/random graphs.
+    * The naive all-pairs `reach` this replaces is O(V·E); at sf0.1 the
+    * token-threshold graph has ~3M edges, which made the old oracle the
+    * multi-hour blocker of the full sf0.1 selfcheck (engine side: ~1 s).
+    */
+  private val contractionClosure: String =
+    """e0 AS MATERIALIZED (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |m1 AS MATERIALIZED (
+      |  SELECT a AS node, least(a, min(b)) AS lbl FROM e0 GROUP BY a),
+      |e1 AS MATERIALIZED (
+      |  SELECT DISTINCT la.lbl AS a, lb.lbl AS b
+      |  FROM e0 JOIN m1 la ON la.node = e0.a JOIN m1 lb ON lb.node = e0.b
+      |  WHERE la.lbl <> lb.lbl),
+      |m2 AS MATERIALIZED (
+      |  SELECT a AS node, least(a, min(b)) AS lbl FROM e1 GROUP BY a),
+      |e2 AS MATERIALIZED (
+      |  SELECT DISTINCT la.lbl AS a, lb.lbl AS b
+      |  FROM e1 JOIN m2 la ON la.node = e1.a JOIN m2 lb ON lb.node = e1.b
+      |  WHERE la.lbl <> lb.lbl),
+      |m3 AS MATERIALIZED (
+      |  SELECT a AS node, least(a, min(b)) AS lbl FROM e2 GROUP BY a),
+      |e3 AS MATERIALIZED (
+      |  SELECT DISTINCT la.lbl AS a, lb.lbl AS b
+      |  FROM e2 JOIN m3 la ON la.node = e2.a JOIN m3 lb ON lb.node = e2.b
+      |  WHERE la.lbl <> lb.lbl),
+      |rreach(node, r) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM e3)
+      |  UNION
+      |  SELECT rr.node, e.b FROM rreach rr JOIN e3 e ON e.a = rr.r),
+      |rlbl AS (SELECT node, min(r) AS lbl FROM rreach GROUP BY node),
+      |c2 AS (SELECT m1.node, coalesce(m2.lbl, m1.lbl) AS lbl
+      |  FROM m1 LEFT JOIN m2 ON m2.node = m1.lbl),
+      |c3 AS (SELECT c2.node, coalesce(m3.lbl, c2.lbl) AS lbl
+      |  FROM c2 LEFT JOIN m3 ON m3.node = c2.lbl),
+      |reach AS (SELECT c3.node AS node, coalesce(rl.lbl, c3.lbl) AS r
+      |  FROM c3 LEFT JOIN rlbl rl ON rl.node = c3.lbl)""".stripMargin
+
+  /** The shingle-Jaccard pair graph + exact components in DuckDB SQL —
+    * the shared oracle core for every query derived from the near-dup
+    * component graph (components, logstar twin, keep-list, cluster
+    * histogram). Ends with the `reach(node, r)` CTE open so consumers
+    * append their own final SELECT (or further CTEs after a comma).
+    *
+    * The pair scan is INVERTED-INDEX form, not the naive n² banded join
+    * with a per-pair list_intersect: candidates are pairs sharing ≥1
+    * shingle (count(*) over the unnested (doc, gram) join IS the
+    * intersection size, grams are distinct per doc; bigrams are diverse
+    * enough that Σ df² stays small, unlike raw tokens). Result-identical
+    * — any pair passing a positive Jaccard threshold shares a gram — and
+    * together with [[contractionClosure]] it turns a multi-hour sf0.1
+    * replay into seconds, which is what makes the full-inventory sf0.1
+    * selfcheck feasible.
     */
   private val closureCte: String =
-    """WITH RECURSIVE d AS (
+    s"""WITH RECURSIVE d AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(t)),
       |      i -> t[i] || ' ' || t[i + 1])) AS ts
       |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 2),
-      |s AS (SELECT doc_id, ts, len(ts) AS n FROM d),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |    AND b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
-      |  WHERE len(list_intersect(a.ts, b.ts)) * 5
-      |    >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3),
-      |edges AS (
-      |  SELECT id_a AS a, id_b AS b FROM pairs
-      |  UNION SELECT id_b, id_a FROM pairs),
-      |reach(node, r) AS (
-      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-      |  UNION
-      |  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r)""".stripMargin
+      |s AS MATERIALIZED (SELECT doc_id, len(ts) AS n FROM d),
+      |g AS MATERIALIZED (SELECT doc_id, unnest(ts) AS gram FROM d),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM cand
+      |    JOIN s sa ON sa.doc_id = cand.id_a
+      |    JOIN s sb ON sb.doc_id = cand.id_b
+      |  WHERE sb.n * 5 >= sa.n * 3 AND sa.n * 5 >= sb.n * 3
+      |    AND inter * 5 >= (sa.n + sb.n - inter) * 3),
+      |$contractionClosure""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "doc_tfidf" ->
@@ -755,17 +833,18 @@ object LlmQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts,
-        |    len(list_distinct(str_split(text, ' '))) AS n
-        |  FROM documents)
-        |SELECT a.doc_id AS id_new, b.doc_id AS id_corpus,
-        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-        |    / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
-        |FROM d a JOIN d b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-        |  AND b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
-        |WHERE len(list_intersect(a.ts, b.ts)) * 5
-        |  >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3
+      s"""WITH $tokenBitmaskCte,
+        |cand AS (
+        |  SELECT a.doc_id AS id_new, b.doc_id AS id_corpus,
+        |    bit_count(a.bm & b.bm) AS inter
+        |  FROM m a JOIN m b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+        |SELECT id_new, id_corpus,
+        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM cand
+        |  JOIN s sa ON sa.doc_id = cand.id_new
+        |  JOIN s sb ON sb.doc_id = cand.id_corpus
+        |WHERE sb.n * 5 >= sa.n * 3 AND sa.n * 5 >= sb.n * 3
+        |  AND inter * 5 >= (sa.n + sb.n - inter) * 3
         |ORDER BY id_new, id_corpus""".stripMargin,
 
     "dedup_substring" ->
@@ -795,83 +874,83 @@ object LlmQueries {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_near" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts,
-        |    len(list_distinct(str_split(text, ' '))) AS n
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-        |    / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  AND b.n * 5 >= a.n * 4 AND a.n * 5 >= b.n * 4
-        |WHERE len(list_intersect(a.ts, b.ts)) * 5
-        |  >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 4
+      s"""WITH $tokenBitmaskCte,
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(a.bm & b.bm) AS inter
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM cand
+        |  JOIN s sa ON sa.doc_id = cand.id_a
+        |  JOIN s sb ON sb.doc_id = cand.id_b
+        |WHERE sb.n * 5 >= sa.n * 4 AND sa.n * 5 >= sb.n * 4
+        |  AND inter * 5 >= (sa.n + sb.n - inter) * 4
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_containment" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts,
-        |    len(list_distinct(str_split(text, ' '))) AS n
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-        |    / least(a.n, b.n), 6) AS containment
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.ts, b.ts)) * 10 >= least(a.n, b.n) * 9
+      s"""WITH $tokenBitmaskCte,
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(a.bm & b.bm) AS inter
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |FROM cand
+        |  JOIN s sa ON sa.doc_id = cand.id_a
+        |  JOIN s sb ON sb.doc_id = cand.id_b
+        |WHERE inter * 10 >= least(sa.n, sb.n) * 9
         |ORDER BY id_a, id_b""".stripMargin,
 
     // exact J≥0.9 strong pairs — the SQL twin of the operating point the
     // minhash/pipeline invariant reports are graded at
     "dedup_minhash" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts,
-        |    len(list_distinct(str_split(text, ' '))) AS n
-        |  FROM documents),
+      s"""WITH $tokenBitmaskCte,
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(a.bm & b.bm) AS inter
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id),
         |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |    AND b.n * 10 >= a.n * 9 AND a.n * 10 >= b.n * 9
-        |  WHERE len(list_intersect(a.ts, b.ts)) * 10
-        |    >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 9)
+        |  SELECT id_a, id_b FROM cand
+        |    JOIN s sa ON sa.doc_id = cand.id_a
+        |    JOIN s sb ON sb.doc_id = cand.id_b
+        |  WHERE sb.n * 10 >= sa.n * 9 AND sa.n * 10 >= sb.n * 9
+        |    AND inter * 10 >= (sa.n + sb.n - inter) * 9)
         |SELECT (SELECT count(*) FROM documents) AS n_docs,
         |  (SELECT count(*) FROM p) AS n_strong_pairs,
         |  true AS all_strong_candidates""".stripMargin,
 
     "dedup_pipeline" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts,
-        |    len(list_distinct(str_split(text, ' '))) AS n
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-        |    / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
-        |FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  AND b.n * 10 >= a.n * 9 AND a.n * 10 >= b.n * 9
-        |WHERE len(list_intersect(a.ts, b.ts)) * 10
-        |  >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 9
+      s"""WITH $tokenBitmaskCte,
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(a.bm & b.bm) AS inter
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM cand
+        |  JOIN s sa ON sa.doc_id = cand.id_a
+        |  JOIN s sb ON sb.doc_id = cand.id_b
+        |WHERE sb.n * 10 >= sa.n * 9 AND sa.n * 10 >= sb.n * 9
+        |  AND inter * 10 >= (sa.n + sb.n - inter) * 9
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // exact token-4/5 components via recursive closure (the same shape
-    // as closureCte, but over whitespace-token sets — the graph the LSH
-    // composition's clusters must refine)
+    // exact token-4/5 components (same contraction-closure shape as
+    // closureCte, but over whitespace-token sets via the bitmask pair
+    // scan — the graph the LSH composition's clusters must refine)
     "dedup_components_lsh" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts
-        |  FROM documents),
-        |s AS (SELECT doc_id, ts, len(ts) AS n FROM d),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |    AND b.n * 5 >= a.n * 4 AND a.n * 5 >= b.n * 4
-        |  WHERE len(list_intersect(a.ts, b.ts)) * 5
-        |    >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 4),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(node, r) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-        |  UNION
-        |  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r)
+      s"""WITH RECURSIVE $tokenBitmaskCte,
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(a.bm & b.bm) AS inter
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM cand
+        |    JOIN s sa ON sa.doc_id = cand.id_a
+        |    JOIN s sb ON sb.doc_id = cand.id_b
+        |  WHERE sb.n * 5 >= sa.n * 4 AND sa.n * 5 >= sb.n * 4
+        |    AND inter * 5 >= (sa.n + sb.n - inter) * 4),
+        |$contractionClosure
         |SELECT node AS doc_id, min(r) AS component_id, true AS refines_ok
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
@@ -882,14 +961,19 @@ object LlmQueries {
         |      i -> t[i] || ' ' || t[i + 1])) AS ts
         |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
         |  WHERE len(t) >= 2),
-        |s AS (SELECT doc_id, ts, len(ts) AS n FROM d)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-        |    / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  AND b.n * 5 >= a.n * 3 AND a.n * 5 >= b.n * 3
-        |WHERE len(list_intersect(a.ts, b.ts)) * 5
-        |  >= (a.n + b.n - len(list_intersect(a.ts, b.ts))) * 3
+        |s AS (SELECT doc_id, len(ts) AS n FROM d),
+        |g AS (SELECT doc_id, unnest(ts) AS gram FROM d),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM cand
+        |  JOIN s sa ON sa.doc_id = cand.id_a
+        |  JOIN s sb ON sb.doc_id = cand.id_b
+        |WHERE sb.n * 5 >= sa.n * 3 AND sa.n * 5 >= sb.n * 3
+        |  AND inter * 5 >= (sa.n + sb.n - inter) * 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "text_vocab_stats" ->

@@ -25,7 +25,7 @@ compared str(v) only. So now:
      was the only such query in 355 and the only unexplained fail); the
      repo discipline is: cast every decimal to double/int before output.
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 import pyarrow as pa
 
@@ -97,6 +97,7 @@ def main(sf_dir, out_dir, prefixes):
         if prefixes and not any(name.startswith(p) for p in prefixes):
             continue
         n_matched += 1
+        t0 = time.time()
         spark_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
@@ -149,7 +150,7 @@ def main(sf_dir, out_dir, prefixes):
         dd = canon([[r[i] for i in d_ix] for r in duck])
         ss = canon([[r[i] for i in s_ix] for r in sp])
         if dd == ss:
-            print(f"PASS {name} ({len(ss)} rows)")
+            print(f"PASS {name} ({len(ss)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
         else:
             n_fail += 1
