@@ -460,6 +460,12 @@ object LlmQueries {
     // (at 100 TB the vocabulary side is far too big to broadcast), and
     // the corpus size N is a 1-row broadcast. Ranking sorts by the
     // ROUNDED score so engine ulp differences in ln() cannot flip ties.
+    // The top-3 rank filter deliberately stays on Spark's sort-based
+    // WindowGroupLimit path rather than the TopKPerKey heap ladder
+    // (topk_per_key's route): the window key is doc_id — unbounded
+    // cardinality at corpus scale — and the heap's k·|keys|-per-partition
+    // resident copies are exactly the regime its own doc marks as sort
+    // territory (measured 100k-keys parity loss in TopKPerKey.scala).
     "doc_tfidf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val tf = Tables.documents(s, dir)
