@@ -36,7 +36,8 @@ object SparkEntry {
     (TsQueries.queries, TsQueries.oracle),
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
     (Ext6Queries.queries, Ext6Queries.oracle),
-    (Ext7Queries.queries, Ext7Queries.oracle)
+    (Ext7Queries.queries, Ext7Queries.oracle),
+    (LakeQueries.queries, LakeQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,422 @@
+package graft.lake
+
+import java.io.File
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** A minimal ACID table format on plain parquet — the lakehouse
+  * primitive (Delta/Iceberg-shaped) the engine otherwise lacks, built
+  * from nothing but Spark and `java.nio`:
+  *
+  *  - **Versioned manifests**: `_graft_log/v%08d.manifest` is the
+  *    source of truth; a snapshot is exactly the files its manifest
+  *    lists (readers NEVER glob the directory). Data files are
+  *    immutable and job-uniquely named, so a snapshot is stable for as
+  *    long as its files are retained.
+  *  - **Atomic, exclusive commit**: the new manifest is fully staged
+  *    under a temp name, then published with `Files.createLink`
+  *    (POSIX link(2) fails atomically if the target exists), so two
+  *    racing writers cannot both claim version N — the loser gets
+  *    [[ConcurrentCommitException]]. Appends auto-retry on the next
+  *    version (conflict-free); overwrite/merge/delete surface the
+  *    conflict because their read-set may be stale.
+  *  - **Copy-on-write with file-level pruning**: `merge` (upsert)
+  *    rewrites ONLY files whose per-file key [min,max] — recorded in
+  *    the manifest at write time — can contain updated keys; `delete`
+  *    rewrites ONLY files that actually contain matching rows (probed
+  *    with one `input_file_name()` aggregation). Untouched files carry
+  *    over by reference: at 100 TB a point-merge rewrites a handful of
+  *    files, not the table.
+  *  - **Time travel**: `readVersion(n)` reads any retained snapshot;
+  *    `history()` lists the commit log. `vacuum(retain)` drops the
+  *    manifests older than the retained window and every data file no
+  *    retained manifest references (which also collects orphans staged
+  *    by crashed writers — crash-before-publish leaves the current
+  *    snapshot untouched by construction).
+  *
+  * Scale shape: manifests are control-plane (one small line per file —
+  * at 1 GB/file a 100 TB table is a ~100k-line manifest); the data
+  * plane is ordinary parquet read via an explicit file list, so
+  * column pruning and predicate pushdown work unchanged. Stats-based
+  * file skipping for reads is exposed via [[LakeTable.prunedRead]].
+  */
+class LakeTable private (spark: SparkSession, val path: String) {
+  import LakeTable._
+
+  private def logDir = Paths.get(path, LogDir)
+
+  // ---- snapshot state ---------------------------------------------------
+
+  /** Latest committed version (manifests are contiguous from 1). */
+  def currentVersion: Int = {
+    val vs = listVersions
+    require(vs.nonEmpty, s"not a lake table (no manifests): $path")
+    vs.max
+  }
+
+  private def listVersions: Seq[Int] = {
+    val d = logDir.toFile
+    Option(d.list((_, n) => n.matches("v\\d{8}\\.manifest")))
+      .map(_.toSeq.map(_.substring(1, 9).toInt)).getOrElse(Seq.empty)
+  }
+
+  private[lake] def manifest(version: Int): Manifest = {
+    val p = logDir.resolve(f"v$version%08d.manifest")
+    require(Files.exists(p),
+      s"version $version not retained (vacuumed or never committed): $path")
+    Manifest.parse(Files.readString(p))
+  }
+
+  // ---- reads ------------------------------------------------------------
+
+  /** Current snapshot as a DataFrame (manifest-listed files only). */
+  def read(): DataFrame = readVersion(currentVersion)
+
+  /** Time travel: the table exactly as of commit `version`. */
+  def readVersion(version: Int): DataFrame = readManifest(manifest(version))
+
+  private def readManifest(m: Manifest): DataFrame = {
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).parquet(m.files.map(f => s"$path/${f.name}"): _*)
+  }
+
+  /** Stats-pruned read: skip every file whose [min,max] for `col` lies
+    * outside [lo, hi] — manifest-level file skipping, no footer reads.
+    * Exact under the residual filter applied on top.
+    */
+  def prunedRead(col: String, lo: Long, hi: Long): DataFrame = {
+    val m = manifest(currentVersion)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val keep = m.files.filter(_.overlaps(col, lo, hi))
+    if (keep.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema)
+      .parquet(keep.map(f => s"$path/${f.name}"): _*)
+  }
+
+  /** The commit log, oldest first (only retained versions). */
+  def history(): Seq[LakeCommit] =
+    listVersions.sorted.map { v =>
+      val m = manifest(v)
+      LakeCommit(v, m.operation, m.files.size, m.files.map(_.rows).sum)
+    }
+
+  // ---- writes -----------------------------------------------------------
+
+  /** Append `df` as new files; existing files carry over by reference.
+    * Conflict-free, so a lost commit race is retried on the next
+    * version automatically.
+    */
+  def append(df: DataFrame): Int = {
+    val staged = stageFiles(df)
+    retryCommit { v =>
+      val base = manifest(v)
+      requireSameSchema(df.schema, base)
+      commit(v + 1, "append", base.files ++ staged, base)
+    }
+  }
+
+  /** Replace the table contents with `df` (schema may change). */
+  def overwrite(df: DataFrame): Int = {
+    val staged = stageFiles(df)
+    val v = currentVersion
+    val base = manifest(v)
+    commit(v + 1, "overwrite",
+      staged, base.copy(schemaJson = df.schema.json, statsCols = statsColsOf(df, base)))
+  }
+
+  /** Upsert by equality on `keyCol`: rows of `updates` replace
+    * same-keyed rows; new keys are inserted. Copy-on-write with
+    * manifest-stats pruning — files whose [min,max] key range cannot
+    * contain any update key are carried over UNREWRITTEN (their
+    * manifest entries, stats included, are reused verbatim).
+    * `updates` must have unique keys and the table's schema.
+    */
+  def merge(updates: DataFrame, keyCol: String): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    requireSameSchema(updates.schema, base)
+    val Row(lo: Long, hi: Long, nUpd: Long) = updates
+      .agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long")),
+        count(lit(1))).head()
+    require(nUpd > 0, "merge with an empty updates frame")
+    val (candidates, untouched) = base.files.partition(_.overlaps(keyCol, lo, hi))
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val cols = schema.fieldNames.map(col).toSeq
+    val candData =
+      if (candidates.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(candidates.map(f => s"$path/${f.name}"): _*)
+    val merged = candData
+      .join(updates.select(col(keyCol).as("_upd_key")),
+        col(keyCol) === col("_upd_key"), "left_anti")
+      .select(cols: _*)
+      .unionByName(updates.select(cols: _*))
+    val staged = stageFiles(merged, base)
+    commit(v + 1, "merge", untouched ++ staged, base)
+  }
+
+  /** Delete the rows matching `cond`, rewriting ONLY the files that
+    * contain at least one matching row (probed with a single
+    * `input_file_name()` aggregation); a touched file whose rows all
+    * match is dropped without a rewrite.
+    */
+  def deleteWhere(cond: Column): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    if (base.files.isEmpty) return v
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val data = spark.read.schema(schema)
+      .parquet(base.files.map(f => s"$path/${f.name}"): _*)
+    val touchedNames = data.filter(cond)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => new File(r.getString(0)).getName).toSet
+    if (touchedNames.isEmpty) return v
+    val (touched, untouched) = base.files.partition(f => touchedNames(f.name))
+    val kept = spark.read.schema(schema)
+      .parquet(touched.map(f => s"$path/${f.name}"): _*)
+      .filter(!cond)
+    val staged = if (kept.isEmpty) Seq.empty else stageFiles(kept, base)
+    commit(v + 1, "delete", untouched ++ staged, base)
+  }
+
+  /** Drop manifests older than the last `retainVersions` and every
+    * data file no retained manifest references (including orphans from
+    * crashed/lost-race writers). Returns the deleted file names.
+    */
+  def vacuum(retainVersions: Int): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val vs = listVersions.sorted
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainVersions))
+    val referenced = keep.flatMap(v => manifest(v).files.map(_.name)).toSet
+    val dataDead = Option(new File(path).list((_, n) => n.endsWith(".parquet")))
+      .getOrElse(Array.empty[String]).toSeq.filterNot(referenced)
+    dataDead.foreach(n => Files.deleteIfExists(Paths.get(path, n)))
+    drop.foreach(v => Files.deleteIfExists(logDir.resolve(f"v$v%08d.manifest")))
+    Option(logDir.toFile.list((_, n) => n.startsWith(".tmp_")))
+      .getOrElse(Array.empty[String])
+      .foreach(n => Files.deleteIfExists(logDir.resolve(n)))
+    dataDead
+  }
+
+  // ---- internals --------------------------------------------------------
+
+  private def requireSameSchema(s: StructType, base: Manifest): Unit = {
+    val cur = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    require(s.fields.map(f => (f.name, f.dataType)).toSeq ==
+        cur.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema mismatch: table has ${cur.simpleString}, got ${s.simpleString}")
+  }
+
+  private def statsColsOf(df: DataFrame, base: Manifest): Seq[String] = {
+    val numeric = df.schema.fields
+      .collect { case f if LakeTable.isIntegral(f.dataType) => f.name }.toSet
+    base.statsCols.filter(numeric)
+  }
+
+  /** Write `df` into the table directory under job-unique names and
+    * return one manifest entry per produced file, stats included.
+    * Runs BEFORE the manifest commit: a crash here leaves orphans the
+    * next vacuum collects, never a corrupt snapshot.
+    */
+  private def stageFiles(df: DataFrame,
+      base: Manifest = manifest(currentVersion)): Seq[FileEntry] =
+    LakeTable.stage(spark, path, df, base.statsCols)
+
+  private def retryCommit(attempt: Int => Int): Int = {
+    var tries = 0
+    while (true) {
+      try return attempt(currentVersion)
+      catch { case _: ConcurrentCommitException if tries < 5 => tries += 1 }
+    }
+    -1 // unreachable
+  }
+
+  private def commit(version: Int, operation: String,
+      files: Seq[FileEntry], base: Manifest): Int =
+    LakeTable.commit(logDir.toString, version,
+      base.copy(operation = operation, files = files))
+
+  private[lake] def commitForTest(version: Int, m: Manifest): Int =
+    LakeTable.commit(logDir.toString, version, m)
+}
+
+/** One committed version: the manifest line-set for a snapshot. */
+private[lake] case class Manifest(operation: String, schemaJson: String,
+    statsCols: Seq[String], files: Seq[FileEntry])
+
+/** One immutable data file with optional per-column long [min,max]. */
+private[lake] case class FileEntry(name: String, rows: Long,
+    stats: Map[String, (Long, Long)]) {
+  /** Can this file contain a value of `col` in [lo, hi]? Conservative:
+    * no stats for `col` → yes.
+    */
+  def overlaps(col: String, lo: Long, hi: Long): Boolean =
+    stats.get(col).forall { case (mn, mx) => mx >= lo && mn <= hi }
+}
+
+case class LakeCommit(version: Int, operation: String, numFiles: Int, totalRows: Long)
+
+/** A racing writer already published this version. */
+class ConcurrentCommitException(version: Int)
+  extends RuntimeException(s"version $version was committed concurrently")
+
+object LakeTable {
+  private val LogDir = "_graft_log"
+
+  private[lake] def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Create a new table at `path` from `df`, recording per-file
+    * [min,max] stats for `statsCols` (integral columns; the merge/read
+    * pruning keys). Fails if a table already exists there.
+    */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+      statsCols: Seq[String] = Seq.empty): LakeTable = {
+    statsCols.foreach { c =>
+      require(isIntegral(df.schema(c).dataType),
+        s"stats column $c must be integral, is ${df.schema(c).dataType}")
+    }
+    Files.createDirectories(Paths.get(path, LogDir))
+    val t = new LakeTable(spark, path)
+    val staged = stage(spark, path, df, statsCols)
+    commit(Paths.get(path, LogDir).toString, 1,
+      Manifest("create", df.schema.json, statsCols, staged))
+    t
+  }
+
+  /** Open an existing table. */
+  def forPath(spark: SparkSession, path: String): LakeTable = {
+    val t = new LakeTable(spark, path)
+    t.currentVersion // validates
+    t
+  }
+
+  /** Stage `df` as immutable parquet files in the table root: write to
+    * a scratch dir, move each part in under a job-unique name, then
+    * compute per-file rows + stats with ONE aggregation job keyed on
+    * `input_file_name()` (no footer reads, no per-file jobs).
+    */
+  private def stage(spark: SparkSession, path: String, df: DataFrame,
+      statsCols: Seq[String]): Seq[FileEntry] = {
+    val job = UUID.randomUUID().toString.replace("-", "").take(12)
+    val scratch = Paths.get(path, s"_staging_$job")
+    df.write.mode("overwrite").parquet(scratch.toString)
+    val parts = Option(scratch.toFile.list((_, n) =>
+        n.startsWith("part-") && n.endsWith(".parquet")))
+      .getOrElse(Array.empty[String]).sorted
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val target = f"part-$job-$i%05d.parquet"
+      Files.move(scratch.resolve(p), Paths.get(path, target),
+        StandardCopyOption.ATOMIC_MOVE)
+      target
+    }
+    deleteRecursively(scratch)
+    if (named.isEmpty) return Seq.empty
+    val aggs = count(lit(1)).as("_rows") +:
+      statsCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"_min_$c"),
+        max(col(c).cast("long")).as(s"_max_$c")))
+    val statRows = spark.read.parquet(named.map(n => s"$path/$n"): _*)
+      .groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byName = statRows.map { r =>
+      val stats = statsCols.flatMap { c =>
+        val mn = r.getAs[Any](s"_min_$c")
+        val mx = r.getAs[Any](s"_max_$c")
+        if (mn == null || mx == null) None
+        else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+      }.toMap
+      new File(r.getAs[String]("_file")).getName ->
+        ((r.getAs[Long]("_rows"), stats))
+    }.toMap
+    named.toSeq.map { n =>
+      val (rows, stats) = byName.getOrElse(n, (0L, Map.empty[String, (Long, Long)]))
+      FileEntry(n, rows, stats)
+    }
+  }
+
+  /** Publish a manifest: fully staged under a temp name, then linked
+    * into place — `Files.createLink` is the atomic create-exclusive
+    * primitive (POSIX link(2) fails with EEXIST), so exactly one of N
+    * racing writers wins a version and the rest see
+    * [[ConcurrentCommitException]] with the log untouched.
+    */
+  private def commit(logDir: String, version: Int, m: Manifest): Int = {
+    val tmp = Paths.get(logDir, s".tmp_${UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, Manifest.render(m))
+    val target = Paths.get(logDir, f"v$version%08d.manifest")
+    try Files.createLink(target, tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(version)
+      case NonFatal(e) => Files.deleteIfExists(tmp); throw e
+    }
+    Files.deleteIfExists(tmp)
+    version
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally walk.close()
+    }
+}
+
+private[lake] object Manifest {
+  implicit private val fmt: Formats = DefaultFormats
+
+  /** First line: table metadata; one JSON line per file after it. */
+  def render(m: Manifest): String = {
+    val head = JsonMethods.compact(JsonMethods.render(JObject(
+      "operation" -> JString(m.operation),
+      "schema" -> JString(m.schemaJson),
+      "statsCols" -> JArray(m.statsCols.map(JString(_)).toList))))
+    val lines = m.files.map { f =>
+      JsonMethods.compact(JsonMethods.render(JObject(
+        "file" -> JString(f.name),
+        "rows" -> JLong(f.rows),
+        "stats" -> JObject(f.stats.toList.sortBy(_._1).map { case (c, (mn, mx)) =>
+          c -> JArray(List(JLong(mn), JLong(mx)))
+        }))))
+    }
+    (head +: lines).mkString("", "\n", "\n")
+  }
+
+  def parse(text: String): Manifest = {
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val head = JsonMethods.parse(lines.head)
+    val files = lines.tail.toSeq.map { l =>
+      val j = JsonMethods.parse(l)
+      val stats = (j \ "stats") match {
+        case JObject(fields) => fields.collect {
+          case (c, JArray(List(mn, mx))) =>
+            c -> (mn.extract[Long], mx.extract[Long])
+        }.toMap
+        case _ => Map.empty[String, (Long, Long)]
+      }
+      FileEntry((j \ "file").extract[String], (j \ "rows").extract[Long], stats)
+    }
+    Manifest((head \ "operation").extract[String],
+      (head \ "schema").extract[String],
+      (head \ "statsCols").extract[List[String]], files)
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import java.io.File
+
+import graft.{Q, Tables}
+import graft.lake.LakeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.14 — declared queries over [[graft.lake.LakeTable]], the ACID
+  * parquet table format (versioned manifests, atomic exclusive commit,
+  * copy-on-write merge/delete with manifest-stats file pruning, time
+  * travel). Each query BUILDS a table under the session temp root from
+  * the orders parquet and declares the post-operation state, with the
+  * physical guarantees (untouched files carried by reference, files
+  * skipped by stats) surfaced as in-band booleans the oracle pins true.
+  *
+  * The oracle side replays the logical semantics in plain SQL over the
+  * base `orders` table — a lake MERGE is `updates ∪ (base ⟕anti
+  * updates)`, a version is a WHERE-reconstructable snapshot — so the
+  * formats agree exactly or the hash fails.
+  */
+object LakeQueries {
+
+  private def tablePath(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt/$name"
+
+  private def wipe(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally walk.close()
+    }
+  }
+
+  /** (k, status, price) view of orders — the lake tables' content. */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"))
+
+  /** Distinct physical file names a frame reads — manifest-sized
+    * control-plane probe for the carried-by-reference assertions.
+    */
+  private def filesOf(df: DataFrame): Set[String] =
+    df.select(input_file_name().as("f")).distinct()
+      .collect().map(r => new File(r.getString(0)).getName).toSet
+
+  /** Two range-disjoint files (create lo, append hi) so merge/prune
+    * have a provably untouchable file; returns (table, half split key).
+    */
+  private def twoFileTable(s: SparkSession, dir: String, name: String): (LakeTable, Long) = {
+    val path = tablePath(name)
+    wipe(path)
+    val b = base(s, dir)
+    val half = b.agg(max(col("k"))).head().getLong(0) / 2
+    val t = LakeTable.create(s, path, b.filter(col("k") <= half).coalesce(1), Seq("k"))
+    t.append(b.filter(col("k") > half).coalesce(1))
+    (t, half)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // MERGE INTO on the lake table: updates (keys % 10 = 0 in the low
+    // file's range) replace same-keyed rows in place, copy-on-write.
+    // The hi-range file's [min,max] key stats exclude every update key,
+    // so the merge carries it BY REFERENCE — asserted in-band by
+    // comparing physical file sets before/after. At 100 TB this is the
+    // difference between rewriting a handful of files and the table.
+    "lake_merge" -> ((s, dir) => {
+      val (t, half) = twoFileTable(s, dir, "lake_merge")
+      val hiFiles = filesOf(t.read().filter(col("k") > half))
+      val updates = base(s, dir)
+        .filter(col("k") % 10 === 0 && col("k") <= half)
+        .select(col("k"), lit("U").as("status"),
+          (col("price") + 100.0).as("price"))
+      t.merge(updates, "k")
+      val hiUntouched = hiFiles.subsetOf(filesOf(t.read()))
+      t.read().agg(
+          count(lit(1)).as("n_rows"),
+          count_if(col("status") === "U").as("n_updated"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("n_updated"), col("total_price"),
+          lit(hiUntouched).as("hi_files_untouched"))
+    }),
+
+    // time travel: v1 = full table, v2 = DELETE k%13=0 (copy-on-write),
+    // v3 = MERGE price+50 on surviving k%7=0. Every retained version
+    // stays exactly readable — the declared result is the per-version
+    // (rows, total) ledger, each reconstructed independently by the
+    // oracle from the base table.
+    "lake_time_travel" -> ((s, dir) => {
+      val path = tablePath("lake_tt")
+      wipe(path)
+      val b = base(s, dir)
+      val t = LakeTable.create(s, path, b, Seq("k"))
+      t.deleteWhere(col("k") % 13 === 0)
+      t.merge(
+        b.filter(col("k") % 7 === 0 && col("k") % 13 =!= 0)
+          .select(col("k"), col("status"), (col("price") + 50.0).as("price")),
+        "k")
+      def snap(v: Int): DataFrame = t.readVersion(v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(lit(v).as("version"), col("n_rows"), col("total_price"))
+      snap(1).unionByName(snap(2)).unionByName(snap(3)).orderBy(col("version"))
+    }),
+
+    // manifest-stats file skipping: a key-range read consults the
+    // per-file [min,max] recorded at write time and opens ONLY the
+    // overlapping file — no footer reads, no full scan. files_skipped
+    // proves fewer files were opened than the snapshot holds.
+    "lake_prune_read" -> ((s, dir) => {
+      val (t, half) = twoFileTable(s, dir, "lake_prune")
+      val nTotal = t.read().select(input_file_name()).distinct().count()
+      val pruned = t.prunedRead("k", half + 1, Long.MaxValue)
+      val nPruned = pruned.select(input_file_name()).distinct().count()
+      pruned.filter(col("k") > half)
+        .agg(count(lit(1)).as("n_hi"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_hi"))
+        .select(col("n_hi"), col("total_hi"),
+          lit(nPruned < nTotal).as("files_skipped"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "lake_merge" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |updates AS (
+        |  SELECT k, 'U' AS status, price + 100.0 AS price FROM base
+        |  WHERE k % 10 = 0 AND k <= (SELECT max(k) // 2 FROM base)),
+        |merged AS (
+        |  SELECT * FROM updates
+        |  UNION ALL
+        |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM updates))
+        |SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE status = 'U') AS n_updated,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS hi_files_untouched
+        |FROM merged""".stripMargin,
+
+    "lake_time_travel" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders)
+        |SELECT 1 AS version, count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM base
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM base WHERE k % 13 <> 0
+        |UNION ALL
+        |SELECT 3, count(*),
+        |  CAST(sum(CAST(CASE WHEN k % 7 = 0 THEN price + 50.0 ELSE price END
+        |    AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM base WHERE k % 13 <> 0
+        |ORDER BY version""".stripMargin,
+
+    "lake_prune_read" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders)
+        |SELECT count(*) AS n_hi,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_hi,
+        |  true AS files_skipped
+        |FROM base WHERE k > (SELECT max(k) // 2 FROM base)""".stripMargin
+  )
+}
