@@ -192,6 +192,28 @@ class LakeTable private (spark: SparkSession, val path: String) {
     commit(v + 1, "delete", untouched ++ staged, base)
   }
 
+  /** OPTIMIZE: bin-pack the small files (rows < `smallFileRows`) into
+    * ~`targetRows`-row files. Content-identical by construction — only
+    * the file layout changes; files already at size carry over by
+    * reference. No-op (returns the current version) when fewer than two
+    * small files exist. The streaming-merge pattern makes this matter:
+    * a per-microbatch MERGE leaves one small file per batch, and
+    * compaction is what keeps the file count O(data), not O(batches).
+    */
+  def compact(smallFileRows: Long, targetRows: Long): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    val (small, big) = base.files.partition(_.rows < smallFileRows)
+    if (small.size < 2) return v
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val data = spark.read.schema(schema)
+      .parquet(small.map(f => s"$path/${f.name}"): _*)
+    val totalRows = small.map(_.rows).sum
+    val nOut = math.max(1, math.ceil(totalRows.toDouble / targetRows).toInt)
+    val staged = stageFiles(data.repartition(nOut), base)
+    commit(v + 1, "compact", big ++ staged, base)
+  }
+
   /** Drop manifests older than the last `retainVersions` and every
     * data file no retained manifest references (including orphans from
     * crashed/lost-race writers). Returns the deleted file names.

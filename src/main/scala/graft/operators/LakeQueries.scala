@@ -108,6 +108,45 @@ object LakeQueries {
       snap(1).unionByName(snap(2)).unionByName(snap(3)).orderBy(col("version"))
     }),
 
+    // streaming CDC upsert: per-user running aggregates in UPDATE mode,
+    // each microbatch MERGEd by key into the lake table in foreachBatch
+    // (≥2 real microbatches via the 2-file split staging + one-file
+    // triggers). Update mode emits only changed groups with their full
+    // running totals, so key-merge converges to the complete aggregate
+    // regardless of batching; each batch is one atomic version
+    // (multi_batch_ok pins ≥2 merge commits in-band).
+    "lake_stream_merge" -> ((s, dir) => {
+      val path = tablePath("lake_stream_merge")
+      val (finalState, versions) = graft.streaming.StreamingJobs.foreachBatchLakeMerge(
+        s, graft.streaming.StreamingDeclared.stagedEventsSplitDir(s, dir), path)
+      finalState
+        .select(col("user_id"), col("n"), col("sum_value"),
+          lit(versions >= 3).as("multi_batch_ok"))
+        .orderBy(col("user_id"))
+    }),
+
+    // OPTIMIZE/compaction: four single-file commits (create + three
+    // appends, disjoint k mod 4 slices) leave four small files — the
+    // exact debris a per-microbatch MERGE accumulates — and compact()
+    // bin-packs them into ONE, content-identical, as a normal atomic
+    // version. File counts are layout-deterministic, so the oracle pins
+    // them exactly alongside the data aggregate.
+    "lake_compact" -> ((s, dir) => {
+      val path = tablePath("lake_compact")
+      wipe(path)
+      val b = base(s, dir)
+      val t = LakeTable.create(s, path, b.filter(col("k") % 4 === 0).coalesce(1), Seq("k"))
+      (1 to 3).foreach(r => t.append(b.filter(col("k") % 4 === r).coalesce(1)))
+      val nBefore = filesOf(t.read()).size
+      t.compact(smallFileRows = Long.MaxValue, targetRows = Long.MaxValue)
+      val nAfter = filesOf(t.read()).size
+      t.read().agg(
+          count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          lit(nBefore).as("n_files_before"), lit(nAfter).as("n_files_after"))
+    }),
+
     // manifest-stats file skipping: a key-range read consults the
     // per-file [min,max] recorded at write time and opens ONLY the
     // overlapping file — no footer reads, no full scan. files_skipped
@@ -161,6 +200,17 @@ object LakeQueries {
         |    AS DECIMAL(18,2))) AS DOUBLE)
         |FROM base WHERE k % 13 <> 0
         |ORDER BY version""".stripMargin,
+
+    "lake_stream_merge" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value,
+        |  true AS multi_batch_ok
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "lake_compact" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  4 AS n_files_before, 1 AS n_files_after
+        |FROM orders""".stripMargin,
 
     "lake_prune_read" ->
       """WITH base AS (

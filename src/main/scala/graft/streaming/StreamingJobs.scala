@@ -728,6 +728,53 @@ object StreamingJobs {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming CDC upsert into the ACID lake table: per-user running
+    * aggregates in UPDATE mode, each microbatch MERGEd by key into a
+    * [[graft.lake.LakeTable]] inside foreachBatch — the production
+    * streaming-MERGE pattern. Update mode emits only the groups a batch
+    * changed, each carrying its full running total, so merging by key
+    * converges to the complete aggregate no matter how the input is
+    * batched — and a REPLAYED batch re-merges the same keys with the
+    * same values, which is what makes the pattern idempotent
+    * end-to-end. Every microbatch lands as one atomic table version
+    * (readers see batch boundaries, never a torn batch). Input is
+    * throttled to one file per trigger over the 2-file split staging,
+    * so the AvailableNow run really exercises ≥2 merge commits.
+    * Returns (final table read-back, committed version count).
+    */
+  def foreachBatchLakeMerge(spark: SparkSession, splitDir: String,
+      tablePath: String): (DataFrame, Int) = {
+    val p = java.nio.file.Paths.get(tablePath)
+    deleteRecursively(p)
+    // v1 = the empty table, schema taken from the aggregate itself so
+    // create/merge schemas agree by construction
+    val batchShape = graft.Tables.normalizeEventsTs(spark.read.parquet(splitDir))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .limit(0)
+    val t = graft.lake.LakeTable.create(spark, tablePath, batchShape, Seq("user_id"))
+    val src = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(eventsRawSchema(spark, splitDir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(splitDir))
+    val agg = src.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // foreachBatch runs on the driver; each non-empty batch is one
+          // atomic MERGE commit (empty batches would violate merge's
+          // non-empty contract and have nothing to say anyway)
+          if (!batch.isEmpty) { t.merge(batch, "user_id"); () }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    (t.read(), t.currentVersion)
+  }
+
   /** Unbounded-source demo on the deterministic `rate-micro-batch`
     * source: batch 0 is exactly `rowsPerBatch` rows with values
     * 0..rowsPerBatch-1 at a fixed start timestamp, so a Trigger.Once run

@@ -176,6 +176,26 @@ class LakeSpec extends AnyFunSuite {
     assert(contents(t) == before)
   }
 
+  test("compact bin-packs small files content-identically, big files carry over") {
+    val path = freshDir("compact")
+    val t = LakeTable.create(spark, path, df(1 to 1000, "big").coalesce(1), Seq("k"))
+    (1 to 3).foreach(r => t.append(df((2000 + 10 * r) to (2005 + 10 * r), "s").coalesce(1)))
+    val before = contents(t)
+    val bigFile = t.read().filter(col("k") <= 1000)
+      .select(input_file_name()).distinct().as[String].collect()
+      .map(p => new File(p).getName).toSet
+    // files under 100 rows are small: the three 6-row appends compact to one
+    val v = t.compact(smallFileRows = 100, targetRows = 1000)
+    assert(v == 5)
+    assert(contents(t) == before, "compaction must not change content")
+    val after = t.read().select(input_file_name()).distinct()
+      .as[String].collect().map(p => new File(p).getName).toSet
+    assert(bigFile.subsetOf(after), "big file must carry over unrewritten")
+    assert(after.size == bigFile.size + 1, s"3 small files should become 1: $after")
+    // second compact is a no-op (only one small file left)
+    assert(t.compact(smallFileRows = 100, targetRows = 1000) == 5)
+  }
+
   test("schema drift on append/merge is rejected; overwrite may change schema") {
     val path = freshDir("schema")
     val t = LakeTable.create(spark, path, df(1 to 5, "a"))
