@@ -105,6 +105,12 @@ class LakeTable private (spark: SparkSession, val path: String) {
       .parquet(keep.map(f => s"$path/${f.name}"): _*)
   }
 
+  /** The physical file names a version's manifest lists — control
+    * plane (no Spark job); the ground truth for carried-by-reference
+    * assertions (same name in two manifests = the same immutable file).
+    */
+  def fileNames(version: Int): Seq[String] = manifest(version).files.map(_.name)
+
   /** The commit log, oldest first (only retained versions). */
   def history(): Seq[LakeCommit] =
     listVersions.sorted.map { v =>

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.io.File
-
 import graft.{Q, Tables}
 import graft.lake.LakeTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -42,13 +40,6 @@ object LakeQueries {
       col("o_orderstatus").as("status"),
       col("o_totalprice").as("price"))
 
-  /** Distinct physical file names a frame reads — manifest-sized
-    * control-plane probe for the carried-by-reference assertions.
-    */
-  private def filesOf(df: DataFrame): Set[String] =
-    df.select(input_file_name().as("f")).distinct()
-      .collect().map(r => new File(r.getString(0)).getName).toSet
-
   /** Two range-disjoint files (create lo, append hi) so merge/prune
     * have a provably untouchable file; returns (table, half split key).
     */
@@ -71,13 +62,15 @@ object LakeQueries {
     // difference between rewriting a handful of files and the table.
     "lake_merge" -> ((s, dir) => {
       val (t, half) = twoFileTable(s, dir, "lake_merge")
-      val hiFiles = filesOf(t.read().filter(col("k") > half))
+      // the hi-range file = what v2's append added; all manifest-level
+      // control plane, no probe scans
+      val hiFiles = t.fileNames(2).toSet -- t.fileNames(1).toSet
       val updates = base(s, dir)
         .filter(col("k") % 10 === 0 && col("k") <= half)
         .select(col("k"), lit("U").as("status"),
           (col("price") + 100.0).as("price"))
       t.merge(updates, "k")
-      val hiUntouched = hiFiles.subsetOf(filesOf(t.read()))
+      val hiUntouched = hiFiles.subsetOf(t.fileNames(3).toSet)
       t.read().agg(
           count(lit(1)).as("n_rows"),
           count_if(col("status") === "U").as("n_updated"),
@@ -137,9 +130,9 @@ object LakeQueries {
       val b = base(s, dir)
       val t = LakeTable.create(s, path, b.filter(col("k") % 4 === 0).coalesce(1), Seq("k"))
       (1 to 3).foreach(r => t.append(b.filter(col("k") % 4 === r).coalesce(1)))
-      val nBefore = filesOf(t.read()).size
+      val nBefore = t.fileNames(4).size
       t.compact(smallFileRows = Long.MaxValue, targetRows = Long.MaxValue)
-      val nAfter = filesOf(t.read()).size
+      val nAfter = t.fileNames(5).size
       t.read().agg(
           count(lit(1)).as("n_rows"),
           sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
