@@ -105,6 +105,55 @@ class LakeTable private (spark: SparkSession, val path: String) {
       .parquet(keep.map(f => s"$path/${f.name}"): _*)
   }
 
+  /** Incremental (streaming-style) consumption: the rows in files that
+    * `sinceVersion`'s manifest did NOT list, read with the CURRENT
+    * schema (pre-evolution files null-fill evolved columns). This is a
+    * pure control-plane manifest diff — no listing, no data scan beyond
+    * the new files — i.e. how a streaming source tails the commit log.
+    * Exactly the appended rows when the history since `sinceVersion` is
+    * append-only; a copy-on-write rewrite (merge/delete/compact) also
+    * surfaces its rewritten survivors, so CDC consumers should use
+    * [[changesBetween]] instead.
+    */
+  def readAppendsSince(sinceVersion: Int): DataFrame = {
+    val cur = manifest(currentVersion)
+    val old = manifest(sinceVersion).files.map(_.name).toSet
+    val added = cur.files.filterNot(f => old(f.name))
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema)
+      .parquet(added.map(f => s"$path/${f.name}"): _*)
+  }
+
+  /** Row-level change feed between two retained versions: rows only in
+    * `to` tagged `insert`, rows only in `from` tagged `delete` (an
+    * update = its delete + its insert; multiset semantics via
+    * EXCEPT ALL). Copy-on-write makes this cheap at scale: files both
+    * manifests share are immutable and identical, so ONLY the
+    * non-shared files on each side are scanned — a point-merge on a
+    * 100 TB table diffs the handful of rewritten files, not the table.
+    * Requires an unchanged schema between the versions.
+    */
+  def changesBetween(from: Int, to: Int): DataFrame = {
+    val mFrom = manifest(from)
+    val mTo = manifest(to)
+    require(mFrom.schemaJson == mTo.schemaJson,
+      s"schema changed between v$from and v$to; diff them with explicit casts")
+    val schema = DataType.fromJson(mTo.schemaJson).asInstanceOf[StructType]
+    val fromNames = mFrom.files.map(_.name).toSet
+    val toNames = mTo.files.map(_.name).toSet
+    def side(files: Seq[FileEntry]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(files.map(f => s"$path/${f.name}"): _*)
+    val onlyFrom = side(mFrom.files.filterNot(f => toNames(f.name)))
+    val onlyTo = side(mTo.files.filterNot(f => fromNames(f.name)))
+    onlyTo.exceptAll(onlyFrom).withColumn("_change_type", lit("insert"))
+      .unionByName(onlyFrom.exceptAll(onlyTo).withColumn("_change_type", lit("delete")))
+  }
+
   /** The physical file names a version's manifest lists — control
     * plane (no Spark job); the ground truth for carried-by-reference
     * assertions (same name in two manifests = the same immutable file).
@@ -130,6 +179,39 @@ class LakeTable private (spark: SparkSession, val path: String) {
       val base = manifest(v)
       requireSameSchema(df.schema, base)
       commit(v + 1, "append", base.files ++ staged, base)
+    }
+  }
+
+  /** Schema-evolving append (mergeSchema semantics): `df` may ADD
+    * columns (readers of the new snapshot see NULL for them in
+    * pre-evolution files) and may OMIT existing ones (staged as NULL).
+    * Overlapping columns must keep their exact type — widening would
+    * silently rewrite history. Each manifest carries its own schema, so
+    * time travel to a pre-evolution version still reads the old shape.
+    */
+  def appendEvolve(df: DataFrame): Int = {
+    val base0 = manifest(currentVersion)
+    val cur = DataType.fromJson(base0.schemaJson).asInstanceOf[StructType]
+    val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
+    df.schema.fields.foreach { f =>
+      curTypes.get(f.name).foreach { t =>
+        require(t == f.dataType,
+          s"column ${f.name}: table has $t, got ${f.dataType} (no type evolution)")
+      }
+    }
+    val newFields = df.schema.fields.filterNot(f => curTypes.contains(f.name))
+    val unified = StructType((cur.fields ++ newFields).map(_.copy(nullable = true)))
+    val aligned = df.select(unified.fieldNames.toSeq.map { n =>
+      if (df.columns.contains(n)) col(n)
+      else lit(null).cast(unified(n).dataType).as(n)
+    }: _*)
+    val staged = LakeTable.stage(spark, path, aligned, base0.statsCols)
+    retryCommit { v =>
+      val base = manifest(v)
+      require(base.schemaJson == base0.schemaJson,
+        "schema changed concurrently; re-run appendEvolve against the new snapshot")
+      commit(v + 1, "append-evolve", base.files ++ staged,
+        base.copy(schemaJson = unified.json))
     }
   }
 
@@ -206,7 +288,18 @@ class LakeTable private (spark: SparkSession, val path: String) {
     * a per-microbatch MERGE leaves one small file per batch, and
     * compaction is what keeps the file count O(data), not O(batches).
     */
-  def compact(smallFileRows: Long, targetRows: Long): Int = {
+  def compact(smallFileRows: Long, targetRows: Long): Int =
+    compact(smallFileRows, targetRows, Seq.empty)
+
+  /** OPTIMIZE ... ZORDER-shaped variant: when `clusterBy` is non-empty
+    * the rewritten rows are RANGE-partitioned on those columns, so each
+    * produced file covers a narrow, near-disjoint key range — which is
+    * what makes the manifest [min,max] stats actually prune. A
+    * hash-layout table answers every point read by opening every file;
+    * after a clustered compact the same [[prunedRead]] opens ~1. Same
+    * atomic-version, content-identical contract as the plain compact.
+    */
+  def compact(smallFileRows: Long, targetRows: Long, clusterBy: Seq[String]): Int = {
     val v = currentVersion
     val base = manifest(v)
     val (small, big) = base.files.partition(_.rows < smallFileRows)
@@ -216,8 +309,12 @@ class LakeTable private (spark: SparkSession, val path: String) {
       .parquet(small.map(f => s"$path/${f.name}"): _*)
     val totalRows = small.map(_.rows).sum
     val nOut = math.max(1, math.ceil(totalRows.toDouble / targetRows).toInt)
-    val staged = stageFiles(data.repartition(nOut), base)
-    commit(v + 1, "compact", big ++ staged, base)
+    val laidOut =
+      if (clusterBy.isEmpty) data.repartition(nOut)
+      else data.repartitionByRange(nOut, clusterBy.map(col): _*)
+    val staged = stageFiles(laidOut, base)
+    commit(v + 1, if (clusterBy.isEmpty) "compact" else "compact-clustered",
+      big ++ staged, base)
   }
 
   /** Drop manifests older than the last `retainVersions` and every

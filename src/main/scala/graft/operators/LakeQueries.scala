@@ -140,6 +140,106 @@ object LakeQueries {
           lit(nBefore).as("n_files_before"), lit(nAfter).as("n_files_after"))
     }),
 
+    // schema evolution (mergeSchema semantics): the table starts as
+    // (k, status, price); the high-half batch arrives with a NEW
+    // `prio` column and is appended via appendEvolve. Readers of the
+    // new snapshot see NULL prio in pre-evolution files; time travel
+    // to v1 still reads the original 3-column shape (each manifest
+    // carries its own schema) — pinned in-band.
+    "lake_schema_evolution" -> ((s, dir) => {
+      val path = tablePath("lake_evolve")
+      wipe(path)
+      val o = Tables.orders(s, dir)
+      val b = base(s, dir)
+      val half = b.agg(max(col("k"))).head().getLong(0) / 2
+      val t = LakeTable.create(s, path, b.filter(col("k") <= half).coalesce(1), Seq("k"))
+      val hi = o.filter(col("o_orderkey") > half).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"),
+        col("o_orderpriority").as("prio"))
+      t.appendEvolve(hi.coalesce(1))
+      val v1SchemaPreserved = t.readVersion(1).schema.fieldNames.toSeq ==
+        Seq("k", "status", "price")
+      t.read().agg(
+          count(lit(1)).as("n_rows"),
+          count_if(col("prio").isNull).as("n_null_prio"),
+          count_if(col("prio").isNotNull).as("n_prio"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("n_null_prio"), col("n_prio"),
+          col("total_price"), lit(v1SchemaPreserved).as("v1_schema_preserved"))
+    }),
+
+    // incremental (streaming-style) consumption: readAppendsSince(v)
+    // returns exactly the rows of files committed after v — a pure
+    // manifest diff (control plane), no directory listing and no scan
+    // of the base data. The two appended mod-3 slices come back, the
+    // create-time slice does not; two_files_added pins that the diff
+    // found precisely the two appended files.
+    "lake_incremental_read" -> ((s, dir) => {
+      val path = tablePath("lake_incr")
+      wipe(path)
+      val b = base(s, dir)
+      val t = LakeTable.create(s, path, b.filter(col("k") % 3 === 0).coalesce(1), Seq("k"))
+      (1 to 2).foreach(r => t.append(b.filter(col("k") % 3 === r).coalesce(1)))
+      val nAdded = (t.fileNames(3).toSet -- t.fileNames(1).toSet).size
+      t.readAppendsSince(1)
+        .groupBy((col("k") % 3).as("slice"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("slice"), col("n"), col("total_price"),
+          lit(nAdded == 2).as("two_files_added"))
+        .orderBy(col("slice"))
+    }),
+
+    // row-level change data feed: changesBetween(v2, v3) across a MERGE
+    // emits each updated key twice — its old row tagged 'delete', its
+    // new row tagged 'insert' — and nothing for untouched rows. Copy-
+    // on-write makes the diff scan ONLY the rewritten files (shared
+    // immutable files cancel by construction; asserted in LakeSpec), so
+    // a point-merge CDF on a 100 TB table reads a handful of files.
+    "lake_changes" -> ((s, dir) => {
+      val (t, half) = twoFileTable(s, dir, "lake_changes")
+      val updates = base(s, dir)
+        .filter(col("k") % 10 === 0 && col("k") <= half)
+        .select(col("k"), lit("U").as("status"),
+          (col("price") + 100.0).as("price"))
+      t.merge(updates, "k")
+      t.changesBetween(2, 3)
+        .select(col("k"), col("status"), col("price"),
+          col("_change_type").as("change"))
+        .orderBy(col("k"), col("change"))
+    }),
+
+    // clustered compaction (OPTIMIZE ... ZORDER shape): a hash-layout
+    // table has every file spanning the full key range, so manifest
+    // stats prune NOTHING — a point read opens all 4 files. One
+    // clustered compact (range-repartition on k) later, the same
+    // prunedRead opens fewer files than the snapshot holds. This is
+    // the layout move that turns stats into actual I/O savings.
+    "lake_cluster_prune" -> ((s, dir) => {
+      val path = tablePath("lake_cluster")
+      wipe(path)
+      val b = base(s, dir)
+      val mx = b.agg(max(col("k"))).head().getLong(0)
+      val lo = mx / 2
+      val hi = mx / 2 + mx / 10
+      val t = LakeTable.create(s, path, b.repartition(4), Seq("k"))
+      val openedBefore = t.prunedRead("k", lo, hi)
+        .select(input_file_name()).distinct().count()
+      val total = t.history().head.totalRows
+      t.compact(smallFileRows = Long.MaxValue,
+        targetRows = total / 4 + 1, clusterBy = Seq("k"))
+      val openedAfter = t.prunedRead("k", lo, hi)
+        .select(input_file_name()).distinct().count()
+      t.prunedRead("k", lo, hi).filter(col("k").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          lit(openedBefore == 4).as("hash_layout_opens_all"),
+          lit(openedAfter < openedBefore).as("clustered_prunes"))
+    }),
+
     // manifest-stats file skipping: a key-range read consults the
     // per-file [min,max] recorded at write time and opens ONLY the
     // overlapping file — no footer reads, no full scan. files_skipped
@@ -204,6 +304,56 @@ object LakeQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  4 AS n_files_before, 1 AS n_files_after
         |FROM orders""".stripMargin,
+
+    "lake_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders),
+        |h AS (SELECT max(k) // 2 AS half FROM base)
+        |SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE k <= (SELECT half FROM h)) AS n_null_prio,
+        |  count(*) FILTER (WHERE k > (SELECT half FROM h)) AS n_prio,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS v1_schema_preserved
+        |FROM base""".stripMargin,
+
+    "lake_incremental_read" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders)
+        |SELECT k % 3 AS slice, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS two_files_added
+        |FROM base WHERE k % 3 <> 0
+        |GROUP BY 1 ORDER BY slice""".stripMargin,
+
+    "lake_changes" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |h AS (SELECT max(k) // 2 AS half FROM base),
+        |upd AS (
+        |  SELECT k, status, price FROM base
+        |  WHERE k % 10 = 0 AND k <= (SELECT half FROM h))
+        |SELECT k, 'U' AS status, price + 100.0 AS price, 'insert' AS change
+        |FROM upd
+        |UNION ALL
+        |SELECT k, status, price, 'delete' AS change FROM upd
+        |ORDER BY k, change""".stripMargin,
+
+    "lake_cluster_prune" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders),
+        |h AS (SELECT max(k) AS mx FROM base)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS hash_layout_opens_all,
+        |  true AS clustered_prunes
+        |FROM base
+        |WHERE k BETWEEN (SELECT mx // 2 FROM h)
+        |  AND (SELECT mx // 2 + mx // 10 FROM h)""".stripMargin,
 
     "lake_prune_read" ->
       """WITH base AS (

@@ -196,6 +196,87 @@ class LakeSpec extends AnyFunSuite {
     assert(t.compact(smallFileRows = 100, targetRows = 1000) == 5)
   }
 
+  test("appendEvolve adds columns with null backfill; old versions keep their schema") {
+    val path = freshDir("evolve")
+    val t = LakeTable.create(spark, path, df(1 to 10, "a"), Seq("k"))
+    // new batch arrives with an extra column
+    val withExtra = df(11 to 20, "b").withColumn("score", col("k") * lit(2.0))
+    assert(t.appendEvolve(withExtra) == 2)
+    assert(t.read().schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    val scores = t.read().select(col("k"), col("score"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert((1 to 10).forall(k => scores(k.toLong).isEmpty), "old files null-backfill")
+    assert((11 to 20).forall(k => scores(k.toLong).contains(k * 2.0)))
+    // time travel: v1 still reads the ORIGINAL 2-column shape
+    assert(t.readVersion(1).schema.fieldNames.toSeq == Seq("k", "v"))
+    // a batch may also OMIT an existing column (staged as NULL)
+    val missingV = (21 to 25).toDF("k").select(col("k").cast("long").as("k"),
+      (col("k") * lit(3.0)).as("score"))
+    assert(t.appendEvolve(missingV) == 3)
+    val vs = t.read().select(col("k"), col("v")).as[(Long, Option[String])].collect().toMap
+    assert((21 to 25).forall(k => vs(k.toLong).isEmpty))
+    assert(vs(5L).contains("a:5"))
+    // type evolution is rejected
+    val wrongType = (30 to 31).toDF("k").select(col("k").cast("int").as("k"))
+    intercept[IllegalArgumentException] { t.appendEvolve(wrongType) }
+  }
+
+  test("readAppendsSince returns exactly the rows of files added after a version") {
+    val path = freshDir("incr")
+    val t = LakeTable.create(spark, path, df(1 to 10, "a").coalesce(1), Seq("k"))
+    t.append(df(11 to 20, "b").coalesce(1))
+    t.append(df(21 to 30, "c").coalesce(1))
+    val tail = t.readAppendsSince(1).as[(Long, String)].collect().toMap
+    assert(tail.keySet == (11 to 30).map(_.toLong).toSet)
+    assert(tail(15L) == "b:15" && tail(25L) == "c:25")
+    // since the current version: empty, with the table's schema
+    val empty = t.readAppendsSince(3)
+    assert(empty.count() == 0 && empty.schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("changesBetween tags merge deltas and scans only non-shared files") {
+    val path = freshDir("cdf")
+    val t = LakeTable.create(spark, path, df(1 to 100, "lo").coalesce(1), Seq("k"))
+    t.append(df(1001 to 1100, "hi").coalesce(1))
+    t.merge(df(Seq(5, 50, 200), "upd"), "k") // 2 updates + 1 insert, lo range only
+    val changes = t.changesBetween(2, 3)
+      .as[(Long, String, String)].collect().toSet
+    assert(changes == Set(
+      (5L, "upd:5", "insert"), (50L, "upd:50", "insert"), (200L, "upd:200", "insert"),
+      (5L, "lo:5", "delete"), (50L, "lo:50", "delete")),
+      s"unexpected change set: $changes")
+    // physical guarantee: the shared (hi) file is excluded from the
+    // diff's plan inputs — only the rewritten lo-generation files feed it
+    val hiFile = t.read().filter(col("k") >= 1000)
+      .select(input_file_name()).distinct().as[String].collect()
+      .map(p => new File(p).getName).toSet
+    assert(hiFile.nonEmpty)
+    val diffInputs = t.changesBetween(2, 3).inputFiles
+      .map(p => new File(p).getName).toSet
+    assert((diffInputs & hiFile).isEmpty,
+      s"shared file must not feed the diff: $diffInputs")
+    // identical versions diff to nothing
+    assert(t.changesBetween(3, 3).count() == 0)
+    // schema change between versions is an explicit error
+    val t2 = LakeTable.create(spark, freshDir("cdf2") + "/t", df(1 to 3, "x"))
+    t2.overwrite((1 to 3).toDF("k").select(col("k").cast("long").as("k")))
+    intercept[IllegalArgumentException] { t2.changesBetween(1, 2) }
+  }
+
+  test("clustered compact range-partitions files so stats pruning bites") {
+    val path = freshDir("cluster")
+    // hash layout: every file spans the whole key range → nothing prunes
+    val t = LakeTable.create(spark, path, df(1 to 1000, "a").repartition(4), Seq("k"))
+    val before = t.prunedRead("k", 100, 150).select(input_file_name()).distinct().count()
+    assert(before == 4, "hash layout should defeat stats pruning")
+    val content = contents(t)
+    assert(t.compact(Long.MaxValue, 251, Seq("k")) == 2)
+    assert(contents(t) == content, "clustered compact must not change content")
+    val after = t.prunedRead("k", 100, 150).select(input_file_name()).distinct().count()
+    assert(after < before, s"clustered layout should prune ($after vs $before)")
+    assert(t.history().last.operation == "compact-clustered")
+  }
+
   test("schema drift on append/merge is rejected; overwrite may change schema") {
     val path = freshDir("schema")
     val t = LakeTable.create(spark, path, df(1 to 5, "a"))
