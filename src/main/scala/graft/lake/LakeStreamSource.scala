@@ -1,0 +1,147 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Structured Streaming SOURCE over a [[LakeTable]] — the read half of
+  * the lakehouse streaming story (`lake_stream_merge` is the write
+  * half). Offsets ARE manifest versions: offset v means "every file
+  * listed in manifest v has been emitted", so a microbatch is the
+  * manifest diff (v_start, v_end] — exactly [[LakeTable.readAppendsSince]]
+  * between two pinned versions. Because data files are immutable and
+  * manifests are atomic, replaying a batch from the checkpoint re-reads
+  * the identical files: end-to-end exactly-once with any idempotent or
+  * transactional sink, no directory listing ever.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.lake.LakeStreamSource")
+  *     .option("startingVersion", "0")      // 0 = initial snapshot + tail (default)
+  *     .option("maxVersionsPerTrigger", "1") // admission control per microbatch
+  *     .option("ignoreChanges", "false")    // fail on rewrites (default)
+  *     .load(tablePath)
+  * }}}
+  *
+  * Semantics and scale notes:
+  *  - `startingVersion = 0` emits the full current snapshot as the
+  *    first batch(es), then tails; `startingVersion = v` starts AFTER
+  *    manifest v (changes only), the CDC-consumer shape.
+  *  - `maxVersionsPerTrigger` bounds how many commits one microbatch
+  *    absorbs — on a table receiving thousands of small commits this is
+  *    what keeps batch size O(commit), not O(backlog).
+  *  - Copy-on-write rewrites (merge/delete/compact) re-list surviving
+  *    rows under new file names; tailing across one would re-emit them.
+  *    By default that raises an error naming the rewriting commit;
+  *    `ignoreChanges=true` opts into the at-least-once behavior
+  *    (downstream must key-dedup) — same contract Delta's source has.
+  *  - The read schema is fixed at stream start (the then-current
+  *    manifest's); files appended later via [[LakeTable.appendEvolve]]
+  *    are read under it by parquet name resolution (extra columns
+  *    ignored until the stream restarts, missing ones null-fill).
+  *  - Vacuum retention must cover consumer lag: `getBatch` needs the
+  *    START version's manifest to diff against (file list only — the
+  *    data files it names may already be rewritten-away for the END
+  *    snapshot; they are not read).
+  *  - Everything here is control plane: a batch plans from two cached
+  *    manifest file lists; only the (v_start, v_end] delta files are
+  *    scanned. Tailing a 100 TB table costs the tail, not the table.
+  */
+class LakeStreamSource extends StreamSourceProvider {
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft.lake.LakeStreamSource requires .load(path)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val t = LakeTable.forPath(spark, tablePath(parameters))
+    val declared = schema.getOrElse(
+      DataType.fromJson(t.manifest(t.currentVersion).schemaJson).asInstanceOf[StructType])
+    ("graft-lake", declared)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession.asInstanceOf[ClassicSparkSession]
+    new LakeStreamingSource(
+      spark,
+      tablePath(parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      startingVersion = parameters.getOrElse("startingVersion", "0").toInt,
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt)
+        .getOrElse(Int.MaxValue),
+      ignoreChanges = parameters.getOrElse("ignoreChanges", "false").toBoolean)
+  }
+}
+
+private[lake] class LakeStreamingSource(
+    spark: ClassicSparkSession,
+    path: String,
+    override val schema: StructType,
+    startingVersion: Int,
+    maxVersionsPerTrigger: Int,
+    ignoreChanges: Boolean) extends Source {
+
+  require(maxVersionsPerTrigger >= 1, "maxVersionsPerTrigger must be >= 1")
+  private val table = LakeTable.forPath(spark, path)
+
+  /** Highest version offered to the engine so far — the pacing cursor.
+    * Re-anchored forward by getBatch on checkpoint restart (the engine
+    * replays the last batch before asking for a new offset).
+    */
+  private var offered = startingVersion
+
+  private def ver(o: Offset): Int = o.json.trim.toInt
+
+  private def filesOf(version: Int): Seq[String] =
+    if (version <= 0) Seq.empty else table.fileNames(version)
+
+  override def getOffset: Option[Offset] = synchronized {
+    val cur = table.currentVersion
+    // Long arithmetic: offered + maxVersionsPerTrigger overflows Int
+    // when the trigger cap is unset (Int.MaxValue) and offered > 0.
+    if (offered < cur)
+      offered = math.min(cur.toLong, offered.toLong + maxVersionsPerTrigger).toInt
+    if (offered <= 0) None else Some(LongOffset(offered.toLong))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val startVer = start.map(ver).getOrElse(startingVersion)
+    val endVer = ver(end)
+    synchronized { offered = math.max(offered, endVer) }
+    val before = filesOf(startVer)
+    val after = filesOf(endVer).toSet
+    val rewritten = before.filterNot(after)
+    if (rewritten.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"lake table $path had files rewritten between v$startVer and v$endVer " +
+        s"(e.g. ${rewritten.head}): a merge/delete/compact crossed the stream. " +
+        "Restart from a fresh startingVersion or set ignoreChanges=true " +
+        "(at-least-once: rewritten survivors re-emit; downstream must key-dedup).")
+    val beforeSet = before.toSet
+    val added = filesOf(endVer).filterNot(beforeSet)
+    // The batch DataFrame must carry isStreaming=true for the microbatch
+    // planner; wrap the batch parquet scan's physical RDD in a streaming
+    // LogicalRDD (the FileStreamSource/internalCreateDataFrame shape).
+    val batch =
+      if (added.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(added.map(n => s"$path/$n"): _*)
+    val qe = batch.queryExecution
+    new ClassicDataset[Row](spark,
+      LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(spark),
+      org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"LakeStreamSource[$path, starting=$startingVersion, maxVersions=$maxVersionsPerTrigger]"
+}

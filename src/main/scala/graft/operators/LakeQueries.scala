@@ -118,6 +118,35 @@ object LakeQueries {
         .orderBy(col("user_id"))
     }),
 
+    // streaming READ of the lake table (the source half of the
+    // lakehouse streaming story; lake_stream_merge is the sink half):
+    // manifest versions are the offsets, so maxVersionsPerTrigger=1
+    // replays the commit history as one microbatch per version — the
+    // create snapshot plus both appends — into a memory sink.
+    // one_batch_per_version pins that pacing in-band; the aggregate
+    // over the sink must equal the batch SQL over the full table.
+    "lake_stream_read" -> ((s, dir) => {
+      val path = tablePath("lake_stream_read")
+      wipe(path)
+      val b = base(s, dir)
+      val t = LakeTable.create(s, path, b.filter(col("k") % 3 === 0).coalesce(1), Seq("k"))
+      (1 to 2).foreach(r => t.append(b.filter(col("k") % 3 === r).coalesce(1)))
+      val sinkName = "lake_stream_read_sink"
+      val q = s.readStream.format("graft.lake.LakeStreamSource")
+        .option("maxVersionsPerTrigger", "1")
+        .load(path)
+        .writeStream.format("memory").queryName(sinkName).start()
+      try q.processAllAvailable() finally q.stop()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      s.table(sinkName)
+        .groupBy((col("k") % 3).as("slice"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("slice"), col("n"), col("total_price"),
+          lit(batches == 3).as("one_batch_per_version"))
+        .orderBy(col("slice"))
+    }),
+
     // OPTIMIZE/compaction: four single-file commits (create + three
     // appends, disjoint k mod 4 slices) leave four small files — the
     // exact debris a per-microbatch MERGE accumulates — and compact()
@@ -341,6 +370,15 @@ object LakeQueries {
         |UNION ALL
         |SELECT k, status, price, 'delete' AS change FROM upd
         |ORDER BY k, change""".stripMargin,
+
+    "lake_stream_read" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders)
+        |SELECT k % 3 AS slice, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS one_batch_per_version
+        |FROM base GROUP BY 1 ORDER BY slice""".stripMargin,
 
     "lake_cluster_prune" ->
       """WITH base AS (
