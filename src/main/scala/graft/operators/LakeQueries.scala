@@ -283,6 +283,73 @@ object LakeQueries {
           sum(Tables.dec2(col("price"))).cast("double").as("total_hi"))
         .select(col("n_hi"), col("total_hi"),
           lit(nPruned < nTotal).as("files_skipped"))
+    }),
+
+    // DELETE FROM with file-level pruning: the predicate only matches
+    // rows in the lo-range file, so copy-on-write rewrites that file
+    // alone and the hi-range file is carried BY REFERENCE into the new
+    // version (asserted in-band by physical file identity). At 100 TB
+    // a selective delete rewrites the touched handful, not the table.
+    "lake_delete" -> ((s, dir) => {
+      val (t, half) = twoFileTable(s, dir, "lake_delete")
+      val hiFiles = t.fileNames(2).toSet -- t.fileNames(1).toSet
+      t.deleteWhere(col("k") % 10 === 0 && col("k") <= half)
+      val hiUntouched = hiFiles.subsetOf(t.fileNames(3).toSet)
+      t.read().agg(
+          count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          lit(hiUntouched).as("hi_files_untouched"))
+    }),
+
+    // VACUUM: v1 create → v2 overwrite leaves v1's data file
+    // unreferenced by the current manifest; vacuum(retain=1) deletes
+    // exactly that file plus the v1 manifest. The current snapshot
+    // stays byte-exact (the declared aggregate), and time travel to
+    // the vacuumed version is an explicit error, not silent
+    // corruption — both pinned in-band. Retention is the knob that
+    // keeps a 100 TB table's storage O(live data), not O(history).
+    "lake_vacuum" -> ((s, dir) => {
+      val path = tablePath("lake_vacuum")
+      wipe(path)
+      val b = base(s, dir)
+      val t = LakeTable.create(s, path, b.coalesce(1), Seq("k"))
+      t.overwrite(b.filter(col("k") % 13 =!= 0).coalesce(1))
+      val v1Files = t.fileNames(1)
+      val deleted = t.vacuum(retainVersions = 1)
+      val exactlyV1Dead = deleted.toSet == v1Files.toSet
+      val v1Unreadable =
+        try { t.readVersion(1); false }
+        catch { case _: IllegalArgumentException => true }
+      t.read().agg(
+          count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          lit(exactlyV1Dead).as("exactly_v1_files_deleted"),
+          lit(v1Unreadable).as("vacuumed_version_errors"))
+    }),
+
+    // DESCRIBE HISTORY: the commit ledger (version, operation,
+    // row count) across a create → copy-on-write DELETE → MERGE
+    // sequence. The ledger is pure control plane (one manifest read
+    // per retained version — no data scans), and every row is
+    // reconstructable by the oracle from the base table, so the
+    // metadata layer is hash-graded like any data query.
+    "lake_history" -> ((s, dir) => {
+      val path = tablePath("lake_history")
+      wipe(path)
+      val b = base(s, dir)
+      val t = LakeTable.create(s, path, b.coalesce(1), Seq("k"))
+      t.deleteWhere(col("k") % 13 === 0)
+      t.merge(
+        b.filter(col("k") % 7 === 0 && col("k") % 13 =!= 0)
+          .select(col("k"), col("status"), (col("price") + 50.0).as("price")),
+        "k")
+      import s.implicits._
+      t.history()
+        .map(h => (h.version, h.operation, h.totalRows))
+        .toDF("version", "operation", "total_rows")
+        .orderBy(col("version"))
     })
   )
 
@@ -400,6 +467,39 @@ object LakeQueries {
         |SELECT count(*) AS n_hi,
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_hi,
         |  true AS files_skipped
-        |FROM base WHERE k > (SELECT max(k) // 2 FROM base)""".stripMargin
+        |FROM base WHERE k > (SELECT max(k) // 2 FROM base)""".stripMargin,
+
+    "lake_delete" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS hi_files_untouched
+        |FROM base
+        |WHERE NOT (k % 10 = 0 AND k <= (SELECT max(k) // 2 FROM base))""".stripMargin,
+
+    "lake_vacuum" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS exactly_v1_files_deleted,
+        |  true AS vacuumed_version_errors
+        |FROM base WHERE k % 13 <> 0""".stripMargin,
+
+    "lake_history" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+        |SELECT CAST(1 AS INTEGER) AS version, 'create' AS operation,
+        |  count(*) AS total_rows FROM base
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'delete', count(*)
+        |FROM base WHERE k % 13 <> 0
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'merge', count(*)
+        |FROM base WHERE k % 13 <> 0
+        |ORDER BY version""".stripMargin
   )
 }
