@@ -1,0 +1,175 @@
+package graft.lake
+
+import java.io.File
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast,
+  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan,
+  LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
+  ShortType, StructType}
+
+/** Catalyst-integrated scan path for [[LakeTable]]: a
+  * [[org.apache.spark.sql.execution.datasources.FileIndex]] whose
+  * `listFiles` prunes the manifest's file list with the per-file
+  * [min,max] column stats — so a plain `.filter()` on a scan skips
+  * non-overlapping files INSIDE the planner, with no special read API.
+  *
+  * This is the piece that turns the manual `prunedRead(col, lo, hi)`
+  * contract into ordinary Spark: `FileSourceScanExec` hands every scan's
+  * pushed data filters to its FileIndex before planning splits, we
+  * translate the integral-comparison conjuncts into per-column bounds
+  * and drop manifest entries that cannot overlap. Pruning is
+  * conservative (unsupported predicates / columns without stats keep
+  * the file) and purely I/O-level — Spark still evaluates the full
+  * residual filter on the rows that are read, and the parquet reader
+  * still gets the same predicates for row-group pushdown, so answers
+  * are exact by construction. At 100 TB the win is the usual lakehouse
+  * one: a point/range query opens the overlapping handful of files,
+  * driven entirely by manifest metadata (no footer reads, no listing),
+  * and split planning uses the manifest-recorded byte sizes so the
+  * driver never stats data files.
+  */
+class LakeFileIndex private[lake] (sparkSession: SparkSession,
+    tablePath: String, m: Manifest) extends FileIndex {
+
+  private val schema: StructType =
+    DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+  private val statsCols: Set[String] = m.statsCols.toSet
+
+  override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  /** Manifest-recorded sizes; a 0 (pre-upgrade entry) falls back to a
+    * one-time local stat.
+    */
+  override def sizeInBytes: Long = m.files.map(sizeOf).sum
+
+  override def inputFiles: Array[String] =
+    m.files.map(f => s"$tablePath/${f.name}").toArray
+
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = LakeFileIndex.boundsOf(dataFilters, statsCols)
+    val kept =
+      if (bounds.isEmpty) m.files
+      else m.files.filter { f =>
+        bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) }
+      }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
+  }
+
+  private def sizeOf(f: FileEntry): Long =
+    if (f.bytes > 0) f.bytes else new File(tablePath, f.name).length()
+
+  private def status(f: FileEntry): FileStatus =
+    new FileStatus(sizeOf(f), false, 1, 128L * 1024 * 1024, 0L,
+      new Path(s"$tablePath/${f.name}"))
+
+  /** The snapshot as a Spark-plannable relation over this index. */
+  private[lake] def relation: HadoopFsRelation =
+    HadoopFsRelation(
+      location = this,
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(sparkSession)
+
+  /** The snapshot as a DataFrame planned through this index. */
+  private[lake] def toDataFrame: DataFrame =
+    sparkSession.baseRelationToDataFrame(relation)
+}
+
+private[lake] object LakeFileIndex {
+
+  /** Per-column inclusive [lo, hi] bounds implied by the conjunction of
+    * `filters`, restricted to bare (or integrally-cast) attributes with
+    * manifest stats compared against integral literals. Anything else
+    * contributes no bound — pruning stays conservative. Strict
+    * comparisons are widened to inclusive bounds; [[FileEntry.overlaps]]
+    * is inclusive anyway and the residual filter restores exactness.
+    */
+  def boundsOf(filters: Seq[Expression],
+      statsCols: Set[String]): Map[String, (Long, Long)] = {
+    val perCol = filters.flatMap(conjuncts).flatMap(boundOf(_, statsCols))
+    perCol.groupBy(_._1).map { case (c, bs) =>
+      val los = bs.map(_._2._1)
+      val his = bs.map(_._2._2)
+      c -> (los.max, his.min)
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def boundOf(e: Expression,
+      statsCols: Set[String]): Option[(String, (Long, Long))] = {
+    val SA = new StatsAttr(statsCols)
+    e match {
+      case EqualTo(SA(c), IntegralLit(v)) => Some(c -> (v, v))
+      case EqualTo(IntegralLit(v), SA(c)) => Some(c -> (v, v))
+      case GreaterThan(SA(c), IntegralLit(v)) => Some(c -> (v, Long.MaxValue))
+      case GreaterThanOrEqual(SA(c), IntegralLit(v)) =>
+        Some(c -> (v, Long.MaxValue))
+      case LessThan(SA(c), IntegralLit(v)) => Some(c -> (Long.MinValue, v))
+      case LessThanOrEqual(SA(c), IntegralLit(v)) =>
+        Some(c -> (Long.MinValue, v))
+      case GreaterThan(IntegralLit(v), SA(c)) => Some(c -> (Long.MinValue, v))
+      case GreaterThanOrEqual(IntegralLit(v), SA(c)) =>
+        Some(c -> (Long.MinValue, v))
+      case LessThan(IntegralLit(v), SA(c)) => Some(c -> (v, Long.MaxValue))
+      case LessThanOrEqual(IntegralLit(v), SA(c)) =>
+        Some(c -> (v, Long.MaxValue))
+      case In(SA(c), vs) if vs.nonEmpty =>
+        val longs = vs.map {
+          case IntegralLit(v) => v
+          case _ => return None
+        }
+        Some(c -> (longs.min, longs.max))
+      case _ => None
+    }
+  }
+
+  /** Bare attribute, or an integral widening cast of one, whose name has
+    * manifest stats. Widening casts are exact on longs, so the recorded
+    * long [min,max] bounds stay valid.
+    */
+  private class StatsAttr(statsCols: Set[String]) {
+    def unapply(e: Expression): Option[String] = stripCast(e) match {
+      case a: Attribute if statsCols(a.name) => Some(a.name)
+      case _ => None
+    }
+  }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(child, t, _, _) if isIntegral(t) && isIntegral(child.dataType) =>
+      stripCast(child)
+    case other => other
+  }
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private object IntegralLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+  }
+}

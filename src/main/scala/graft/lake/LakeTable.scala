@@ -83,6 +83,17 @@ class LakeTable private (spark: SparkSession, val path: String) {
   /** Time travel: the table exactly as of commit `version`. */
   def readVersion(version: Int): DataFrame = readManifest(manifest(version))
 
+  /** Current snapshot planned through [[LakeFileIndex]]: a plain
+    * `.filter()` on this DataFrame prunes non-overlapping files via the
+    * manifest [min,max] stats inside Catalyst — the automatic form of
+    * [[prunedRead]], composable with every downstream operator.
+    */
+  def scan(): DataFrame = scanVersion(currentVersion)
+
+  /** [[scan]] with time travel. */
+  def scanVersion(version: Int): DataFrame =
+    new LakeFileIndex(spark, path, manifest(version)).toDataFrame
+
   private def readManifest(m: Manifest): DataFrame = {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (m.files.isEmpty)
@@ -382,9 +393,12 @@ class LakeTable private (spark: SparkSession, val path: String) {
 private[lake] case class Manifest(operation: String, schemaJson: String,
     statsCols: Seq[String], files: Seq[FileEntry])
 
-/** One immutable data file with optional per-column long [min,max]. */
+/** One immutable data file with optional per-column long [min,max].
+  * `bytes` (0 = unrecorded, pre-upgrade manifests) feeds split planning
+  * in [[LakeFileIndex]] without per-file filesystem stats.
+  */
 private[lake] case class FileEntry(name: String, rows: Long,
-    stats: Map[String, (Long, Long)]) {
+    stats: Map[String, (Long, Long)], bytes: Long = 0L) {
   /** Can this file contain a value of `col` in [lo, hi]? Conservative:
     * no stats for `col` → yes.
     */
@@ -472,7 +486,7 @@ object LakeTable {
     }.toMap
     named.toSeq.map { n =>
       val (rows, stats) = byName.getOrElse(n, (0L, Map.empty[String, (Long, Long)]))
-      FileEntry(n, rows, stats)
+      FileEntry(n, rows, stats, Files.size(Paths.get(path, n)))
     }
   }
 
@@ -519,6 +533,7 @@ private[lake] object Manifest {
       JsonMethods.compact(JsonMethods.render(JObject(
         "file" -> JString(f.name),
         "rows" -> JLong(f.rows),
+        "bytes" -> JLong(f.bytes),
         "stats" -> JObject(f.stats.toList.sortBy(_._1).map { case (c, (mn, mx)) =>
           c -> JArray(List(JLong(mn), JLong(mx)))
         }))))
@@ -538,7 +553,12 @@ private[lake] object Manifest {
         }.toMap
         case _ => Map.empty[String, (Long, Long)]
       }
-      FileEntry((j \ "file").extract[String], (j \ "rows").extract[Long], stats)
+      val bytes = (j \ "bytes") match {
+        case JNothing => 0L
+        case b => b.extract[Long]
+      }
+      FileEntry((j \ "file").extract[String], (j \ "rows").extract[Long],
+        stats, bytes)
     }
     Manifest((head \ "operation").extract[String],
       (head \ "schema").extract[String],

@@ -329,6 +329,35 @@ object LakeQueries {
           lit(v1Unreadable).as("vacuumed_version_errors"))
     }),
 
+    // Catalyst-integrated pruning: scan() plans the snapshot through
+    // graft.lake.LakeFileIndex, so a PLAIN .filter() — no special read
+    // API — prunes non-overlapping files via manifest stats inside the
+    // planner. files_pruned pins that a range predicate physically
+    // opened fewer files than the snapshot holds; all_files_unfiltered
+    // pins the no-filter scan reads everything. This is the scan path
+    // a 100 TB user actually gets: pruning composes with every
+    // downstream operator and parquet row-group pushdown stays active.
+    "lake_catalyst_prune" -> ((s, dir) => {
+      val path = tablePath("lake_cat_prune")
+      wipe(path)
+      val b = base(s, dir)
+      val mx = b.agg(max(col("k"))).head().getLong(0)
+      val (lo, hi) = (mx / 2, mx / 2 + mx / 10)
+      val t = LakeTable.create(s, path,
+        b.repartitionByRange(4, col("k")), Seq("k"))
+      def opened(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(input_file_name()).distinct().count()
+      val nAll = opened(t.scan())
+      val filtered = t.scan().filter(col("k").between(lo, hi))
+      val nPruned = opened(filtered)
+      filtered.agg(
+          count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          lit(nAll == 4).as("all_files_unfiltered"),
+          lit(nPruned < nAll).as("files_pruned"))
+    }),
+
     // DESCRIBE HISTORY: the commit ledger (version, operation,
     // row count) across a create → copy-on-write DELETE → MERGE
     // sequence. The ledger is pure control plane (one manifest read
@@ -488,6 +517,19 @@ object LakeQueries {
         |  true AS exactly_v1_files_deleted,
         |  true AS vacuumed_version_errors
         |FROM base WHERE k % 13 <> 0""".stripMargin,
+
+    "lake_catalyst_prune" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders),
+        |h AS (SELECT max(k) AS mx FROM base)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS all_files_unfiltered,
+        |  true AS files_pruned
+        |FROM base
+        |WHERE k BETWEEN (SELECT mx // 2 FROM h)
+        |  AND (SELECT mx // 2 + mx // 10 FROM h)""".stripMargin,
 
     "lake_history" ->
       """WITH base AS (

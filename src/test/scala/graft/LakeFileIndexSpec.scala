@@ -1,0 +1,118 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.LakeTable
+
+/** The Catalyst-integrated scan path (graft.lake.LakeFileIndex):
+  * a plain `.filter()` on `LakeTable.scan()` must prune
+  * non-overlapping files via manifest stats inside the planner,
+  * conservatively (unsupported predicates keep every file) and
+  * exactly (the residual filter restores row-level precision).
+  */
+class LakeFileIndexSpec extends AnyFunSuite {
+  private val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_lfi_$tag").toFile
+    d.deleteOnExit()
+    new File(d, "t").getAbsolutePath
+  }
+
+  /** 4 range-clustered files over k = 1..400 (1..100, 101..200, ...). */
+  private def clustered(tag: String): LakeTable = {
+    val path = freshDir(tag)
+    val df = (1 to 400).toDF("k")
+      .select(col("k").cast("long").as("k"), (col("k") % 7).as("v"))
+      .repartitionByRange(4, col("k"))
+    LakeTable.create(spark, path, df, Seq("k"))
+  }
+
+  private def filesOpened(df: DataFrame): Long =
+    df.select(input_file_name()).distinct().count()
+
+  test("scan() content equals read() on a multi-file table") {
+    val t = clustered("content")
+    assert(t.scan().as[(Long, Long)].collect().sorted.toSeq ==
+      t.read().as[(Long, Long)].collect().sorted.toSeq)
+  }
+
+  test("range filter on the stats column opens only overlapping files") {
+    val t = clustered("range")
+    assert(filesOpened(t.scan()) == 4)
+    val q = t.scan().filter(col("k").between(120L, 180L))
+    assert(filesOpened(q) == 1)
+    assert(q.count() == 61)
+    // exactness mid-file: the residual filter still applies row-level
+    assert(q.agg(sum("k")).head().getLong(0) == (120L to 180L).sum)
+  }
+
+  test("point and IN filters prune; strict bounds stay exact") {
+    val t = clustered("point")
+    assert(filesOpened(t.scan().filter(col("k") === 250L)) == 1)
+    assert(t.scan().filter(col("k") === 250L).count() == 1)
+    assert(filesOpened(t.scan().filter(col("k").isin(5L, 42L, 99L))) == 1)
+    val strict = t.scan().filter(col("k") > 300L)
+    assert(filesOpened(strict) == 1)
+    assert(strict.count() == 100)
+    assert(t.scan().filter(col("k") > 300L && col("k") < 302L)
+      .as[(Long, Long)].collect().map(_._1).toSeq == Seq(301L))
+  }
+
+  test("filters on non-stats columns are conservative (open all files)") {
+    val t = clustered("nonstats")
+    val q = t.scan().filter(col("v") === 3L)
+    assert(filesOpened(q) == 4)
+    assert(q.count() == (1 to 400).count(_ % 7 == 3))
+    // OR across the stats column: no single conjunct bound → all files
+    val or = t.scan().filter(col("k") < 10L || col("k") > 390L)
+    assert(or.count() == 19)
+  }
+
+  test("predicates still reach the parquet reader (row-group pushdown)") {
+    val t = clustered("pushdown")
+    val plan = t.scan().filter(col("k") > 300L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(k,300)"),
+      s"expected parquet pushdown in plan:\n$plan")
+  }
+
+  test("scanVersion time-travels and prunes per-version manifests") {
+    val t = clustered("tt")
+    t.deleteWhere(col("k").between(101L, 200L))
+    // v1: four files, the deleted range still present
+    assert(t.scanVersion(1).filter(col("k").between(120L, 180L)).count() == 61)
+    assert(filesOpened(t.scanVersion(1).filter(col("k").between(120L, 180L))) == 1)
+    // v2: that file is gone from the manifest entirely
+    assert(t.scan().filter(col("k").between(120L, 180L)).count() == 0)
+    assert(t.scan().count() == 300)
+  }
+
+  test("format(\"graft.lake\") reads the same relation, pruning included") {
+    val t = clustered("fmt")
+    t.deleteWhere(col("k").between(101L, 200L))
+    val cur = spark.read.format("graft.lake").load(t.path)
+    assert(cur.count() == 300)
+    // pruning applies to format-string readers too
+    assert(filesOpened(cur.filter(col("k") <= 100L)) == 1)
+    // version option = time travel
+    val v1 = spark.read.format("graft.lake").option("version", "1").load(t.path)
+    assert(v1.count() == 400)
+    assert(v1.filter(col("k").between(120L, 180L)).count() == 61)
+  }
+
+  test("sizeInBytes comes from manifest-recorded file sizes") {
+    val t = clustered("bytes")
+    val fromDisk = t.fileNames(1)
+      .map(n => new File(new File(t.path), n).length()).sum
+    assert(fromDisk > 0)
+    // the scan's FileIndex reports exactly the manifest-recorded sizes
+    assert(graft.lake.LakeTestAccess.indexSizeInBytes(spark, t, 1) == fromDisk)
+  }
+}

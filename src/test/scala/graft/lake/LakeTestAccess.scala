@@ -6,4 +6,9 @@ package graft.lake
 object LakeTestAccess {
   def recommitAt(t: LakeTable, version: Int, fromVersion: Int): Int =
     t.commitForTest(version, t.manifest(fromVersion))
+
+  /** sizeInBytes of a fresh LakeFileIndex over `version`'s manifest. */
+  def indexSizeInBytes(s: org.apache.spark.sql.SparkSession, t: LakeTable,
+      version: Int): Long =
+    new LakeFileIndex(s, t.path, t.manifest(version)).sizeInBytes
 }
