@@ -193,6 +193,37 @@ class LakeTable private (spark: SparkSession, val path: String) {
     }
   }
 
+  /** Exactly-once streaming append: the sink half of
+    * `writeStream.foreachBatch((df, id) => t.appendStream(df, id))`.
+    * The manifest records the highest batch id committed (`txn` in the
+    * head line), so a batch REPLAYED after a crash — same id, possibly
+    * recomputed data — is recognized and skipped instead of appended
+    * twice. Returns the current version either way. The check-and-
+    * commit is atomic under the exclusive-publish primitive: a racing
+    * duplicate of the same batch loses the `createLink` and re-checks.
+    */
+  def appendStream(df: DataFrame, batchId: Long): Int = {
+    require(batchId >= 0, "streaming batch ids are non-negative")
+    if (manifest(currentVersion).txnBatchId >= batchId) return currentVersion
+    val staged = stageFiles(df)
+    retryCommit { v =>
+      val base = manifest(v)
+      if (base.txnBatchId >= batchId) {
+        // lost a race to a duplicate of this very batch: drop our files
+        staged.foreach(f => Files.deleteIfExists(Paths.get(path, f.name)))
+        v
+      } else {
+        requireSameSchema(df.schema, base)
+        LakeTable.commit(logDir.toString, v + 1,
+          base.copy(operation = "stream-append",
+            files = base.files ++ staged, txnBatchId = batchId))
+      }
+    }
+  }
+
+  /** Highest streaming batch id ever committed, or -1. */
+  def lastStreamBatchId: Long = manifest(currentVersion).txnBatchId
+
   /** Schema-evolving append (mergeSchema semantics): `df` may ADD
     * columns (readers of the new snapshot see NULL for them in
     * pre-evolution files) and may OMIT existing ones (staged as NULL).
@@ -389,9 +420,14 @@ class LakeTable private (spark: SparkSession, val path: String) {
     LakeTable.commit(logDir.toString, version, m)
 }
 
-/** One committed version: the manifest line-set for a snapshot. */
+/** One committed version: the manifest line-set for a snapshot.
+  * `txnBatchId` is the highest streaming batch id ever appended by
+  * [[LakeTable.appendStream]] (-1 = none): it rides along every commit
+  * so a replayed microbatch is recognized and skipped even after later
+  * batch writes — the exactly-once ledger of the streaming sink.
+  */
 private[lake] case class Manifest(operation: String, schemaJson: String,
-    statsCols: Seq[String], files: Seq[FileEntry])
+    statsCols: Seq[String], files: Seq[FileEntry], txnBatchId: Long = -1L)
 
 /** One immutable data file with optional per-column long [min,max].
   * `bytes` (0 = unrecorded, pre-upgrade manifests) feeds split planning
@@ -413,7 +449,7 @@ class ConcurrentCommitException(version: Int)
   extends RuntimeException(s"version $version was committed concurrently")
 
 object LakeTable {
-  private val LogDir = "_graft_log"
+  private[lake] val LogDir = "_graft_log"
 
   private[lake] def isIntegral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -528,7 +564,8 @@ private[lake] object Manifest {
     val head = JsonMethods.compact(JsonMethods.render(JObject(
       "operation" -> JString(m.operation),
       "schema" -> JString(m.schemaJson),
-      "statsCols" -> JArray(m.statsCols.map(JString(_)).toList))))
+      "statsCols" -> JArray(m.statsCols.map(JString(_)).toList),
+      "txn" -> JLong(m.txnBatchId))))
     val lines = m.files.map { f =>
       JsonMethods.compact(JsonMethods.render(JObject(
         "file" -> JString(f.name),
@@ -560,8 +597,12 @@ private[lake] object Manifest {
       FileEntry((j \ "file").extract[String], (j \ "rows").extract[Long],
         stats, bytes)
     }
+    val txn = (head \ "txn") match {
+      case JNothing => -1L
+      case t => t.extract[Long]
+    }
     Manifest((head \ "operation").extract[String],
       (head \ "schema").extract[String],
-      (head \ "statsCols").extract[List[String]], files)
+      (head \ "statsCols").extract[List[String]], files, txn)
   }
 }

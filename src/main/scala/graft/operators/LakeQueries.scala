@@ -118,6 +118,28 @@ object LakeQueries {
         .orderBy(col("user_id"))
     }),
 
+    // exactly-once streaming APPEND: each microbatch commits through
+    // appendStream(batch, batchId), which records the batch id in the
+    // manifest (`txn`). After the run the last batch id is REPLAYED
+    // with recomputed data — the crash-between-commit-and-checkpoint
+    // case — and must be recognized and skipped: replay_skipped pins
+    // version AND contents unchanged, in-band. This is the
+    // transactional-sink idempotence that makes checkpoint-restart
+    // exactly-once end to end (lake_stream_merge converges by key;
+    // this converges by ledger, with no key needed).
+    "lake_stream_append" -> ((s, dir) => {
+      val path = tablePath("lake_stream_append")
+      val (finalState, versions, replaySkipped) =
+        graft.streaming.StreamingJobs.foreachBatchLakeAppend(
+          s, graft.streaming.StreamingDeclared.stagedEventsSplitDir(s, dir), path)
+      finalState.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .select(col("user_id"), col("n"), col("sum_value"),
+          lit(versions >= 3).as("multi_batch_ok"),
+          lit(replaySkipped).as("replay_skipped"))
+        .orderBy(col("user_id"))
+    }),
+
     // streaming READ of the lake table (the source half of the
     // lakehouse streaming story; lake_stream_merge is the sink half):
     // manifest versions are the offsets, so maxVersionsPerTrigger=1
@@ -422,6 +444,11 @@ object LakeQueries {
     "lake_stream_merge" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value,
         |  true AS multi_batch_ok
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "lake_stream_append" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value,
+        |  true AS multi_batch_ok, true AS replay_skipped
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "lake_compact" ->

@@ -775,6 +775,46 @@ object StreamingJobs {
     (t.read(), t.currentVersion)
   }
 
+  /** Exactly-once streaming APPEND into the lake table: each microbatch
+    * lands via [[graft.lake.LakeTable.appendStream]], which records the
+    * batch id in the manifest head (`txn`) — the transactional sink
+    * pattern. After the AvailableNow run, the LAST batch id is
+    * deliberately REPLAYED with recomputed (here: strictly larger)
+    * data, simulating a sink retry after a crash between commit and
+    * checkpoint: the table must recognize the id and skip, leaving
+    * version and contents untouched. Returns (final read-back,
+    * committed version count, replay-was-a-no-op).
+    */
+  def foreachBatchLakeAppend(spark: SparkSession, splitDir: String,
+      tablePath: String): (DataFrame, Int, Boolean) = {
+    deleteRecursively(java.nio.file.Paths.get(tablePath))
+    def shape(df: DataFrame): DataFrame =
+      df.select(col("event_id"), col("user_id"), col("value"))
+    val t = graft.lake.LakeTable.create(spark, tablePath,
+      shape(graft.Tables.normalizeEventsTs(spark.read.parquet(splitDir))).limit(0),
+      Seq("event_id", "user_id"))
+    val src = shape(graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(eventsRawSchema(spark, splitDir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(splitDir)))
+    withStatePartitions(spark, 8) {
+      val q = src.writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (!batch.isEmpty) { t.appendStream(batch, id); () }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val (vBefore, nBefore) = (t.currentVersion, t.read().count())
+    t.appendStream(
+      shape(graft.Tables.normalizeEventsTs(spark.read.parquet(splitDir))),
+      t.lastStreamBatchId)
+    val skipped = t.currentVersion == vBefore && t.read().count() == nBefore
+    (t.read(), vBefore, skipped)
+  }
+
   /** Unbounded-source demo on the deterministic `rate-micro-batch`
     * source: batch 0 is exactly `rowsPerBatch` rows with values
     * 0..rowsPerBatch-1 at a fixed start timestamp, so a Trigger.Once run

@@ -107,6 +107,54 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(v1.filter(col("k").between(120L, 180L)).count() == 61)
   }
 
+  test("write.format(\"graft.lake\") creates, appends, and overwrites") {
+    val path = freshDir("wfmt") + "/t"
+    def df(r: Range, tag: String) = r.toDF("k")
+      .select(col("k").cast("long").as("k"), lit(tag).as("v"))
+    df(1 to 50, "a").write.format("graft.lake")
+      .option("statsCols", "k").save(path)
+    df(51 to 80, "b").write.format("graft.lake").mode("append").save(path)
+    val t = LakeTable.forPath(spark, path)
+    assert(t.currentVersion == 2)
+    assert(t.read().count() == 80)
+    // stats recorded via the option → pruning works on the scan
+    t.append(df(1000 to 1100, "c").coalesce(1))
+    assert(filesOpened(t.scan().filter(col("k") >= 1000L)) <
+      filesOpened(t.scan()))
+    df(1 to 5, "d").write.format("graft.lake").mode("overwrite").save(path)
+    assert(LakeTable.forPath(spark, path).read().count() == 5)
+    intercept[IllegalStateException] {
+      df(1 to 5, "e").write.format("graft.lake")
+        .mode("errorifexists").save(path)
+    }
+  }
+
+  test("appendStream skips replayed batch ids, even after later commits") {
+    val path = freshDir("txn") + "/t"
+    def df(r: Range) = r.toDF("k").select(col("k").cast("long").as("k"))
+    val t = LakeTable.create(spark, path, df(1 to 10).coalesce(1), Seq("k"))
+    assert(t.lastStreamBatchId == -1L)
+    t.appendStream(df(11 to 20).coalesce(1), 0L)
+    t.appendStream(df(21 to 30).coalesce(1), 1L)
+    assert(t.currentVersion == 3 && t.read().count() == 30)
+    assert(t.lastStreamBatchId == 1L)
+    // replay of batch 1 (recomputed, even different data): skipped
+    t.appendStream(df(21 to 35).coalesce(1), 1L)
+    assert(t.currentVersion == 3 && t.read().count() == 30)
+    // stale id below the ledger: skipped too
+    t.appendStream(df(999 to 999).coalesce(1), 0L)
+    assert(t.currentVersion == 3 && t.read().count() == 30)
+    // the txn ledger survives interleaved BATCH commits
+    t.append(df(31 to 40).coalesce(1))
+    t.appendStream(df(41 to 45).coalesce(1), 1L) // still a replay
+    assert(t.currentVersion == 4 && t.read().count() == 40)
+    t.appendStream(df(41 to 45).coalesce(1), 2L) // fresh id: lands
+    assert(t.currentVersion == 5 && t.read().count() == 45)
+    // skipped replays leave no orphan data files behind
+    val onDisk = new File(path).list((_, n) => n.endsWith(".parquet")).toSet
+    assert(onDisk == t.fileNames(t.currentVersion).toSet)
+  }
+
   test("sizeInBytes comes from manifest-recorded file sizes") {
     val t = clustered("bytes")
     val fromDisk = t.fileNames(1)
