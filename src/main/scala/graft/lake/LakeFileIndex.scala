@@ -91,6 +91,18 @@ class LakeFileIndex private[lake] (sparkSession: SparkSession,
 
 private[lake] object LakeFileIndex {
 
+  /** Resolve a user-facing Column predicate to a catalyst Expression by
+    * analyzing a throwaway `filter` over `df` (planning only — nothing
+    * runs). Needed because Spark 4 Columns carry ColumnNode trees, not
+    * catalyst expressions, until the analyzer touches them.
+    */
+  def resolvedCondition(df: DataFrame,
+      cond: org.apache.spark.sql.Column): Option[Expression] =
+    df.filter(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+
   /** Per-column inclusive [lo, hi] bounds implied by the conjunction of
     * `filters`, restricted to bare (or integrally-cast) attributes with
     * manifest stats compared against integral literals. Anything else
@@ -152,8 +164,13 @@ private[lake] object LakeFileIndex {
     }
   }
 
+  // `child.resolved` guards the dataType access: deleteWhere feeds
+  // UNRESOLVED Column expressions through boundsOf, and an unresolved
+  // attribute has no dataType to inspect (casts just stay unstripped
+  // there — conservative).
   private def stripCast(e: Expression): Expression = e match {
-    case Cast(child, t, _, _) if isIntegral(t) && isIntegral(child.dataType) =>
+    case Cast(child, t, _, _)
+        if isIntegral(t) && child.resolved && isIntegral(child.dataType) =>
       stripCast(child)
     case other => other
   }
@@ -169,6 +186,16 @@ private[lake] object LakeFileIndex {
       case Literal(v: Short, _) => Some(v.toLong)
       case Literal(v: Int, _) => Some(v.toLong)
       case Literal(v: Long, _) => Some(v)
+      // analyzed-but-unoptimized predicates carry coercion casts around
+      // literals (e.g. CAST(10 AS BIGINT)); fold them here
+      case c: Cast if c.resolved && c.foldable && isIntegral(c.dataType) =>
+        c.eval(null) match {
+          case v: Byte => Some(v.toLong)
+          case v: Short => Some(v.toLong)
+          case v: Int => Some(v.toLong)
+          case v: Long => Some(v)
+          case _ => None
+        }
       case _ => None
     }
   }

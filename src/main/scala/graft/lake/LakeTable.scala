@@ -299,8 +299,14 @@ class LakeTable private (spark: SparkSession, val path: String) {
   }
 
   /** Delete the rows matching `cond`, rewriting ONLY the files that
-    * contain at least one matching row (probed with a single
-    * `input_file_name()` aggregation); a touched file whose rows all
+    * contain at least one matching row. The match probe (a single
+    * `input_file_name()` aggregation) scans only CANDIDATE files —
+    * when `cond`'s conjuncts bound a stats column
+    * ([[LakeFileIndex.boundsOf]], the same translation the Catalyst
+    * scan path uses), files whose [min,max] cannot overlap are skipped
+    * without being read, so a point delete probes the touched handful,
+    * not the snapshot. Unsupported predicate shapes fall back to
+    * probing everything (conservative). A touched file whose rows all
     * match is dropped without a rewrite.
     */
   def deleteWhere(cond: Column): Int = {
@@ -308,8 +314,17 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val base = manifest(v)
     if (base.files.isEmpty) return v
     val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-    val data = spark.read.schema(schema)
+    val all = spark.read.schema(schema)
       .parquet(base.files.map(f => s"$path/${f.name}"): _*)
+    val bounds = LakeFileIndex.resolvedCondition(all, cond)
+      .map(e => LakeFileIndex.boundsOf(Seq(e), base.statsCols.toSet))
+      .getOrElse(Map.empty)
+    val candidates = base.files.filter { f =>
+      bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) }
+    }
+    if (candidates.isEmpty) return v
+    val data = spark.read.schema(schema)
+      .parquet(candidates.map(f => s"$path/${f.name}"): _*)
     val touchedNames = data.filter(cond)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => new File(r.getString(0)).getName).toSet

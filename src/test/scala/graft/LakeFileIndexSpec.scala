@@ -155,6 +155,39 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(onDisk == t.fileNames(t.currentVersion).toSet)
   }
 
+  test("boundsOf resolves user predicates (deleteWhere's input)") {
+    val df = clustered("bof").read()
+    def b(c: org.apache.spark.sql.Column) =
+      graft.lake.LakeTestAccess.boundsOf(df, c, Set("k"))
+    assert(b(col("k") <= 10L) == Map("k" -> (Long.MinValue, 10L)))
+    // Int literal against a long column: the analyzer's coercion cast
+    // around the literal must fold
+    assert(b(col("k") <= 10) == Map("k" -> (Long.MinValue, 10L)))
+    assert(b(col("k") % 10 === 0 && col("k") >= 5L) ==
+      Map("k" -> (5L, Long.MaxValue)))
+    assert(b(col("k").between(3L, 7L)) == Map("k" -> (3L, 7L)))
+    // OR, non-stats columns: no bound (conservative)
+    assert(b(col("k") < 10L || col("k") > 20L).isEmpty)
+    assert(b(col("v") === 1L).isEmpty)
+    // contradictory conjuncts give an empty range (lo > hi): prunes all
+    val contradiction = b(col("k") > 10L && col("k") < 5L)("k")
+    assert(contradiction._1 > contradiction._2)
+  }
+
+  test("deleteWhere stays exact for predicates pruning can't bound") {
+    val t = clustered("delor")
+    // OR predicate: probe falls back to all files, result still exact
+    t.deleteWhere(col("k") < 10L || col("k") > 390L)
+    assert(t.read().count() == 400 - 19)
+    // bounds that miss every file: version unchanged
+    val v = t.currentVersion
+    assert(t.deleteWhere(col("k") > 10000L) == v)
+    // non-stats predicate: conservative probe, exact delete
+    t.deleteWhere(col("v") === 3L)
+    assert(t.read().count() ==
+      (10 to 390).count(k => k % 7 != 3))
+  }
+
   test("sizeInBytes comes from manifest-recorded file sizes") {
     val t = clustered("bytes")
     val fromDisk = t.fileNames(1)

@@ -11,4 +11,14 @@ object LakeTestAccess {
   def indexSizeInBytes(s: org.apache.spark.sql.SparkSession, t: LakeTable,
       version: Int): Long =
     new LakeFileIndex(s, t.path, t.manifest(version)).sizeInBytes
+
+  /** boundsOf over a user-facing Column predicate, resolved against
+    * `df` exactly the way deleteWhere's candidate pruning does it.
+    */
+  def boundsOf(df: org.apache.spark.sql.DataFrame,
+      cond: org.apache.spark.sql.Column,
+      statsCols: Set[String]): Map[String, (Long, Long)] =
+    LakeFileIndex.resolvedCondition(df, cond)
+      .map(e => LakeFileIndex.boundsOf(Seq(e), statsCols))
+      .getOrElse(Map.empty)
 }
