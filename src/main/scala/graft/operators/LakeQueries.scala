@@ -380,6 +380,43 @@ object LakeQueries {
           lit(nPruned < nAll).as("files_pruned"))
     }),
 
+    // OPTIMIZE ... ZORDER BY (k, ck): MULTI-dimensional clustering.
+    // 1-D range clustering (lake_cluster_prune) gives locality only on
+    // the leading column; the z-order bit-interleave gives per-file
+    // [min,max] stats that prune range reads on BOTH columns
+    // (~√F of the files each in 2-D). The hash layout's opens-all
+    // baseline and the post-zorder pruning on k AND ck are pinned
+    // in-band; the declared aggregate is the ck-range read itself.
+    "lake_zorder" -> ((s, dir) => {
+      val path = tablePath("lake_zorder")
+      wipe(path)
+      val b = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("ck"),
+        col("o_totalprice").as("price"))
+      val t = LakeTable.create(s, path, b.repartition(4), Seq("k", "ck"))
+      def opened(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(input_file_name()).distinct().count()
+      val Array(kMax, ckMax) = t.read()
+        .agg(max(col("k")), max(col("ck"))).head() match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+      val (lo, hi) = (ckMax / 4, ckMax / 2)
+      val hashOpensAll = opened(t.scan().filter(col("ck").between(lo, hi))) == 4
+      val total = t.history().head.totalRows
+      t.zorderCompact(total / 4 + 1, Seq("k", "ck"))
+      val nAll = opened(t.scan())
+      val prunesCk = opened(t.scan().filter(col("ck").between(lo, hi))) < nAll
+      val prunesK = opened(t.scan().filter(col("k") <= kMax / 4)) < nAll
+      t.scan().filter(col("ck").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          lit(hashOpensAll).as("hash_opens_all"),
+          lit(prunesCk).as("zorder_prunes_ck"),
+          lit(prunesK).as("zorder_prunes_k"))
+    }),
+
     // DESCRIBE HISTORY: the commit ledger (version, operation,
     // row count) across a create → copy-on-write DELETE → MERGE
     // sequence. The ledger is pure control plane (one manifest read
@@ -557,6 +594,19 @@ object LakeQueries {
         |FROM base
         |WHERE k BETWEEN (SELECT mx // 2 FROM h)
         |  AND (SELECT mx // 2 + mx // 10 FROM h)""".stripMargin,
+
+    "lake_zorder" ->
+      """WITH base AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS ck, o_totalprice AS price
+        |  FROM orders),
+        |h AS (SELECT max(ck) AS mx FROM base)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS hash_opens_all,
+        |  true AS zorder_prunes_ck,
+        |  true AS zorder_prunes_k
+        |FROM base
+        |WHERE ck BETWEEN (SELECT mx // 4 FROM h) AND (SELECT mx // 2 FROM h)""".stripMargin,
 
     "lake_history" ->
       """WITH base AS (

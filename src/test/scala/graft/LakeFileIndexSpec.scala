@@ -188,6 +188,42 @@ class LakeFileIndexSpec extends AnyFunSuite {
       (10 to 390).count(k => k % 7 != 3))
   }
 
+  test("zorderCompact prunes range reads on BOTH columns; 1-D doesn't") {
+    // grid data: a and b independent, so range-clustering by a gives
+    // ZERO locality on b
+    def grid(tag: String): LakeTable = {
+      val path = freshDir(tag) + "/t"
+      val df = (0 until 4096).toDF("i").select(
+        (col("i") / 64).cast("long").as("a"),
+        (col("i") % 64).cast("long").as("b"))
+      LakeTable.create(spark, path, df.repartition(16), Seq("a", "b"))
+    }
+    def opened(df: DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+
+    val oneD = grid("zorder1d")
+    oneD.compact(Long.MaxValue, 4096 / 16 + 1, clusterBy = Seq("a"))
+    val zed = grid("zorder2d")
+    zed.zorderCompact(4096 / 16 + 1, Seq("a", "b"))
+    val nFiles1 = opened(oneD.scan())
+    val nFilesZ = opened(zed.scan())
+    assert(nFiles1 >= 8 && nFilesZ >= 8)
+    // leading column: both prune well
+    assert(opened(oneD.scan().filter(col("a").between(10L, 13L))) <= 2)
+    assert(opened(zed.scan().filter(col("a").between(10L, 13L))) < nFilesZ / 2)
+    // second column: range clustering opens EVERYTHING, zorder prunes
+    val q = (t: LakeTable) => t.scan().filter(col("b").between(10L, 13L))
+    assert(opened(q(oneD)) == nFiles1)
+    assert(opened(q(zed)) < nFilesZ / 2,
+      s"zorder should prune on b: opened ${opened(q(zed))} of $nFilesZ")
+    // content identical to pre-zorder data
+    assert(zed.scan().count() == 4096)
+    assert(zed.scan().agg(sum(col("a") * 64 + col("b"))).head().getLong(0) ==
+      (0L until 4096L).sum)
+    // point read on the 2-D combination: a handful of files
+    assert(opened(zed.scan().filter(col("a") === 5L && col("b") === 5L)) <= 2)
+  }
+
   test("sizeInBytes comes from manifest-recorded file sizes") {
     val t = clustered("bytes")
     val fromDisk = t.fileNames(1)
