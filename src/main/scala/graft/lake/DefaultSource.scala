@@ -21,6 +21,12 @@ class DefaultSource extends RelationProvider
 
   override def shortName(): String = "graft-lake"
 
+  // SQL DDL (CREATE TABLE ... USING graft.lake) hands the path
+  // catalog-qualified ("file:/..."); LakeTable addresses the local
+  // filesystem directly, so strip the scheme.
+  private def localPath(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
   /** `df.write.format("graft.lake").mode(...).save(path)`. A first
     * write creates the table (option `statsCols`, comma-separated,
     * selects the pruning-stats columns); on an existing table Append
@@ -28,8 +34,8 @@ class DefaultSource extends RelationProvider
     */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft.lake writes require a path"))
+    val path = localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft.lake writes require a path")))
     val exists =
       Files.exists(Paths.get(path, LakeTable.LogDir)) &&
         new java.io.File(s"$path/${LakeTable.LogDir}").list() != null &&
@@ -53,9 +59,9 @@ class DefaultSource extends RelationProvider
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path",
+    val path = localPath(parameters.getOrElse("path",
       throw new IllegalArgumentException(
-        "graft.lake reads require a path: spark.read.format(\"graft.lake\").load(path)"))
+        "graft.lake reads require a path: spark.read.format(\"graft.lake\").load(path)")))
     val spark = sqlContext.sparkSession
     val t = LakeTable.forPath(spark, path)
     val version = parameters.get("version").map(_.toInt)

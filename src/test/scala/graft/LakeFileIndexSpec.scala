@@ -224,6 +224,48 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(opened(zed.scan().filter(col("a") === 5L && col("b") === 5L)) <= 2)
   }
 
+  test("CREATE TABLE ... USING graft.lake exposes the table to SQL") {
+    val t = clustered("sqlddl")
+    t.deleteWhere(col("k").between(101L, 200L))
+    spark.sql(s"""CREATE TABLE lake_sql_ddl USING graft.lake
+      OPTIONS (path '${t.path}')""")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM lake_sql_ddl")
+        .head().getLong(0) == 300)
+      // pruning applies through the SQL surface too
+      val q = spark.sql("SELECT sum(k) AS s FROM lake_sql_ddl WHERE k <= 100")
+      assert(q.head().getLong(0) == (1L to 100L).sum)
+      assert(filesOpened(
+        spark.table("lake_sql_ddl").filter(col("k") <= 100L)) == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS lake_sql_ddl")
+  }
+
+  test("raced duplicates of one streaming batch: exactly one commits") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshDir("race") + "/t"
+    def df(r: Range, tag: String) = r.toDF("k")
+      .select(col("k").cast("long").as("k"), lit(tag).as("v"))
+    val t = LakeTable.create(spark, path, df(1 to 10, "base").coalesce(1), Seq("k"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val writers = (1 to 4).map { i =>
+      Future {
+        gate.await()
+        t.appendStream(df(100 to 120, s"w$i").coalesce(1), 0L)
+      }
+    }
+    gate.countDown()
+    Await.result(Future.sequence(writers), 120.seconds)
+    // exactly one of the four landed batch 0
+    assert(t.currentVersion == 2)
+    assert(t.read().count() == 31)
+    assert(t.lastStreamBatchId == 0L)
+    // and the losers' staged files were cleaned up
+    val onDisk = new File(path).list((_, n) => n.endsWith(".parquet")).toSet
+    assert(onDisk == t.fileNames(2).toSet)
+  }
+
   test("sizeInBytes comes from manifest-recorded file sizes") {
     val t = clustered("bytes")
     val fromDisk = t.fileNames(1)
