@@ -273,7 +273,21 @@ class LakeTable private (spark: SparkSession, val path: String) {
     * manifest entries, stats included, are reused verbatim).
     * `updates` must have unique keys and the table's schema.
     */
-  def merge(updates: DataFrame, keyCol: String): Int = {
+  def merge(updates: DataFrame, keyCol: String): Int =
+    merge(updates, keyCol, None)
+
+  /** Full MERGE INTO with a `WHEN MATCHED AND <cond> THEN DELETE` arm:
+    * `deleteWhen` (evaluated against the UPDATE row) selects source
+    * rows that DELETE their matched target row instead of replacing
+    * it; source rows satisfying it with no match are ignored (not
+    * inserted). One atomic commit covers updates, inserts, and
+    * deletes; the copy-on-write rewrite set is still bounded by the
+    * source's key range, so the stats pruning is identical to the
+    * plain upsert — at 100 TB a mixed merge touches the overlapping
+    * files, not the table.
+    */
+  def merge(updates: DataFrame, keyCol: String,
+      deleteWhen: Option[Column]): Int = {
     val v = currentVersion
     val base = manifest(v)
     requireSameSchema(updates.schema, base)
@@ -289,11 +303,18 @@ class LakeTable private (spark: SparkSession, val path: String) {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema)
         .parquet(candidates.map(f => s"$path/${f.name}"): _*)
+    // surviving source rows: everything (upsert), or minus the
+    // delete-arm rows (their matched targets vanish via the anti-join,
+    // and unmatched delete-arm rows are not inserted)
+    val surviving = deleteWhen match {
+      case Some(cond) => updates.filter(!cond)
+      case None => updates
+    }
     val merged = candData
       .join(updates.select(col(keyCol).as("_upd_key")),
         col(keyCol) === col("_upd_key"), "left_anti")
       .select(cols: _*)
-      .unionByName(updates.select(cols: _*))
+      .unionByName(surviving.select(cols: _*))
     val staged = stageFiles(merged, base)
     commit(v + 1, "merge", untouched ++ staged, base)
   }

@@ -79,6 +79,28 @@ object LakeQueries {
           lit(hiUntouched).as("hi_files_untouched"))
     }),
 
+    // full MERGE INTO with a WHEN MATCHED AND <cond> THEN DELETE arm:
+    // one atomic commit updates the k%10=0 rows (price+100, status U)
+    // EXCEPT the k%20=0 subset, which is deleted outright. The source
+    // key range stays in the lo file, so the hi file is still carried
+    // by reference — mixed-arm merges prune exactly like upserts.
+    "lake_merge_delete" -> ((s, dir) => {
+      val (t, half) = twoFileTable(s, dir, "lake_merge_del")
+      val hiFiles = t.fileNames(2).toSet -- t.fileNames(1).toSet
+      val updates = base(s, dir)
+        .filter(col("k") % 10 === 0 && col("k") <= half)
+        .select(col("k"), lit("U").as("status"),
+          (col("price") + 100.0).as("price"))
+      t.merge(updates, "k", Some(col("k") % 20 === 0))
+      val hiUntouched = hiFiles.subsetOf(t.fileNames(3).toSet)
+      t.read().agg(
+          count(lit(1)).as("n_rows"),
+          count_if(col("status") === "U").as("n_updated"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("n_updated"), col("total_price"),
+          lit(hiUntouched).as("hi_files_untouched"))
+    }),
+
     // time travel: v1 = full table, v2 = DELETE k%13=0 (copy-on-write),
     // v3 = MERGE price+50 on surviving k%7=0. Every retained version
     // stays exactly readable — the declared result is the per-version
@@ -454,6 +476,24 @@ object LakeQueries {
         |  SELECT * FROM updates
         |  UNION ALL
         |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM updates))
+        |SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE status = 'U') AS n_updated,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS hi_files_untouched
+        |FROM merged""".stripMargin,
+
+    "lake_merge_delete" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |h AS (SELECT max(k) // 2 AS half FROM base),
+        |merged AS (
+        |  SELECT k, status, price FROM base
+        |  WHERE NOT (k % 10 = 0 AND k <= (SELECT half FROM h))
+        |  UNION ALL
+        |  SELECT k, 'U', price + 100.0 FROM base
+        |  WHERE k % 10 = 0 AND k <= (SELECT half FROM h) AND k % 20 <> 0)
         |SELECT count(*) AS n_rows,
         |  count(*) FILTER (WHERE status = 'U') AS n_updated,
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,

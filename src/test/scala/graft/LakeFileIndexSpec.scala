@@ -266,6 +266,31 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(onDisk == t.fileNames(2).toSet)
   }
 
+  test("merge with a delete arm: update, delete, insert, ignored-delete") {
+    val path = freshDir("mgdel") + "/t"
+    def df(rows: Seq[(Long, String)]) =
+      rows.toDF("k", "v")
+    val t = LakeTable.create(spark, path,
+      df((1L to 10L).map(k => k -> s"base$k")).coalesce(1), Seq("k"))
+    val src = df(Seq(
+      2L -> "upd",      // matched, no delete arm → replaced
+      4L -> "DEL",      // matched + delete arm → row 4 vanishes
+      20L -> "ins",     // unmatched, no delete arm → inserted
+      21L -> "DEL"))    // unmatched + delete arm → ignored
+      .coalesce(1)
+    t.merge(src, "k", Some(col("v") === "DEL"))
+    val out = t.read().as[(Long, String)].collect().toMap
+    assert(out.size == 10) // 10 - 1 deleted + 1 inserted
+    assert(out(2L) == "upd")
+    assert(!out.contains(4L))
+    assert(out(20L) == "ins")
+    assert(!out.contains(21L))
+    assert(out(3L) == "base3")
+    // plain upsert unchanged through the overload
+    t.merge(df(Seq(5L -> "up2")).coalesce(1), "k")
+    assert(t.read().count() == 10)
+  }
+
   test("sizeInBytes comes from manifest-recorded file sizes") {
     val t = clustered("bytes")
     val fromDisk = t.fileNames(1)
