@@ -167,10 +167,15 @@ private[lake] object LakeFileIndex {
   // `child.resolved` guards the dataType access: deleteWhere feeds
   // UNRESOLVED Column expressions through boundsOf, and an unresolved
   // attribute has no dataType to inspect (casts just stay unstripped
-  // there — conservative).
+  // there — conservative). Only WIDENING casts are stripped: a
+  // narrowing CAST(longCol AS INT) wraps on overflow, so a row with
+  // longCol = 2^32+5 satisfies `cast < 10` while its file's long
+  // [min,max] sits entirely above the derived bound — stripping the
+  // cast there would prune a file that holds matching rows.
   private def stripCast(e: Expression): Expression = e match {
     case Cast(child, t, _, _)
-        if isIntegral(t) && child.resolved && isIntegral(child.dataType) =>
+        if isIntegral(t) && child.resolved && isIntegral(child.dataType) &&
+          integralWidth(child.dataType) <= integralWidth(t) =>
       stripCast(child)
     case other => other
   }
@@ -178,6 +183,14 @@ private[lake] object LakeFileIndex {
   private def isIntegral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
+  }
+
+  private def integralWidth(t: DataType): Int = t match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 4
+    case LongType => 8
+    case _ => Int.MaxValue
   }
 
   private object IntegralLit {

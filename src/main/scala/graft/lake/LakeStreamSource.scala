@@ -100,8 +100,8 @@ private[lake] class LakeStreamingSource(
 
   private def ver(o: Offset): Int = o.json.trim.toInt
 
-  private def filesOf(version: Int): Seq[String] =
-    if (version <= 0) Seq.empty else table.fileNames(version)
+  private def entriesOf(version: Int): Seq[FileEntry] =
+    if (version <= 0) Seq.empty else table.manifest(version).files
 
   override def getOffset: Option[Offset] = synchronized {
     val cur = table.currentVersion
@@ -116,24 +116,27 @@ private[lake] class LakeStreamingSource(
     val startVer = start.map(ver).getOrElse(startingVersion)
     val endVer = ver(end)
     synchronized { offered = math.max(offered, endVer) }
-    val before = filesOf(startVer)
-    val after = filesOf(endVer).toSet
-    val rewritten = before.filterNot(after)
+    val before = entriesOf(startVer)
+    val after = entriesOf(endVer)
+    // change detection by SIGNATURE (name + deletion-vector set): a
+    // copy-on-write rewrite removes names, and a merge-on-read DELETE
+    // changes a file's DV set without renaming it — both break the
+    // append-only contract the same way
+    val afterSigs = after.map(_.signature).toSet
+    val rewritten = before.filterNot(f => afterSigs(f.signature))
     if (rewritten.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
         s"lake table $path had files rewritten between v$startVer and v$endVer " +
-        s"(e.g. ${rewritten.head}): a merge/delete/compact crossed the stream. " +
+        s"(e.g. ${rewritten.head.name}): a merge/delete/compact crossed the stream. " +
         "Restart from a fresh startingVersion or set ignoreChanges=true " +
         "(at-least-once: rewritten survivors re-emit; downstream must key-dedup).")
-    val beforeSet = before.toSet
-    val added = filesOf(endVer).filterNot(beforeSet)
+    val beforeNames = before.map(_.name).toSet
+    val added = after.filterNot(f => beforeNames(f.name))
     // The batch DataFrame must carry isStreaming=true for the microbatch
     // planner; wrap the batch parquet scan's physical RDD in a streaming
     // LogicalRDD (the FileStreamSource/internalCreateDataFrame shape).
-    val batch =
-      if (added.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(added.map(n => s"$path/$n"): _*)
+    // readEntries applies any deletion vectors already on the new files.
+    val batch = table.readEntries(added, schema)
     val qe = batch.queryExecution
     new ClassicDataset[Row](spark,
       LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(spark),

@@ -90,17 +90,63 @@ class LakeTable private (spark: SparkSession, val path: String) {
     */
   def scan(): DataFrame = scanVersion(currentVersion)
 
-  /** [[scan]] with time travel. */
-  def scanVersion(version: Int): DataFrame =
-    new LakeFileIndex(spark, path, manifest(version)).toDataFrame
-
-  private def readManifest(m: Manifest): DataFrame = {
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    if (m.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      spark.read.schema(schema).parquet(m.files.map(f => s"$path/${f.name}"): _*)
+  /** [[scan]] with time travel. When the snapshot carries deletion
+    * vectors, the masked positions are anti-joined ON TOP of the
+    * index-planned scan: pushed data filters still reach
+    * [[LakeFileIndex]] (left-side predicates push through a left-anti
+    * join), so manifest-stats file pruning is unchanged and the DV mask
+    * costs one broadcast-sized join only when DVs exist.
+    */
+  def scanVersion(version: Int): DataFrame = {
+    val m = manifest(version)
+    val planned = new LakeFileIndex(spark, path, m).toDataFrame
+    val sidecars = m.files.flatMap(_.dv).distinct
+    if (sidecars.isEmpty) planned
+    else planned
+      .select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("_gf_file"),
+        col("_metadata.row_index").as("_gf_pos"))
+      .join(readSidecars(sidecars), Seq("_gf_file", "_gf_pos"), "left_anti")
+      .drop("_gf_file", "_gf_pos")
   }
+
+  private def readManifest(m: Manifest): DataFrame =
+    readEntries(m.files, DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+
+  /** Read a set of manifest entries, applying any deletion vectors:
+    * files without DVs read as plain parquet; files WITH them are read
+    * alongside the parquet metadata columns and anti-joined against
+    * their sidecars' (file, row position) pairs. Sidecars are tiny next
+    * to the data (positions of deleted rows only), so the anti-join is
+    * broadcast-shaped at scale; files untouched by any delete pay
+    * nothing.
+    */
+  private[lake] def readEntries(entries: Seq[FileEntry],
+      schema: StructType): DataFrame = {
+    if (entries.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val (dvd, plain) = entries.partition(_.dv.nonEmpty)
+    def readPlain(fs: Seq[FileEntry]): DataFrame = spark.read.schema(schema)
+      .parquet(fs.map(f => s"$path/${f.name}"): _*)
+    val sides = Seq(
+      if (plain.isEmpty) None else Some(readPlain(plain)),
+      if (dvd.isEmpty) None else Some {
+        val deleted = readSidecars(dvd.flatMap(_.dv).distinct)
+        readPlain(dvd)
+          .select(col("*"),
+            element_at(split(col("_metadata.file_path"), "/"), -1)
+              .as("_gf_file"),
+            col("_metadata.row_index").as("_gf_pos"))
+          .join(deleted, Seq("_gf_file", "_gf_pos"), "left_anti")
+          .drop("_gf_file", "_gf_pos")
+      }).flatten
+    sides.reduce(_ unionByName _)
+  }
+
+  /** The (file, position) pairs the given sidecars mask out. */
+  private def readSidecars(names: Seq[String]): DataFrame =
+    spark.read.parquet(names.map(n => s"$path/$n"): _*)
+      .select(col("_gf_file"), col("_gf_pos"))
 
   /** Stats-pruned read: skip every file whose [min,max] for `col` lies
     * outside [lo, hi] — manifest-level file skipping, no footer reads.
@@ -109,11 +155,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
   def prunedRead(col: String, lo: Long, hi: Long): DataFrame = {
     val m = manifest(currentVersion)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    val keep = m.files.filter(_.overlaps(col, lo, hi))
-    if (keep.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema)
-      .parquet(keep.map(f => s"$path/${f.name}"): _*)
+    readEntries(m.files.filter(_.overlaps(col, lo, hi)), schema)
   }
 
   /** Incremental (streaming-style) consumption: the rows in files that
@@ -131,10 +173,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val old = manifest(sinceVersion).files.map(_.name).toSet
     val added = cur.files.filterNot(f => old(f.name))
     val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
-    if (added.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema)
-      .parquet(added.map(f => s"$path/${f.name}"): _*)
+    readEntries(added, schema)
   }
 
   /** Row-level change feed between two retained versions: rows only in
@@ -152,15 +191,15 @@ class LakeTable private (spark: SparkSession, val path: String) {
     require(mFrom.schemaJson == mTo.schemaJson,
       s"schema changed between v$from and v$to; diff them with explicit casts")
     val schema = DataType.fromJson(mTo.schemaJson).asInstanceOf[StructType]
-    val fromNames = mFrom.files.map(_.name).toSet
-    val toNames = mTo.files.map(_.name).toSet
-    def side(files: Seq[FileEntry]): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(files.map(f => s"$path/${f.name}"): _*)
-    val onlyFrom = side(mFrom.files.filterNot(f => toNames(f.name)))
-    val onlyTo = side(mTo.files.filterNot(f => fromNames(f.name)))
+    // share by SIGNATURE (name + deletion-vector set), not bare name: a
+    // merge-on-read delete changes a file's logical content without
+    // renaming it, and its removed rows must surface as 'delete'
+    val fromSigs = mFrom.files.map(_.signature).toSet
+    val toSigs = mTo.files.map(_.signature).toSet
+    val onlyFrom = readEntries(
+      mFrom.files.filterNot(f => toSigs(f.signature)), schema)
+    val onlyTo = readEntries(
+      mTo.files.filterNot(f => fromSigs(f.signature)), schema)
     onlyTo.exceptAll(onlyFrom).withColumn("_change_type", lit("insert"))
       .unionByName(onlyFrom.exceptAll(onlyTo).withColumn("_change_type", lit("delete")))
   }
@@ -171,11 +210,14 @@ class LakeTable private (spark: SparkSession, val path: String) {
     */
   def fileNames(version: Int): Seq[String] = manifest(version).files.map(_.name)
 
-  /** The commit log, oldest first (only retained versions). */
+  /** The commit log, oldest first (only retained versions); row counts
+    * are LOGICAL (deletion-vector-masked rows excluded).
+    */
   def history(): Seq[LakeCommit] =
     listVersions.sorted.map { v =>
       val m = manifest(v)
-      LakeCommit(v, m.operation, m.files.size, m.files.map(_.rows).sum)
+      LakeCommit(v, m.operation, m.files.size,
+        m.files.map(f => f.rows - f.dvRows).sum)
     }
 
   // ---- writes -----------------------------------------------------------
@@ -185,6 +227,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     * version automatically.
     */
   def append(df: DataFrame): Int = {
+    validateChecks(df, manifest(currentVersion))
     val staged = stageFiles(df)
     retryCommit { v =>
       val base = manifest(v)
@@ -194,35 +237,59 @@ class LakeTable private (spark: SparkSession, val path: String) {
   }
 
   /** Exactly-once streaming append: the sink half of
-    * `writeStream.foreachBatch((df, id) => t.appendStream(df, id))`.
-    * The manifest records the highest batch id committed (`txn` in the
-    * head line), so a batch REPLAYED after a crash — same id, possibly
-    * recomputed data — is recognized and skipped instead of appended
-    * twice. Returns the current version either way. The check-and-
-    * commit is atomic under the exclusive-publish primitive: a racing
-    * duplicate of the same batch loses the `createLink` and re-checks.
+    * `writeStream.foreachBatch((df, id) => t.appendStream(df, appId, id))`.
+    * The manifest records, PER APPLICATION, the highest batch id
+    * committed (`txns: {appId -> lastBatchId}` in the head line) — the
+    * Delta `SetTransaction` pattern. Scoping by `appId` is what makes
+    * the ledger safe: two different streaming queries appending to the
+    * same table never skip each other's batches, because each consults
+    * only its own entry. A batch REPLAYED after a crash — same
+    * (appId, id), possibly recomputed data — is recognized and skipped
+    * instead of appended twice. Returns the current version either way.
+    * The check-and-commit is atomic under the exclusive-publish
+    * primitive: a racing duplicate of the same batch loses the
+    * `createLink` and re-checks.
+    *
+    * `appId` must be stable across restarts of the SAME logical query
+    * (e.g. the checkpoint location or `query.id`). Restarting with a
+    * FRESH checkpoint restarts batch ids at 0; to avoid silently
+    * dropping those batches, a batchId far below the ledger (regression
+    * by more than one, which replay can never produce) fails loudly —
+    * pick a new appId for a genuinely new incarnation.
     */
-  def appendStream(df: DataFrame, batchId: Long): Int = {
+  def appendStream(df: DataFrame, appId: String, batchId: Long): Int = {
     require(batchId >= 0, "streaming batch ids are non-negative")
-    if (manifest(currentVersion).txnBatchId >= batchId) return currentVersion
+    require(appId.nonEmpty, "appId must be non-empty (scope of the txn ledger)")
+    def ledger(m: Manifest): Long = m.txns.getOrElse(appId, -1L)
+    def checkRegression(last: Long): Unit = require(batchId >= last,
+      s"batch id $batchId regresses below app '$appId' ledger $last: a fresh " +
+        "checkpoint restarted batch ids — use a new appId, or data WOULD be dropped")
+    val head = ledger(manifest(currentVersion))
+    if (head == batchId) return currentVersion
+    checkRegression(head)
+    validateChecks(df, manifest(currentVersion))
     val staged = stageFiles(df)
     retryCommit { v =>
       val base = manifest(v)
-      if (base.txnBatchId >= batchId) {
+      val last = ledger(base)
+      if (last == batchId) {
         // lost a race to a duplicate of this very batch: drop our files
         staged.foreach(f => Files.deleteIfExists(Paths.get(path, f.name)))
         v
       } else {
+        checkRegression(last)
         requireSameSchema(df.schema, base)
         LakeTable.commit(logDir.toString, v + 1,
           base.copy(operation = "stream-append",
-            files = base.files ++ staged, txnBatchId = batchId))
+            files = base.files ++ staged,
+            txns = base.txns + (appId -> batchId)))
       }
     }
   }
 
-  /** Highest streaming batch id ever committed, or -1. */
-  def lastStreamBatchId: Long = manifest(currentVersion).txnBatchId
+  /** Highest streaming batch id committed under `appId`, or -1. */
+  def lastStreamBatchId(appId: String): Long =
+    manifest(currentVersion).txns.getOrElse(appId, -1L)
 
   /** Schema-evolving append (mergeSchema semantics): `df` may ADD
     * columns (readers of the new snapshot see NULL for them in
@@ -247,6 +314,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
       if (df.columns.contains(n)) col(n)
       else lit(null).cast(unified(n).dataType).as(n)
     }: _*)
+    validateChecks(aligned, base0)
     val staged = LakeTable.stage(spark, path, aligned, base0.statsCols)
     retryCommit { v =>
       val base = manifest(v)
@@ -259,6 +327,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
 
   /** Replace the table contents with `df` (schema may change). */
   def overwrite(df: DataFrame): Int = {
+    validateChecks(df, manifest(currentVersion))
     val staged = stageFiles(df)
     val v = currentVersion
     val base = manifest(v)
@@ -298,18 +367,18 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val (candidates, untouched) = base.files.partition(_.overlaps(keyCol, lo, hi))
     val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
     val cols = schema.fieldNames.map(col).toSeq
-    val candData =
-      if (candidates.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(candidates.map(f => s"$path/${f.name}"): _*)
+    val candData = readEntries(candidates, schema)
     // surviving source rows: everything (upsert), or minus the
     // delete-arm rows (their matched targets vanish via the anti-join,
-    // and unmatched delete-arm rows are not inserted)
+    // and unmatched delete-arm rows are not inserted). SQL MERGE treats
+    // a NULL `WHEN MATCHED AND cond` as NOT matching the arm, so a
+    // NULL-condition row must survive (= be updated/inserted), not be
+    // silently deleted — hence the coalesce to false before negating.
     val surviving = deleteWhen match {
-      case Some(cond) => updates.filter(!cond)
+      case Some(cond) => updates.filter(!coalesce(cond, lit(false)))
       case None => updates
     }
+    validateChecks(surviving, base)
     val merged = candData
       .join(updates.select(col(keyCol).as("_upd_key")),
         col(keyCol) === col("_upd_key"), "left_anti")
@@ -335,27 +404,106 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val base = manifest(v)
     if (base.files.isEmpty) return v
     val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-    val all = spark.read.schema(schema)
-      .parquet(base.files.map(f => s"$path/${f.name}"): _*)
-    val bounds = LakeFileIndex.resolvedCondition(all, cond)
-      .map(e => LakeFileIndex.boundsOf(Seq(e), base.statsCols.toSet))
-      .getOrElse(Map.empty)
-    val candidates = base.files.filter { f =>
-      bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) }
-    }
+    val candidates = statsCandidates(base, cond, schema)
     if (candidates.isEmpty) return v
-    val data = spark.read.schema(schema)
-      .parquet(candidates.map(f => s"$path/${f.name}"): _*)
-    val touchedNames = data.filter(cond)
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(r => new File(r.getString(0)).getName).toSet
+    val touchedNames = liveRows(candidates, schema).filter(cond)
+      .select(col("_gf_file")).distinct()
+      .collect().map(_.getString(0)).toSet
     if (touchedNames.isEmpty) return v
     val (touched, untouched) = base.files.partition(f => touchedNames(f.name))
-    val kept = spark.read.schema(schema)
-      .parquet(touched.map(f => s"$path/${f.name}"): _*)
-      .filter(!cond)
+    // NULL conditions keep the row (SQL DELETE removes cond=TRUE only)
+    val kept = readEntries(touched, schema).filter(!coalesce(cond, lit(false)))
     val staged = if (kept.isEmpty) Seq.empty else stageFiles(kept, base)
     commit(v + 1, "delete", untouched ++ staged, base)
+  }
+
+  /** Merge-on-read DELETE: instead of copy-on-write rewriting every
+    * file that contains a matching row ([[deleteWhere]]), record the
+    * matching ROW POSITIONS in a deletion-vector sidecar and commit a
+    * manifest whose touched entries reference it — the Delta
+    * deletion-vectors trade. No data file is rewritten; every read path
+    * (read / scan / prunedRead / merge / changesBetween / compact)
+    * masks the recorded positions via an anti-join on
+    * (file, `_metadata.row_index`). At 100 TB this turns a point delete
+    * from rewriting N×1 GB files into writing one KB-scale sidecar; the
+    * read-side cost is a broadcast anti-join against the (small) live
+    * DV set, reclaimed the next time compaction rewrites the file.
+    * Candidate files are stats-pruned exactly like the CoW delete; a
+    * file whose every row ends up masked is dropped from the manifest
+    * outright.
+    */
+  def deleteWhereMoR(cond: Column): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    if (base.files.isEmpty) return v
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val candidates = statsCandidates(base, cond, schema)
+    if (candidates.isEmpty) return v
+    val hits = liveRows(candidates, schema).filter(cond)
+      .select(col("_gf_file"), col("_gf_pos"))
+    // one sidecar parquet per delete (positions are small next to data;
+    // a delete wide enough to make this big belongs in deleteWhere)
+    val job = UUID.randomUUID().toString.replace("-", "").take(12)
+    val scratch = Paths.get(path, s"_staging_dv_$job")
+    hits.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = Option(scratch.toFile.list((_, n) =>
+        n.startsWith("part-") && n.endsWith(".parquet")))
+      .getOrElse(Array.empty[String]).sorted.headOption
+    val sidecar = part.map { p =>
+      val target = s"dv-$job.parquet"
+      Files.move(scratch.resolve(p), Paths.get(path, target),
+        StandardCopyOption.ATOMIC_MOVE)
+      target
+    }
+    LakeTable.deleteRecursively(scratch)
+    if (sidecar.isEmpty) return v
+    val perFile = spark.read.parquet(s"$path/${sidecar.get}")
+      .groupBy(col("_gf_file")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFile.isEmpty) {
+      Files.deleteIfExists(Paths.get(path, sidecar.get))
+      return v
+    }
+    val newFiles = base.files.flatMap { f =>
+      perFile.get(f.name) match {
+        case Some(n) if f.dvRows + n >= f.rows => None // fully deleted
+        case Some(n) =>
+          Some(f.copy(dv = f.dv :+ sidecar.get, dvRows = f.dvRows + n))
+        case None => Some(f)
+      }
+    }
+    commit(v + 1, "delete-mor", newFiles, base)
+  }
+
+  /** Manifest entries whose stats could overlap `cond` (the shared
+    * candidate pruning of both delete flavors): integral-comparison
+    * conjuncts become per-column bounds, anything else keeps the file.
+    */
+  private def statsCandidates(base: Manifest, cond: Column,
+      schema: StructType): Seq[FileEntry] = {
+    val probe = readEntries(base.files, schema)
+    val bounds = LakeFileIndex.resolvedCondition(probe, cond)
+      .map(e => LakeFileIndex.boundsOf(Seq(e), base.statsCols.toSet))
+      .getOrElse(Map.empty)
+    base.files.filter { f =>
+      bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) }
+    }
+  }
+
+  /** The LIVE rows of `entries` (deletion vectors applied) with their
+    * physical provenance exposed as `_gf_file` / `_gf_pos` — the probe
+    * both delete flavors share.
+    */
+  private def liveRows(entries: Seq[FileEntry],
+      schema: StructType): DataFrame = {
+    val raw = spark.read.schema(schema)
+      .parquet(entries.map(f => s"$path/${f.name}"): _*)
+      .select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("_gf_file"),
+        col("_metadata.row_index").as("_gf_pos"))
+    val sidecars = entries.flatMap(_.dv).distinct
+    if (sidecars.isEmpty) raw
+    else raw.join(readSidecars(sidecars), Seq("_gf_file", "_gf_pos"), "left_anti")
   }
 
   /** OPTIMIZE: bin-pack the small files (rows < `smallFileRows`) into
@@ -380,12 +528,11 @@ class LakeTable private (spark: SparkSession, val path: String) {
   def compact(smallFileRows: Long, targetRows: Long, clusterBy: Seq[String]): Int = {
     val v = currentVersion
     val base = manifest(v)
-    val (small, big) = base.files.partition(_.rows < smallFileRows)
+    val (small, big) = base.files.partition(f => f.rows - f.dvRows < smallFileRows)
     if (small.size < 2) return v
     val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-    val data = spark.read.schema(schema)
-      .parquet(small.map(f => s"$path/${f.name}"): _*)
-    val totalRows = small.map(_.rows).sum
+    val data = readEntries(small, schema) // DVs applied → purged by the rewrite
+    val totalRows = small.map(f => f.rows - f.dvRows).sum
     val nOut = math.max(1, math.ceil(totalRows.toDouble / targetRows).toInt)
     val laidOut =
       if (clusterBy.isEmpty) data.repartition(nOut)
@@ -424,8 +571,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
       require(LakeTable.isIntegral(schema(c).dataType),
         s"zorder column $c must be integral, is ${schema(c).dataType}")
     }
-    val data = spark.read.schema(schema)
-      .parquet(base.files.map(f => s"$path/${f.name}"): _*)
+    val data = readEntries(base.files, schema)
     // global [lo, hi] per column: manifest stats when every file
     // recorded them (control plane), else one data-plane aggregate
     val ranges: Map[String, (Long, Long)] = {
@@ -449,14 +595,28 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val bits = math.max(1, 32 / zorderBy.size) // z fits in a long
     val buckets = 1L << bits
     // bucket_i in [0, 2^bits): (v - lo) * buckets / (hi - lo + 1),
-    // nulls to bucket 0. Plain long arithmetic — safe while
-    // (hi - lo + 1) * buckets fits a long; the stats columns here are
-    // surrogate-key-ranged, far below 2^32.
+    // nulls to bucket 0. Long arithmetic needs (v - lo) * buckets to
+    // fit a long for every v in [lo, hi] — i.e. span * buckets < 2^63.
+    // Wide columns (span beyond ~2^{63-bits}) switch to double scaling:
+    // a 53-bit mantissa can misplace a value by one bucket at the very
+    // edges, which only perturbs the layout (clustering quality), never
+    // content — identical rows come out either way.
     def bucketOf(c: String): Column = {
       val (lo, hi) = ranges(c)
-      val span = math.max(1L, hi - lo + 1L)
-      val scaled = (coalesce(col(c).cast("long"), lit(lo)) - lit(lo)) *
-        lit(buckets) / lit(span)
+      val spanOk = hi - lo + 1L > 0L // hi - lo itself can overflow
+      val scaled =
+        if (spanOk && (hi - lo + 1L) <= Long.MaxValue / buckets) {
+          val span = math.max(1L, hi - lo + 1L)
+          (coalesce(col(c).cast("long"), lit(lo)) - lit(lo)) *
+            lit(buckets) / lit(span)
+        } else {
+          // (v - lo) can overflow a long too when the span does —
+          // normalize in double end to end
+          val spanD = hi.toDouble - lo.toDouble + 1.0
+          ((coalesce(col(c).cast("double"), lit(lo.toDouble)) -
+            lit(lo.toDouble)) * lit(buckets.toDouble) / lit(spanD))
+            .cast("long")
+        }
       least(greatest(scaled, lit(0L)), lit(buckets - 1L))
     }
     // z = round-robin bit interleave: bit j of bucket_i lands at
@@ -469,7 +629,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
         shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * n + i)
       }.reduce(_.bitwiseOR(_))
     }.reduce(_.bitwiseOR(_))
-    val totalRows = base.files.map(_.rows).sum
+    val totalRows = base.files.map(f => f.rows - f.dvRows).sum
     val nOut = math.max(1, math.ceil(totalRows.toDouble / targetRows).toInt)
     val laidOut = data.withColumn("_graft_z", z)
       .repartitionByRange(nOut, col("_graft_z"))
@@ -487,7 +647,9 @@ class LakeTable private (spark: SparkSession, val path: String) {
     require(retainVersions >= 1, "must retain at least the current version")
     val vs = listVersions.sorted
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainVersions))
-    val referenced = keep.flatMap(v => manifest(v).files.map(_.name)).toSet
+    val referenced = keep.flatMap { v =>
+      manifest(v).files.flatMap(f => f.name +: f.dv)
+    }.toSet
     val dataDead = Option(new File(path).list((_, n) => n.endsWith(".parquet")))
       .getOrElse(Array.empty[String]).toSeq.filterNot(referenced)
     dataDead.foreach(n => Files.deleteIfExists(Paths.get(path, n)))
@@ -496,6 +658,72 @@ class LakeTable private (spark: SparkSession, val path: String) {
       .getOrElse(Array.empty[String])
       .foreach(n => Files.deleteIfExists(logDir.resolve(n)))
     dataDead
+  }
+
+  /** RESTORE TABLE ... TO VERSION: make retained snapshot `version`
+    * current again, as a NEW commit — history is append-only and no
+    * data moves (the restored manifest references the same immutable
+    * files, which retention kept alive because the version is still in
+    * the log). The streaming ledger (`txns`) is carried from the
+    * CURRENT head, never rolled back: replay protection must survive a
+    * restore or a checkpointed stream would double-append.
+    */
+  def restore(version: Int): Int = {
+    val cur = currentVersion
+    if (version == cur) return cur
+    val target = manifest(version) // validates the version is retained
+    LakeTable.commit(logDir.toString, cur + 1,
+      target.copy(operation = "restore", txns = manifest(cur).txns))
+  }
+
+  /** ADD CONSTRAINT name CHECK (exprSql): the CURRENT snapshot is
+    * validated first (one aggregate over the data — paid once), then
+    * the constraint is recorded in the manifest so every subsequent
+    * write validates its INCOMING rows only (the existing data was
+    * proven at add time — the Delta invariant model; at 100 TB each
+    * append scans the appended delta, never the table). NULL
+    * evaluations PASS, per SQL CHECK three-valued semantics.
+    */
+  def addCheck(name: String, exprSql: String): Int = {
+    require(name.nonEmpty, "constraint name must be non-empty")
+    val v = currentVersion
+    val base = manifest(v)
+    require(!base.checks.contains(name), s"constraint $name already exists")
+    val probe = readManifest(base)
+    probe.filter(!coalesce(expr(exprSql), lit(true))).limit(1).count() match {
+      case 0L =>
+      case _ => throw new CheckViolationException(name, exprSql, "existing rows")
+    }
+    commit(v + 1, "add-check", base.files,
+      base.copy(checks = base.checks + (name -> exprSql)))
+  }
+
+  /** DROP CONSTRAINT: metadata-only commit. */
+  def dropCheck(name: String): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    require(base.checks.contains(name), s"no such constraint: $name")
+    commit(v + 1, "drop-check", base.files,
+      base.copy(checks = base.checks - name))
+  }
+
+  /** The recorded CHECK constraints (name -> SQL expression). */
+  def checks: Map[String, String] = manifest(currentVersion).checks
+
+  /** One aggregate pass over the incoming rows, all constraints at
+    * once; throws [[CheckViolationException]] naming the first violated
+    * one. Runs BEFORE staging so a rejected write leaves no orphans.
+    */
+  private def validateChecks(df: DataFrame, base: Manifest): Unit = {
+    if (base.checks.isEmpty) return
+    val aggs = base.checks.toSeq.map { case (n, e) =>
+      count_if(!coalesce(expr(e), lit(true))).as(n)
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    base.checks.toSeq.foreach { case (n, e) =>
+      if (r.getAs[Long](n) > 0L)
+        throw new CheckViolationException(n, e, s"${r.getAs[Long](n)} incoming rows")
+    }
   }
 
   // ---- internals --------------------------------------------------------
@@ -541,25 +769,42 @@ class LakeTable private (spark: SparkSession, val path: String) {
 }
 
 /** One committed version: the manifest line-set for a snapshot.
-  * `txnBatchId` is the highest streaming batch id ever appended by
-  * [[LakeTable.appendStream]] (-1 = none): it rides along every commit
-  * so a replayed microbatch is recognized and skipped even after later
-  * batch writes — the exactly-once ledger of the streaming sink.
+  * `txns` is the per-application streaming ledger: for each appId the
+  * highest batch id ever appended by [[LakeTable.appendStream]]. It
+  * rides along every commit so a replayed microbatch is recognized and
+  * skipped even after later batch writes — the exactly-once ledger of
+  * the streaming sink, scoped like Delta's SetTransaction so distinct
+  * queries never skip each other's batches.
   */
 private[lake] case class Manifest(operation: String, schemaJson: String,
-    statsCols: Seq[String], files: Seq[FileEntry], txnBatchId: Long = -1L)
+    statsCols: Seq[String], files: Seq[FileEntry],
+    txns: Map[String, Long] = Map.empty,
+    checks: Map[String, String] = Map.empty)
 
 /** One immutable data file with optional per-column long [min,max].
   * `bytes` (0 = unrecorded, pre-upgrade manifests) feeds split planning
-  * in [[LakeFileIndex]] without per-file filesystem stats.
+  * in [[LakeFileIndex]] without per-file filesystem stats. `dv` lists
+  * the deletion-vector sidecars whose recorded (file, row position)
+  * pairs mask rows of THIS file out of every read (merge-on-read
+  * deletes); `dvRows` is how many of `rows` they mask (logical rows =
+  * rows - dvRows). `rows` stays the physical parquet count.
   */
 private[lake] case class FileEntry(name: String, rows: Long,
-    stats: Map[String, (Long, Long)], bytes: Long = 0L) {
+    stats: Map[String, (Long, Long)], bytes: Long = 0L,
+    dv: Seq[String] = Nil, dvRows: Long = 0L) {
   /** Can this file contain a value of `col` in [lo, hi]? Conservative:
-    * no stats for `col` → yes.
+    * no stats for `col` → yes. Still valid with deletion vectors — a
+    * DV only narrows the live set, so [min,max] stays an
+    * over-approximation.
     */
   def overlaps(col: String, lo: Long, hi: Long): Boolean =
     stats.get(col).forall { case (mn, mx) => mx >= lo && mn <= hi }
+
+  /** Snapshot identity for change detection: the same physical file
+    * with a different deletion-vector set is a DIFFERENT logical
+    * content (a MoR delete changes rows without changing `name`).
+    */
+  def signature: String = s"$name|${dv.mkString(",")}"
 }
 
 case class LakeCommit(version: Int, operation: String, numFiles: Int, totalRows: Long)
@@ -567,6 +812,13 @@ case class LakeCommit(version: Int, operation: String, numFiles: Int, totalRows:
 /** A racing writer already published this version. */
 class ConcurrentCommitException(version: Int)
   extends RuntimeException(s"version $version was committed concurrently")
+
+/** A CHECK constraint rejected a write (or, at add time, the existing
+  * data). The write staged nothing and committed nothing.
+  */
+class CheckViolationException(name: String, exprSql: String, where: String)
+  extends RuntimeException(
+    s"CHECK constraint $name ($exprSql) violated by $where")
 
 object LakeTable {
   private[lake] val LogDir = "_graft_log"
@@ -685,15 +937,25 @@ private[lake] object Manifest {
       "operation" -> JString(m.operation),
       "schema" -> JString(m.schemaJson),
       "statsCols" -> JArray(m.statsCols.map(JString(_)).toList),
-      "txn" -> JLong(m.txnBatchId))))
+      "txns" -> JObject(m.txns.toList.sortBy(_._1).map { case (a, b) =>
+        a -> JLong(b)
+      }),
+      "checks" -> JObject(m.checks.toList.sortBy(_._1).map { case (n, e) =>
+        n -> JString(e)
+      }))))
     val lines = m.files.map { f =>
-      JsonMethods.compact(JsonMethods.render(JObject(
+      val core = List(
         "file" -> JString(f.name),
         "rows" -> JLong(f.rows),
         "bytes" -> JLong(f.bytes),
         "stats" -> JObject(f.stats.toList.sortBy(_._1).map { case (c, (mn, mx)) =>
           c -> JArray(List(JLong(mn), JLong(mx)))
-        }))))
+        }))
+      val dv =
+        if (f.dv.isEmpty) Nil
+        else List("dv" -> JArray(f.dv.map(JString(_)).toList),
+          "dvRows" -> JLong(f.dvRows))
+      JsonMethods.compact(JsonMethods.render(JObject(core ++ dv)))
     }
     (head +: lines).mkString("", "\n", "\n")
   }
@@ -714,15 +976,36 @@ private[lake] object Manifest {
         case JNothing => 0L
         case b => b.extract[Long]
       }
+      val dv = (j \ "dv") match {
+        case JArray(vs) => vs.map(_.extract[String])
+        case _ => Nil
+      }
+      val dvRows = (j \ "dvRows") match {
+        case JNothing => 0L
+        case n => n.extract[Long]
+      }
       FileEntry((j \ "file").extract[String], (j \ "rows").extract[Long],
-        stats, bytes)
+        stats, bytes, dv, dvRows)
     }
-    val txn = (head \ "txn") match {
-      case JNothing => -1L
-      case t => t.extract[Long]
+    // pre-scoping manifests carried a single global `txn` long; fold it
+    // into the map under a reserved app id so old tables stay readable
+    val txns = (head \ "txns") match {
+      case JObject(fields) =>
+        fields.map { case (a, b) => a -> b.extract[Long] }.toMap
+      case _ => (head \ "txn") match {
+        case JNothing => Map.empty[String, Long]
+        case t =>
+          val v = t.extract[Long]
+          if (v >= 0L) Map("_legacy" -> v) else Map.empty[String, Long]
+      }
+    }
+    val checks = (head \ "checks") match {
+      case JObject(fields) =>
+        fields.map { case (n, e) => n -> e.extract[String] }.toMap
+      case _ => Map.empty[String, String]
     }
     Manifest((head \ "operation").extract[String],
       (head \ "schema").extract[String],
-      (head \ "statsCols").extract[List[String]], files, txn)
+      (head \ "statsCols").extract[List[String]], files, txns, checks)
   }
 }

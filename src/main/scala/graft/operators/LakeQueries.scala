@@ -141,8 +141,9 @@ object LakeQueries {
     }),
 
     // exactly-once streaming APPEND: each microbatch commits through
-    // appendStream(batch, batchId), which records the batch id in the
-    // manifest (`txn`). After the run the last batch id is REPLAYED
+    // appendStream(batch, appId, batchId), which records the batch id
+    // in the manifest's per-app ledger (`txns: {appId -> lastBatchId}`,
+    // the SetTransaction shape). After the run the last batch id is REPLAYED
     // with recomputed data — the crash-between-commit-and-checkpoint
     // case — and must be recognized and skipped: replay_skipped pins
     // version AND contents unchanged, in-band. This is the

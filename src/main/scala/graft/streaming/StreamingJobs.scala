@@ -777,8 +777,11 @@ object StreamingJobs {
 
   /** Exactly-once streaming APPEND into the lake table: each microbatch
     * lands via [[graft.lake.LakeTable.appendStream]], which records the
-    * batch id in the manifest head (`txn`) — the transactional sink
-    * pattern. After the AvailableNow run, the LAST batch id is
+    * batch id in the manifest head under this query's app id
+    * (`txns: {appId -> lastBatchId}`, the Delta SetTransaction shape) —
+    * the transactional sink pattern, scoped so a second query appending
+    * to the same table keeps its own ledger. After the AvailableNow
+    * run, the LAST batch id is
     * deliberately REPLAYED with recomputed (here: strictly larger)
     * data, simulating a sink retry after a crash between commit and
     * checkpoint: the table must recognize the id and skip, leaving
@@ -802,7 +805,7 @@ object StreamingJobs {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          if (!batch.isEmpty) { t.appendStream(batch, id); () }
+          if (!batch.isEmpty) { t.appendStream(batch, "lake-append-demo", id); () }
         }
         .start()
       q.awaitTermination()
@@ -810,7 +813,7 @@ object StreamingJobs {
     val (vBefore, nBefore) = (t.currentVersion, t.read().count())
     t.appendStream(
       shape(graft.Tables.normalizeEventsTs(spark.read.parquet(splitDir))),
-      t.lastStreamBatchId)
+      "lake-append-demo", t.lastStreamBatchId("lake-append-demo"))
     val skipped = t.currentVersion == vBefore && t.read().count() == nBefore
     (t.read(), vBefore, skipped)
   }

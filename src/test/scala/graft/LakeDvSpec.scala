@@ -1,0 +1,171 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{CheckViolationException, LakeTable}
+
+/** Round-9 lake surface: merge-on-read DELETE via deletion-vector
+  * sidecars (no data file rewritten; every read path masks the
+  * recorded positions), RESTORE to a retained version, and CHECK
+  * constraints validated per write delta.
+  */
+class LakeDvSpec extends AnyFunSuite {
+  private val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_ldv_$tag").toFile
+    d.deleteOnExit()
+    new File(d, "t").getAbsolutePath
+  }
+
+  private def kv(r: Range) = r.toDF("k")
+    .select(col("k").cast("long").as("k"), (col("k") % 7).cast("long").as("v"))
+
+  /** 4 range-clustered files over k = 1..400. */
+  private def table(tag: String): LakeTable = {
+    val path = freshDir(tag)
+    LakeTable.create(spark, path,
+      kv(1 to 400).repartitionByRange(4, col("k")), Seq("k"))
+  }
+
+  private def dataFiles(t: LakeTable): Set[String] =
+    new File(t.path).list((_, n) =>
+      n.startsWith("part-") && n.endsWith(".parquet")).toSet
+
+  test("MoR delete rewrites NO data file; all read paths mask the rows") {
+    val t = table("mor")
+    val physBefore = dataFiles(t)
+    t.deleteWhereMoR(col("k") % 10 === 0)
+    // zero copy-on-write: the data files on disk are byte-for-byte the
+    // same set; only a dv sidecar appeared
+    assert(dataFiles(t) == physBefore)
+    assert(new File(t.path).list((_, n) => n.startsWith("dv-")).length == 1)
+    val expect = (1L to 400L).filterNot(_ % 10 == 0)
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq == expect)
+    assert(t.scan().select("k").as[Long].collect().sorted.toSeq == expect)
+    assert(t.scan().filter(col("k") <= 100L).count() == 90)
+    assert(t.prunedRead("k", 1, 100).count() == 90)
+    // time travel still sees the pre-delete snapshot
+    assert(t.readVersion(t.currentVersion - 1).count() == 400)
+  }
+
+  test("MoR deletes stack; a fully-masked file drops out of the manifest") {
+    val t = table("mor2")
+    t.deleteWhereMoR(col("k") % 2 === 0)
+    t.deleteWhereMoR(col("k") % 3 === 0)
+    val expect = (1L to 400L).filter(k => k % 2 != 0 && k % 3 != 0)
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq == expect)
+    // delete an entire file's range: its entry must vanish (not linger
+    // as an all-masked husk), while the physical file stays until vacuum
+    t.deleteWhereMoR(col("k") <= 100L)
+    assert(t.fileNames(t.currentVersion).size == 3)
+    assert(t.read().count() == expect.count(_ > 100))
+    // a delete matching nothing commits nothing
+    val v = t.currentVersion
+    t.deleteWhereMoR(col("k") > 10000L)
+    assert(t.currentVersion == v)
+  }
+
+  test("MoR + merge/compact/changes interop; vacuum keeps live sidecars") {
+    val t = table("morx")
+    val v1 = t.currentVersion
+    t.deleteWhereMoR(col("k") % 10 === 0)
+    val vDel = t.currentVersion
+    // changesBetween across the MoR delete: 40 deletes, 0 inserts —
+    // the file kept its NAME but not its logical content
+    val ch = t.changesBetween(v1, vDel)
+    assert(ch.filter(col("_change_type") === "delete").count() == 40)
+    assert(ch.filter(col("_change_type") === "insert").count() == 0)
+    // merge on a DV'd candidate file: masked rows must NOT resurrect
+    t.merge(Seq((5L, 99L)).toDF("k", "v"), "k")
+    assert(t.read().count() == 360)
+    assert(t.read().filter(col("k") === 5L).select("v").as[Long].head() == 99L)
+    assert(t.read().filter(col("k") === 10L).count() == 0)
+    // compact purges DVs (rewritten files carry none)
+    t.compact(Long.MaxValue, 1000L)
+    assert(t.read().count() == 360)
+    // vacuum to the current version only: pre-compact sidecars and
+    // files die, the current snapshot stays exact
+    t.vacuum(1)
+    assert(t.read().count() == 360)
+    assert(new File(t.path).list((_, n) => n.startsWith("dv-")).isEmpty)
+  }
+
+  test("vacuum retains sidecars referenced by retained versions") {
+    val t = table("morv")
+    t.deleteWhereMoR(col("k") % 10 === 0)
+    t.append(kv(401 to 410).coalesce(1))
+    t.vacuum(2) // retains the DV'd version and the append
+    assert(new File(t.path).list((_, n) => n.startsWith("dv-")).length == 1)
+    assert(t.read().count() == 370)
+  }
+
+  test("CoW deleteWhere keeps NULL-condition rows (SQL DELETE semantics)") {
+    val path = freshDir("nullc")
+    val df = Seq((1L, "a"), (2L, null), (3L, "x")).toDF("k", "s")
+    val t = LakeTable.create(spark, path, df.coalesce(1), Seq("k"))
+    t.deleteWhere(col("s") === "x") // NULL for k=2 → kept, not deleted
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    t.deleteWhereMoR(col("s") === "a")
+    assert(t.read().select("k").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("restore makes a retained snapshot current, as a new commit") {
+    val t = table("rst")
+    t.deleteWhere(col("k") <= 200L)
+    assert(t.read().count() == 200)
+    val v = t.currentVersion
+    t.restore(1)
+    assert(t.currentVersion == v + 1)
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 400L))
+    assert(t.history().last.operation == "restore")
+    // the streaming ledger survives the restore (never rolls back)
+    t.appendStream(kv(401 to 405).coalesce(1), "q", 7L)
+    t.restore(1)
+    assert(t.lastStreamBatchId("q") == 7L)
+    // restoring the current version is a no-op
+    val cur = t.currentVersion
+    t.restore(cur)
+    assert(t.currentVersion == cur)
+  }
+
+  test("CHECK constraints gate writes on the incoming delta only") {
+    val t = table("chk")
+    t.addCheck("k_pos", "k > 0")
+    t.addCheck("v_range", "v BETWEEN 0 AND 6")
+    assert(t.checks.keySet == Set("k_pos", "v_range"))
+    // valid append lands
+    t.append(kv(401 to 410).coalesce(1))
+    assert(t.read().count() == 410)
+    // violating append is rejected atomically: no version, no orphans
+    val v = t.currentVersion
+    val physBefore = dataFiles(t)
+    intercept[CheckViolationException] {
+      t.append(Seq((-1L, 3L)).toDF("k", "v"))
+    }
+    assert(t.currentVersion == v && dataFiles(t) == physBefore)
+    // NULL evaluations PASS (SQL CHECK three-valued semantics)
+    t.append(Seq((500L, null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "v").select(col("k"), col("v").cast("long")))
+    assert(t.read().count() == 411)
+    // merge is gated too (on the surviving rows)
+    intercept[CheckViolationException] {
+      t.merge(Seq((5L, 100L)).toDF("k", "v"), "k")
+    }
+    // delete-arm rows are exempt (they remove, not insert)
+    t.merge(Seq((5L, 100L)).toDF("k", "v"), "k", Some(lit(true)))
+    assert(t.read().filter(col("k") === 5L).count() == 0)
+    // adding a constraint the EXISTING data violates is rejected
+    intercept[CheckViolationException] { t.addCheck("bad", "k >= 2") }
+    // drop, then the formerly-violating write lands
+    t.dropCheck("v_range")
+    t.append(Seq((600L, 100L)).toDF("k", "v"))
+    assert(t.read().count() == 411)
+  }
+}

@@ -133,26 +133,53 @@ class LakeFileIndexSpec extends AnyFunSuite {
     val path = freshDir("txn") + "/t"
     def df(r: Range) = r.toDF("k").select(col("k").cast("long").as("k"))
     val t = LakeTable.create(spark, path, df(1 to 10).coalesce(1), Seq("k"))
-    assert(t.lastStreamBatchId == -1L)
-    t.appendStream(df(11 to 20).coalesce(1), 0L)
-    t.appendStream(df(21 to 30).coalesce(1), 1L)
+    assert(t.lastStreamBatchId("qA") == -1L)
+    t.appendStream(df(11 to 20).coalesce(1), "qA", 0L)
+    t.appendStream(df(21 to 30).coalesce(1), "qA", 1L)
     assert(t.currentVersion == 3 && t.read().count() == 30)
-    assert(t.lastStreamBatchId == 1L)
+    assert(t.lastStreamBatchId("qA") == 1L)
     // replay of batch 1 (recomputed, even different data): skipped
-    t.appendStream(df(21 to 35).coalesce(1), 1L)
+    t.appendStream(df(21 to 35).coalesce(1), "qA", 1L)
     assert(t.currentVersion == 3 && t.read().count() == 30)
-    // stale id below the ledger: skipped too
-    t.appendStream(df(999 to 999).coalesce(1), 0L)
+    // a batch id REGRESSING below the ledger can only mean a fresh
+    // checkpoint restarted ids under the same appId — fail loudly
+    // instead of silently dropping data
+    intercept[IllegalArgumentException] {
+      t.appendStream(df(999 to 999).coalesce(1), "qA", 0L)
+    }
     assert(t.currentVersion == 3 && t.read().count() == 30)
     // the txn ledger survives interleaved BATCH commits
     t.append(df(31 to 40).coalesce(1))
-    t.appendStream(df(41 to 45).coalesce(1), 1L) // still a replay
+    t.appendStream(df(41 to 45).coalesce(1), "qA", 1L) // still a replay
     assert(t.currentVersion == 4 && t.read().count() == 40)
-    t.appendStream(df(41 to 45).coalesce(1), 2L) // fresh id: lands
+    t.appendStream(df(41 to 45).coalesce(1), "qA", 2L) // fresh id: lands
     assert(t.currentVersion == 5 && t.read().count() == 45)
     // skipped replays leave no orphan data files behind
     val onDisk = new File(path).list((_, n) => n.endsWith(".parquet")).toSet
     assert(onDisk == t.fileNames(t.currentVersion).toSet)
+  }
+
+  test("appendStream ledgers are per-app: two queries never skip each other") {
+    val path = freshDir("txn2") + "/t"
+    def df(r: Range) = r.toDF("k").select(col("k").cast("long").as("k"))
+    val t = LakeTable.create(spark, path, df(1 to 10).coalesce(1), Seq("k"))
+    // query A commits batches 0..2, then query B starts at ITS batch 0:
+    // under a global ledger B's batches 0..2 would all be dropped
+    t.appendStream(df(11 to 15).coalesce(1), "qA", 0L)
+    t.appendStream(df(16 to 20).coalesce(1), "qA", 1L)
+    t.appendStream(df(21 to 25).coalesce(1), "qA", 2L)
+    t.appendStream(df(26 to 30).coalesce(1), "qB", 0L)
+    t.appendStream(df(31 to 35).coalesce(1), "qB", 1L)
+    assert(t.read().count() == 35)
+    assert(t.lastStreamBatchId("qA") == 2L && t.lastStreamBatchId("qB") == 1L)
+    // each replays its own last batch: both skipped, independently
+    val v = t.currentVersion
+    t.appendStream(df(900 to 910).coalesce(1), "qA", 2L)
+    t.appendStream(df(900 to 910).coalesce(1), "qB", 1L)
+    assert(t.currentVersion == v && t.read().count() == 35)
+    // the ledger survives a reopen (it is manifest state, not memory)
+    val t2 = LakeTable.forPath(spark, path)
+    assert(t2.lastStreamBatchId("qA") == 2L && t2.lastStreamBatchId("qB") == 1L)
   }
 
   test("boundsOf resolves user predicates (deleteWhere's input)") {
@@ -172,6 +199,55 @@ class LakeFileIndexSpec extends AnyFunSuite {
     // contradictory conjuncts give an empty range (lo > hi): prunes all
     val contradiction = b(col("k") > 10L && col("k") < 5L)("k")
     assert(contradiction._1 > contradiction._2)
+    // WIDENING casts strip (exact on the long stats); NARROWING casts
+    // must NOT — CAST(longCol AS INT) wraps on overflow, so a row far
+    // outside the derived bound can still satisfy the predicate
+    val mixed = Seq((5, 5L)).toDF("i", "k")
+    def bm(c: org.apache.spark.sql.Column) =
+      graft.lake.LakeTestAccess.boundsOf(mixed, c, Set("i", "k"))
+    assert(bm(col("i").cast("long") <= 10L) == Map("i" -> (Long.MinValue, 10L)))
+    assert(bm(col("k").cast("int") <= 10).isEmpty,
+      "narrowing cast must not contribute a bound")
+  }
+
+  test("narrowing-cast predicate does not mis-prune a wrapping row") {
+    val path = freshDir("narrow")
+    val wrap = (1L << 32) + 5L // casts to INT as 5 under legacy wrap
+    val df = Seq(5L, 1000L, wrap).toDF("k")
+      .repartitionByRange(3, col("k")) // one value per file
+    val t = LakeTable.create(spark, path, df, Seq("k"))
+    // legacy (non-ANSI) cast wraps instead of throwing — the silent-
+    // wrong-results shape the stats pruning must stay conservative for
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val got = t.scan().filter(col("k").cast("int") < 10)
+        .as[Long].collect().toSet
+      assert(got == Set(5L, wrap),
+        s"the wrapping row must survive file pruning, got $got")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("zorderCompact stays correct and clustering-effective on a full-long-span column") {
+    val path = freshDir("zwide")
+    val step = Long.MaxValue / 2048
+    val df = (0 until 2048).toDF("i")
+      .select((col("i").cast("long") * step - lit(Long.MaxValue / 2)).as("k"))
+      .repartition(4)
+    val t = LakeTable.create(spark, path, df, Seq("k"))
+    t.zorderCompact(128, Seq("k")) // 16 files over a ~2^63 span
+    val nFiles = t.fileNames(t.currentVersion).size
+    assert(nFiles >= 8)
+    // content identical
+    assert(t.read().as[Long].collect().sorted.toSeq ==
+      (0 until 2048).map(i => i * step - Long.MaxValue / 2).sorted)
+    // and the layout actually clusters: a narrow range opens few files
+    // (the pre-fix long overflow garbled z into noise → every file
+    // spanned everything and pruning opened all of them)
+    val lo = -Long.MaxValue / 2
+    val opened = t.prunedRead("k", lo, lo + 100 * step).inputFiles.length
+    assert(opened <= nFiles / 4,
+      s"wide-span zorder should prune: opened $opened of $nFiles")
   }
 
   test("deleteWhere stays exact for predicates pruning can't bound") {
@@ -252,7 +328,7 @@ class LakeFileIndexSpec extends AnyFunSuite {
     val writers = (1 to 4).map { i =>
       Future {
         gate.await()
-        t.appendStream(df(100 to 120, s"w$i").coalesce(1), 0L)
+        t.appendStream(df(100 to 120, s"w$i").coalesce(1), "race", 0L)
       }
     }
     gate.countDown()
@@ -260,7 +336,7 @@ class LakeFileIndexSpec extends AnyFunSuite {
     // exactly one of the four landed batch 0
     assert(t.currentVersion == 2)
     assert(t.read().count() == 31)
-    assert(t.lastStreamBatchId == 0L)
+    assert(t.lastStreamBatchId("race") == 0L)
     // and the losers' staged files were cleaned up
     val onDisk = new File(path).list((_, n) => n.endsWith(".parquet")).toSet
     assert(onDisk == t.fileNames(2).toSet)
@@ -286,9 +362,20 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(out(20L) == "ins")
     assert(!out.contains(21L))
     assert(out(3L) == "base3")
+    // a NULL delete condition is NOT the delete arm (SQL MERGE treats
+    // NULL as false): the matched row must be UPDATED, not deleted
+    t.merge(df(Seq(6L -> null)).coalesce(1), "k",
+      Some(col("v") === "DEL"))
+    val out2 = t.read().as[(Long, String)].collect().toMap
+    assert(out2.contains(6L) && out2(6L) == null,
+      s"NULL-cond matched row must survive as an update, got ${out2.get(6L)}")
+    // and a NULL-cond UNMATCHED row is inserted, not swallowed
+    t.merge(df(Seq(30L -> null)).coalesce(1), "k",
+      Some(col("v") === "DEL"))
+    assert(t.read().filter(col("k") === 30L).count() == 1)
     // plain upsert unchanged through the overload
     t.merge(df(Seq(5L -> "up2")).coalesce(1), "k")
-    assert(t.read().count() == 10)
+    assert(t.read().count() == 11)
   }
 
   test("sizeInBytes comes from manifest-recorded file sizes") {
