@@ -461,6 +461,89 @@ object LakeQueries {
         .map(h => (h.version, h.operation, h.totalRows))
         .toDF("version", "operation", "total_rows")
         .orderBy(col("version"))
+    }),
+
+    // merge-on-read DELETE via deletion vectors: the same predicate as
+    // lake_delete, but NO data file is rewritten — the matching row
+    // positions land in one small sidecar and every read path masks
+    // them (here the Catalyst scan() path, DV anti-join on top of the
+    // index). no_files_rewritten pins that the post-delete manifest
+    // references only pre-delete data files; at 100 TB this turns a
+    // point delete from rewriting N GB-scale files into writing one
+    // KB-scale sidecar, reclaimed at the next compaction.
+    "lake_delete_dv" -> ((s, dir) => {
+      val (t, half) = twoFileTable(s, dir, "lake_delete_dv")
+      val namesBefore = t.fileNames(2).toSet
+      t.deleteWhereMoR(col("k") % 10 === 0 && col("k") <= half)
+      val noRewrite = t.fileNames(3).toSet.subsetOf(namesBefore)
+      val sidecars = Option(new java.io.File(t.path)
+        .list((_, n) => n.startsWith("dv-"))).map(_.length).getOrElse(0)
+      t.scan().agg(
+          count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          lit(noRewrite).as("no_files_rewritten"),
+          lit(sidecars == 1).as("one_dv_sidecar"))
+    }),
+
+    // RESTORE TABLE ... TO VERSION: after a DELETE and a MERGE mutate
+    // the table, restore(1) makes the original snapshot current again
+    // as a NEW commit — no data moves (the restored manifest references
+    // the same immutable files), history stays append-only
+    // (history_shows_restore), and the declared content is exactly the
+    // pre-mutation table.
+    "lake_restore" -> ((s, dir) => {
+      val path = tablePath("lake_restore")
+      wipe(path)
+      val b = base(s, dir)
+      val t = LakeTable.create(s, path, b, Seq("k"))
+      t.deleteWhere(col("k") % 13 === 0)
+      t.merge(
+        b.filter(col("k") % 7 === 0 && col("k") % 13 =!= 0)
+          .select(col("k"), col("status"), (col("price") + 50.0).as("price")),
+        "k")
+      val vPre = t.currentVersion
+      t.restore(1)
+      val isNewCommit = t.currentVersion == vPre + 1
+      val opIsRestore = t.history().last.operation == "restore"
+      t.read().agg(
+          count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          lit(isNewCommit).as("restore_is_new_commit"),
+          lit(opIsRestore).as("history_shows_restore"))
+    }),
+
+    // CHECK constraints: added against the existing data (one proving
+    // scan, paid once), then enforced on each write's INCOMING rows
+    // only. A valid append lands; an append violating price > 0 is
+    // rejected ATOMICALLY (no version, no orphan files) — pinned
+    // in-band by violation_rejected_atomically. At 100 TB each append
+    // validates its delta, never the table.
+    "lake_constraints" -> ((s, dir) => {
+      val path = tablePath("lake_constraints")
+      wipe(path)
+      val b = base(s, dir)
+      val t = LakeTable.create(s, path, b, Seq("k"))
+      t.addCheck("price_pos", "price > 0")
+      t.addCheck("status_known", "status IN ('O', 'F', 'P')")
+      val mx = b.agg(max(col("k"))).head().getLong(0)
+      t.append(b.filter(col("k") % 5 === 0)
+        .select((col("k") + mx).as("k"), col("status"), col("price")))
+      val v = t.currentVersion
+      val rejected =
+        try {
+          t.append(b.limit(1).select((col("k") + 2 * mx).as("k"),
+            col("status"), (col("price") * -1).as("price")))
+          false
+        } catch {
+          case _: graft.lake.CheckViolationException => t.currentVersion == v
+        }
+      t.read().agg(
+          count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          lit(rejected).as("violation_rejected_atomically"))
     })
   )
 
@@ -660,6 +743,40 @@ object LakeQueries {
         |UNION ALL
         |SELECT CAST(3 AS INTEGER), 'merge', count(*)
         |FROM base WHERE k % 13 <> 0
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+
+    "lake_delete_dv" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS no_files_rewritten,
+        |  true AS one_dv_sidecar
+        |FROM base
+        |WHERE NOT (k % 10 = 0 AND k <= (SELECT max(k) // 2 FROM base))""".stripMargin,
+
+    "lake_restore" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS restore_is_new_commit,
+        |  true AS history_shows_restore
+        |FROM base""".stripMargin,
+
+    "lake_constraints" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders),
+        |aug AS (
+        |  SELECT price FROM base
+        |  UNION ALL
+        |  SELECT price FROM base WHERE k % 5 = 0)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS violation_rejected_atomically
+        |FROM aug""".stripMargin
   )
 }
