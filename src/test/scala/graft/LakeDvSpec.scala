@@ -54,6 +54,33 @@ class LakeDvSpec extends AnyFunSuite {
     assert(t.readVersion(t.currentVersion - 1).count() == 400)
   }
 
+  test("DV overlay keeps pushed-filter file pruning in scan()") {
+    val t = table("morp") // 4 range-clustered files
+    t.deleteWhereMoR(col("k") % 10 === 0)
+    // AQE hides stage plans behind QueryStageExec nodes; unwrap them
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    def opened(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // materialize so AQE finalizes and metrics land
+      scansOf(df.queryExecution.executedPlan)
+        .filter(!_.metadata.get("Location").exists(_.contains("dv-")))
+        .map(_.metrics("numFiles").value).sum
+    }
+    // the filter must reach LakeFileIndex THROUGH the DV anti-join:
+    // a k <= 100 point read opens 1 of 4 data files, not all of them
+    val pruned = opened(t.scan().filter(col("k") <= 100L))
+    val full = opened(t.scan())
+    assert(full >= 4, s"expected >=4 data files in the full scan, got $full")
+    assert(pruned <= 2, s"DV overlay broke file pruning: opened $pruned of $full")
+  }
+
   test("MoR deletes stack; a fully-masked file drops out of the manifest") {
     val t = table("mor2")
     t.deleteWhereMoR(col("k") % 2 === 0)
