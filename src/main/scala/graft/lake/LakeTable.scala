@@ -660,6 +660,39 @@ class LakeTable private (spark: SparkSession, val path: String) {
     dataDead
   }
 
+  /** SHALLOW CLONE: fork the current snapshot into a NEW table at
+    * `targetPath` with ZERO data rewritten — every data file and DV
+    * sidecar is hard-linked into the target directory (same inode; a
+    * cross-filesystem target falls back to a copy), and the clone gets
+    * its own v1 manifest. Because both tables treat files as immutable
+    * and vacuum by unlinking, the clone and the source age
+    * independently: either side can delete/merge/compact/vacuum and
+    * the other's inodes stay alive until ITS references drop — the
+    * crash-safety Delta's path-sharing shallow clones lack. The
+    * streaming ledger and constraints carry over (a clone is the same
+    * logical table forked); at 100 TB a clone costs one metadata pass,
+    * which is what makes dev/test forks of production tables viable.
+    */
+  def clone(targetPath: String): LakeTable = {
+    val m = manifest(currentVersion)
+    val targetLog = Paths.get(targetPath, LogDir)
+    require(!Files.exists(targetLog),
+      s"a lake table already exists at $targetPath")
+    Files.createDirectories(targetLog)
+    val toLink = (m.files.map(_.name) ++ m.files.flatMap(_.dv)).distinct
+    toLink.foreach { n =>
+      val src = Paths.get(path, n)
+      val dst = Paths.get(targetPath, n)
+      try Files.createLink(dst, src)
+      catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    LakeTable.commit(targetLog.toString, 1, m.copy(operation = "clone"))
+    LakeTable.forPath(spark, targetPath)
+  }
+
   /** RESTORE TABLE ... TO VERSION: make retained snapshot `version`
     * current again, as a NEW commit — history is append-only and no
     * data moves (the restored manifest references the same immutable

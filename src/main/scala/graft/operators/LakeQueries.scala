@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.lake.LakeTable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.14 — declared queries over [[graft.lake.LakeTable]], the ACID
@@ -514,6 +514,46 @@ object LakeQueries {
           lit(opIsRestore).as("history_shows_restore"))
     }),
 
+    // SHALLOW CLONE: fork the table with zero data movement (every
+    // data file hard-linked — same inode — into the clone, verified
+    // in-band), then MERGE into the CLONE: the clone shows the merged
+    // content while the source stays byte-identical (pinned in-band by
+    // re-aggregating it). Hardlink semantics make the fork crash-safe
+    // under either side's vacuum: unlinking a name never kills the
+    // other table's inode reference. At 100 TB a clone is one metadata
+    // pass — the dev/test-fork primitive.
+    "lake_clone" -> ((s, dir) => {
+      val srcPath = tablePath("lake_clone_src")
+      val clonePath = tablePath("lake_clone_dst")
+      wipe(srcPath); wipe(clonePath)
+      val b = base(s, dir)
+      val t = LakeTable.create(s, srcPath, b, Seq("k"))
+      val c = t.clone(clonePath)
+      val zeroCopy = Option(new java.io.File(clonePath)
+        .list((_, n) => n.endsWith(".parquet"))).getOrElse(Array.empty)
+        .forall { n =>
+          java.nio.file.Files.getAttribute(
+            java.nio.file.Paths.get(clonePath, n), "unix:ino") ==
+          java.nio.file.Files.getAttribute(
+            java.nio.file.Paths.get(srcPath, n), "unix:ino")
+        }
+      c.merge(
+        b.filter(col("k") % 10 === 0)
+          .select(col("k"), lit("U").as("status"),
+            (col("price") + 100.0).as("price")),
+        "k")
+      val Row(srcN: Long, srcU: Long) = t.read()
+        .agg(count(lit(1)), count_if(col("status") === "U")).head()
+      val srcUnchanged = srcN == b.count() && srcU == 0L
+      c.read().agg(
+          count(lit(1)).as("n_rows"),
+          count_if(col("status") === "U").as("n_updated"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("n_updated"), col("total_price"),
+          lit(zeroCopy).as("zero_copy"),
+          lit(srcUnchanged).as("source_unchanged"))
+    }),
+
     // CHECK constraints: added against the existing data (one proving
     // scan, paid once), then enforced on each write's INCOMING rows
     // only. A valid append lands; an append violating price > 0 is
@@ -765,6 +805,23 @@ object LakeQueries {
         |  true AS restore_is_new_commit,
         |  true AS history_shows_restore
         |FROM base""".stripMargin,
+
+    "lake_clone" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k, 'U' AS status, price + 100.0 AS price FROM base
+        |  WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k, status, price FROM base WHERE k % 10 <> 0)
+        |SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE status = 'U') AS n_updated,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS zero_copy,
+        |  true AS source_unchanged
+        |FROM merged""".stripMargin,
 
     "lake_constraints" ->
       """WITH base AS (

@@ -162,6 +162,36 @@ class LakeDvSpec extends AnyFunSuite {
     assert(t.currentVersion == cur)
   }
 
+  test("shallow clone is zero-copy and ages independently of the source") {
+    val t = table("cln")
+    t.deleteWhereMoR(col("k") % 10 === 0) // clone must carry the DV too
+    val clonePath = freshDir("clnT")
+    val c = t.clone(clonePath)
+    // zero-copy: every cloned file shares its inode with the source
+    val linked = new File(clonePath).list((_, n) => n.endsWith(".parquet"))
+    assert(linked.nonEmpty)
+    linked.foreach { n =>
+      val ino = Files.getAttribute(
+        java.nio.file.Paths.get(clonePath, n), "unix:ino")
+      val srcIno = Files.getAttribute(
+        java.nio.file.Paths.get(t.path, n), "unix:ino")
+      assert(ino == srcIno, s"$n was copied, not hard-linked")
+    }
+    assert(c.read().count() == 360) // DV mask carried over
+    // diverge: mutate the clone, source unchanged — and vice versa
+    c.append(kv(1000 to 1009).coalesce(1))
+    assert(c.read().count() == 370 && t.read().count() == 360)
+    t.deleteWhere(col("k") <= 200L)
+    assert(t.read().count() == 180 && c.read().count() == 370)
+    // vacuum the SOURCE down to its rewritten current version: the
+    // clone still reads its own references (hardlinked inodes survive
+    // the source's unlink)
+    t.vacuum(1)
+    assert(c.read().count() == 370)
+    // double-clone to the same target is refused
+    intercept[IllegalArgumentException] { t.clone(clonePath) }
+  }
+
   test("CHECK constraints gate writes on the incoming delta only") {
     val t = table("chk")
     t.addCheck("k_pos", "k > 0")
