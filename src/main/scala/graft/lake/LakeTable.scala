@@ -26,8 +26,12 @@ import org.json4s.jackson.JsonMethods
   *    (POSIX link(2) fails atomically if the target exists), so two
   *    racing writers cannot both claim version N — the loser gets
   *    [[ConcurrentCommitException]]. Appends auto-retry on the next
-  *    version (conflict-free); overwrite/merge/delete surface the
-  *    conflict because their read-set may be stale.
+  *    version (conflict-free); merge/delete/compact REBASE over
+  *    concurrent commits that provably cannot overlap their scope
+  *    (per-file stats vs the mutation's key range — the Delta
+  *    optimistic-concurrency model) and surface
+  *    [[ConcurrentWriteConflictException]] otherwise; overwrite
+  *    surfaces any race (its read-set is the whole table).
   *  - **Copy-on-write with file-level pruning**: `merge` (upsert)
   *    rewrites ONLY files whose per-file key [min,max] — recorded in
   *    the manifest at write time — can contain updated keys; `delete`
@@ -385,7 +389,10 @@ class LakeTable private (spark: SparkSession, val path: String) {
       .select(cols: _*)
       .unionByName(surviving.select(cols: _*))
     val staged = stageFiles(merged, base)
-    commit(v + 1, "merge", untouched ++ staged, base)
+    // optimistic rebase: a concurrent append/mutation lands too unless
+    // its files could contain keys in this merge's [lo, hi] range
+    commitMutation(v, base, "merge", candidates, staged,
+      f => f.overlaps(keyCol, lo, hi))
   }
 
   /** Delete the rows matching `cond`, rewriting ONLY the files that
@@ -414,7 +421,10 @@ class LakeTable private (spark: SparkSession, val path: String) {
     // NULL conditions keep the row (SQL DELETE removes cond=TRUE only)
     val kept = readEntries(touched, schema).filter(!coalesce(cond, lit(false)))
     val staged = if (kept.isEmpty) Seq.empty else stageFiles(kept, base)
-    commit(v + 1, "delete", untouched ++ staged, base)
+    // rebase over concurrent writes whose files cannot match `cond`
+    val bounds = deleteBounds(base, cond, schema)
+    commitMutation(v, base, "delete", touched, staged,
+      f => bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) })
   }
 
   /** Merge-on-read DELETE: instead of copy-on-write rewriting every
@@ -464,15 +474,16 @@ class LakeTable private (spark: SparkSession, val path: String) {
       Files.deleteIfExists(Paths.get(path, sidecar.get))
       return v
     }
-    val newFiles = base.files.flatMap { f =>
-      perFile.get(f.name) match {
-        case Some(n) if f.dvRows + n >= f.rows => None // fully deleted
-        case Some(n) =>
-          Some(f.copy(dv = f.dv :+ sidecar.get, dvRows = f.dvRows + n))
-        case None => Some(f)
-      }
+    val touched = base.files.filter(f => perFile.contains(f.name))
+    val masked = touched.flatMap { f =>
+      val n = perFile(f.name)
+      if (f.dvRows + n >= f.rows) None // fully deleted
+      else Some(f.copy(dv = f.dv :+ sidecar.get, dvRows = f.dvRows + n))
     }
-    commit(v + 1, "delete-mor", newFiles, base)
+    // rebase over concurrent writes whose files cannot match `cond`
+    val bounds = deleteBounds(base, cond, schema)
+    commitMutation(v, base, "delete-mor", touched, masked,
+      f => bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) })
   }
 
   /** Manifest entries whose stats could overlap `cond` (the shared
@@ -481,13 +492,24 @@ class LakeTable private (spark: SparkSession, val path: String) {
     */
   private def statsCandidates(base: Manifest, cond: Column,
       schema: StructType): Seq[FileEntry] = {
-    val probe = readEntries(base.files, schema)
-    val bounds = LakeFileIndex.resolvedCondition(probe, cond)
-      .map(e => LakeFileIndex.boundsOf(Seq(e), base.statsCols.toSet))
-      .getOrElse(Map.empty)
+    val bounds = deleteBounds(base, cond, schema)
     base.files.filter { f =>
       bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) }
     }
+  }
+
+  /** The per-column bounds `cond` implies over the stats columns —
+    * shared by the delete candidate pruning and the rebase conflict
+    * check (a file outside the bounds can neither match the delete nor
+    * invalidate it). Empty map = no derivable bound = everything
+    * overlaps, conservatively.
+    */
+  private def deleteBounds(base: Manifest, cond: Column,
+      schema: StructType): Map[String, (Long, Long)] = {
+    val probe = readEntries(base.files, schema)
+    LakeFileIndex.resolvedCondition(probe, cond)
+      .map(e => LakeFileIndex.boundsOf(Seq(e), base.statsCols.toSet))
+      .getOrElse(Map.empty)
   }
 
   /** The LIVE rows of `entries` (deletion vectors applied) with their
@@ -538,8 +560,10 @@ class LakeTable private (spark: SparkSession, val path: String) {
       if (clusterBy.isEmpty) data.repartition(nOut)
       else data.repartitionByRange(nOut, clusterBy.map(col): _*)
     val staged = stageFiles(laidOut, base)
-    commit(v + 1, if (clusterBy.isEmpty) "compact" else "compact-clustered",
-      big ++ staged, base)
+    // layout-only: concurrent additions never conflict, they carry over
+    commitMutation(v, base,
+      if (clusterBy.isEmpty) "compact" else "compact-clustered",
+      small, staged, _ => false)
   }
 
   /** OPTIMIZE ... ZORDER BY (a, b, ...): MULTI-dimensional clustered
@@ -636,7 +660,9 @@ class LakeTable private (spark: SparkSession, val path: String) {
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
     val staged = stageFiles(laidOut, base)
-    commit(v + 1, "zorder", staged, base)
+    // layout-only: files appended during the rewrite rebase in unsorted
+    // (they get clustered by the next zorder pass)
+    commitMutation(v, base, "zorder", base.files, staged, _ => false)
   }
 
   /** Drop manifests older than the last `retainVersions` and every
@@ -792,6 +818,61 @@ class LakeTable private (spark: SparkSession, val path: String) {
     -1 // unreachable
   }
 
+  /** Commit a copy-on-write mutation with OPTIMISTIC APPEND REBASE —
+    * the Delta conflict-resolution model. The mutation planned against
+    * `base` (read at `vRead`), consumed `consumed` (entries it rewrote
+    * or masked) and produced `output`. On losing the version race it
+    * does NOT fail outright: if the new head still carries every
+    * consumed entry verbatim (same name + DV set) under the same schema
+    * and constraints, and every file the mutation never planned over
+    * passes `!conflictsWith` (e.g. an appended file whose key stats
+    * cannot overlap a merge's update range), the commit REBASES — the
+    * result is (new head − consumed) ∪ output, so a concurrent append
+    * or a disjoint-range merge/delete and this mutation BOTH land, in
+    * either order, with serializable results. Anything else (schema
+    * change, constraint change, a consumed file rewritten or vacuumed,
+    * an overlapping addition) throws [[ConcurrentWriteConflictException]]
+    * — correctness over availability, exactly the lakehouse contract.
+    * Stats-less added files conflict conservatively (they MIGHT
+    * overlap). At 100 TB this is what lets ingest appends stream in
+    * while point-merges commit, without a table lock.
+    */
+  private[lake] def commitMutation(vRead: Int, base: Manifest, op: String,
+      consumed: Seq[FileEntry], output: Seq[FileEntry],
+      conflictsWith: FileEntry => Boolean): Int = {
+    val consumedSigs = consumed.map(_.signature).toSet
+    val baseSigs = base.files.map(_.signature).toSet
+    var attemptBase = base
+    var attemptV = vRead
+    var tries = 0
+    while (true) {
+      val carried = attemptBase.files.filterNot(f => consumedSigs(f.signature))
+      try return LakeTable.commit(logDir.toString, attemptV + 1,
+        attemptBase.copy(operation = op, files = carried ++ output))
+      catch {
+        case e: ConcurrentCommitException =>
+          if (tries >= 10) throw e
+          tries += 1
+          val cur = currentVersion
+          val newM = manifest(cur)
+          val newSigs = newM.files.map(_.signature).toSet
+          if (newM.schemaJson != base.schemaJson || newM.checks != base.checks)
+            throw new ConcurrentWriteConflictException(op,
+              "schema or constraints changed concurrently")
+          if (!consumedSigs.subsetOf(newSigs))
+            throw new ConcurrentWriteConflictException(op,
+              "a file this mutation rewrote was itself rewritten or removed")
+          val unplanned = newM.files.filterNot(f => baseSigs(f.signature))
+          if (unplanned.exists(conflictsWith))
+            throw new ConcurrentWriteConflictException(op,
+              "a concurrently added file may overlap this mutation's scope")
+          attemptBase = newM
+          attemptV = cur
+      }
+    }
+    -1 // unreachable
+  }
+
   private def commit(version: Int, operation: String,
       files: Seq[FileEntry], base: Manifest): Int =
     LakeTable.commit(logDir.toString, version,
@@ -845,6 +926,14 @@ case class LakeCommit(version: Int, operation: String, numFiles: Int, totalRows:
 /** A racing writer already published this version. */
 class ConcurrentCommitException(version: Int)
   extends RuntimeException(s"version $version was committed concurrently")
+
+/** A copy-on-write mutation lost its commit race to a concurrent write
+  * it could not rebase over (overlapping scope, rewritten read-set, or
+  * changed schema/constraints). The table is untouched; re-run the
+  * mutation against the new snapshot.
+  */
+class ConcurrentWriteConflictException(op: String, why: String)
+  extends RuntimeException(s"$op aborted: $why")
 
 /** A CHECK constraint rejected a write (or, at add time, the existing
   * data). The write staged nothing and committed nothing.

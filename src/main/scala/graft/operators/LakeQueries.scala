@@ -554,6 +554,40 @@ object LakeQueries {
           lit(srcUnchanged).as("source_unchanged"))
     }),
 
+    // OPTIMISTIC CONCURRENCY: a MERGE and a range-disjoint APPEND race
+    // from two threads with no table lock. Whoever loses the version
+    // race REBASES (the Delta conflict-resolution model: per-file key
+    // stats prove the append cannot overlap the merge's scope), so BOTH
+    // land and the result is the same serializable content under any
+    // interleaving — which is exactly what makes it oracle-checkable.
+    // four_commits pins that no write was lost or retried-as-noop.
+    "lake_concurrent" -> ((s, dir) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val (t, half) = twoFileTable(s, dir, "lake_concurrent")
+      val b = base(s, dir)
+      val mx = b.agg(max(col("k"))).head().getLong(0)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val appended = b.filter(col("k") % 3 === 0)
+        .select((col("k") + mx).as("k"), col("status"), col("price"))
+      val updates = b
+        .filter(col("k") % 10 === 0 && col("k") <= half)
+        .select(col("k"), lit("U").as("status"),
+          (col("price") + 100.0).as("price"))
+      val fa = Future { gate.await(); t.append(appended.coalesce(1)) }
+      val fm = Future { gate.await(); t.merge(updates, "k") }
+      gate.countDown()
+      Await.result(Future.sequence(Seq(fa, fm)), 300.seconds)
+      val fourCommits = t.currentVersion == 4
+      t.read().agg(
+          count(lit(1)).as("n_rows"),
+          count_if(col("status") === "U").as("n_updated"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("n_updated"), col("total_price"),
+          lit(fourCommits).as("four_commits"))
+    }),
+
     // CHECK constraints: added against the existing data (one proving
     // scan, paid once), then enforced on each write's INCOMING rows
     // only. A valid append lands; an append violating price > 0 is
@@ -805,6 +839,27 @@ object LakeQueries {
         |  true AS restore_is_new_commit,
         |  true AS history_shows_restore
         |FROM base""".stripMargin,
+
+    "lake_concurrent" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |h AS (SELECT max(k) AS mx FROM base),
+        |merged AS (
+        |  SELECT k, 'U' AS status, price + 100.0 AS price FROM base
+        |  WHERE k % 10 = 0 AND k <= (SELECT mx // 2 FROM h)
+        |  UNION ALL
+        |  SELECT k, status, price FROM base
+        |  WHERE NOT (k % 10 = 0 AND k <= (SELECT mx // 2 FROM h))
+        |  UNION ALL
+        |  SELECT k + (SELECT mx FROM h), status, price FROM base
+        |  WHERE k % 3 = 0)
+        |SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE status = 'U') AS n_updated,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS four_commits
+        |FROM merged""".stripMargin,
 
     "lake_clone" ->
       """WITH base AS (

@@ -162,6 +162,57 @@ class LakeDvSpec extends AnyFunSuite {
     assert(t.currentVersion == cur)
   }
 
+  test("optimistic rebase: disjoint concurrent writes both land; overlaps conflict") {
+    // two range-disjoint files: lo = 1..200, hi = 201..400
+    val path = freshDir("reb")
+    val t = LakeTable.create(spark, path,
+      kv(1 to 200).coalesce(1), Seq("k"))
+    t.append(kv(201 to 400).coalesce(1))
+    val v = t.currentVersion // 2
+    val loFile = t.fileNames(1).head
+    // a DISJOINT append slips in between plan and commit: the planned
+    // mutation (drop the lo file, scope k in [1,200]) must REBASE —
+    // both writes land, serializably
+    t.append(kv(1000 to 1099).coalesce(1)) // v3, k-range [1000,1099]
+    graft.lake.LakeTestAccess.commitMutation(
+      t, v, "delete", Set(loFile), ("k", 1L, 200L))
+    assert(t.currentVersion == 4)
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq ==
+      ((201L to 400L) ++ (1000L to 1099L)))
+    // an OVERLAPPING append (k=150 is inside the mutation's scope)
+    // planned-over must conflict, not silently merge
+    val v4 = t.currentVersion
+    t.append(kv(150 to 150).coalesce(1)) // v5: k=150 is inside [101,400]
+    intercept[graft.lake.ConcurrentWriteConflictException] {
+      graft.lake.LakeTestAccess.commitMutation(
+        t, v4, "delete", Set.empty, ("k", 101L, 400L))
+    }
+    // a mutation whose CONSUMED file was itself rewritten must conflict
+    val v6 = t.currentVersion
+    val someFile = t.fileNames(v6).head
+    t.compact(Long.MaxValue, 100000L) // rewrites everything
+    intercept[graft.lake.ConcurrentWriteConflictException] {
+      graft.lake.LakeTestAccess.commitMutation(
+        t, v6, "delete", Set(someFile), ("k", 1L, 1L))
+    }
+    // end-to-end: real merge racing a real disjoint append (threads)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val n0 = t.read().count()
+    val fa = Future { gate.await(); t.append(kv(5000 to 5099).coalesce(1)) }
+    val fm = Future {
+      gate.await()
+      t.merge(Seq((201L, 777L)).toDF("k", "v"), "k")
+    }
+    gate.countDown()
+    Await.result(Future.sequence(Seq(fa, fm)), 120.seconds)
+    assert(t.read().count() == n0 + 100)
+    assert(t.read().filter(col("k") === 201L)
+      .select("v").as[Long].head() == 777L)
+  }
+
   test("shallow clone is zero-copy and ages independently of the source") {
     val t = table("cln")
     t.deleteWhereMoR(col("k") % 10 === 0) // clone must carry the DV too

@@ -12,6 +12,20 @@ object LakeTestAccess {
       version: Int): Long =
     new LakeFileIndex(s, t.path, t.manifest(version)).sizeInBytes
 
+  /** Drive commitMutation directly: plan a mutation against version
+    * `vRead`, let the caller interleave commits, then attempt — the
+    * deterministic harness for the optimistic-rebase matrix.
+    */
+  def commitMutation(t: LakeTable, vRead: Int, op: String,
+      consumedNames: Set[String],
+      conflictsWithRange: (String, Long, Long)): Int = {
+    val base = t.manifest(vRead)
+    val consumed = base.files.filter(f => consumedNames(f.name))
+    val (c, lo, hi) = conflictsWithRange
+    t.commitMutation(vRead, base, op, consumed, Seq.empty,
+      f => f.overlaps(c, lo, hi))
+  }
+
   /** boundsOf over a user-facing Column predicate, resolved against
     * `df` exactly the way deleteWhere's candidate pruning does it.
     */
