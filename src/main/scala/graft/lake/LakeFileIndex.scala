@@ -11,8 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast,
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
-  ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType,
+  LongType, ShortType, StructType, TimestampType}
 
 /** Catalyst-integrated scan path for [[LakeTable]]: a
   * [[org.apache.spark.sql.execution.datasources.FileIndex]] whose
@@ -193,6 +193,12 @@ private[lake] object LakeFileIndex {
     case _ => Int.MaxValue
   }
 
+  /** A literal whose long encoding matches the manifest stats: plain
+    * integrals, TIMESTAMP literals (epoch micros — exactly what
+    * Catalyst stores), and DATE literals (epoch days). The stats side
+    * records the same encodings ([[LakeTable.statLong]]), so `ts >=
+    * TIMESTAMP'...'` prunes files straight off the manifest.
+    */
   private object IntegralLit {
     def unapply(e: Expression): Option[Long] = e match {
       case Literal(v: Byte, _) => Some(v.toLong)
@@ -200,8 +206,11 @@ private[lake] object LakeFileIndex {
       case Literal(v: Int, _) => Some(v.toLong)
       case Literal(v: Long, _) => Some(v)
       // analyzed-but-unoptimized predicates carry coercion casts around
-      // literals (e.g. CAST(10 AS BIGINT)); fold them here
-      case c: Cast if c.resolved && c.foldable && isIntegral(c.dataType) =>
+      // literals (e.g. CAST(10 AS BIGINT), CAST('2024-01-01' AS
+      // TIMESTAMP)); fold them here
+      case c: Cast if c.resolved && c.foldable &&
+          (isIntegral(c.dataType) || c.dataType == TimestampType ||
+            c.dataType == DateType) =>
         c.eval(null) match {
           case v: Byte => Some(v.toLong)
           case v: Short => Some(v.toLong)

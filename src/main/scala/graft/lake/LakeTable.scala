@@ -795,9 +795,9 @@ class LakeTable private (spark: SparkSession, val path: String) {
   }
 
   private def statsColsOf(df: DataFrame, base: Manifest): Seq[String] = {
-    val numeric = df.schema.fields
-      .collect { case f if LakeTable.isIntegral(f.dataType) => f.name }.toSet
-    base.statsCols.filter(numeric)
+    val statsTyped = df.schema.fields
+      .collect { case f if LakeTable.isStatsType(f.dataType) => f.name }.toSet
+    base.statsCols.filter(statsTyped)
   }
 
   /** Write `df` into the table directory under job-unique names and
@@ -950,15 +950,36 @@ object LakeTable {
     case _ => false
   }
 
+  /** Types that can carry manifest [min,max] stats: integrals as-is,
+    * timestamps as epoch MICROSECONDS, dates as epoch DAYS — exactly
+    * the long encodings Catalyst literals of those types use, so
+    * [[LakeFileIndex.boundsOf]] compares stats and predicate literals
+    * in one unit with no conversion.
+    */
+  private[lake] def isStatsType(t: DataType): Boolean = t match {
+    case TimestampType | DateType => true
+    case other => isIntegral(other)
+  }
+
+  /** The stats encoding of a column: the long that matches how a
+    * Catalyst Literal of that type carries its value.
+    */
+  private[lake] def statLong(c: String, t: DataType): Column = t match {
+    case TimestampType => unix_micros(col(c))
+    case DateType => datediff(col(c), to_date(lit("1970-01-01"))).cast("long")
+    case _ => col(c).cast("long")
+  }
+
   /** Create a new table at `path` from `df`, recording per-file
-    * [min,max] stats for `statsCols` (integral columns; the merge/read
-    * pruning keys). Fails if a table already exists there.
+    * [min,max] stats for `statsCols` (integral, timestamp, or date
+    * columns; the merge/read pruning keys). Fails if a table already
+    * exists there.
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
       statsCols: Seq[String] = Seq.empty): LakeTable = {
     statsCols.foreach { c =>
-      require(isIntegral(df.schema(c).dataType),
-        s"stats column $c must be integral, is ${df.schema(c).dataType}")
+      require(isStatsType(df.schema(c).dataType),
+        s"stats column $c must be integral/timestamp/date, is ${df.schema(c).dataType}")
     }
     Files.createDirectories(Paths.get(path, LogDir))
     val t = new LakeTable(spark, path)
@@ -996,11 +1017,13 @@ object LakeTable {
     }
     deleteRecursively(scratch)
     if (named.isEmpty) return Seq.empty
+    val reread = spark.read.parquet(named.map(n => s"$path/$n"): _*)
     val aggs = count(lit(1)).as("_rows") +:
-      statsCols.flatMap(c => Seq(
-        min(col(c).cast("long")).as(s"_min_$c"),
-        max(col(c).cast("long")).as(s"_max_$c")))
-    val statRows = spark.read.parquet(named.map(n => s"$path/$n"): _*)
+      statsCols.flatMap { c =>
+        val enc = statLong(c, reread.schema(c).dataType)
+        Seq(min(enc).as(s"_min_$c"), max(enc).as(s"_max_$c"))
+      }
+    val statRows = reread
       .groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

@@ -554,6 +554,35 @@ object LakeQueries {
           lit(srcUnchanged).as("source_unchanged"))
     }),
 
+    // TIME-RANGE PRUNING: manifest stats on a TIMESTAMP column (epoch
+    // micros — the same encoding Catalyst timestamp literals carry), so
+    // a plain `ts BETWEEN ...` filter on scan() opens only the files
+    // whose [min,max] overlap the window. THE canonical lakehouse scan:
+    // at 100 TB, a one-hour query over a time-clustered table opens the
+    // hour, not the table. files_pruned pins the skip in-band.
+    "lake_prune_time" -> ((s, dir) => {
+      val path = tablePath("lake_prune_time")
+      wipe(path)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val t = LakeTable.create(s, path,
+        ev.repartitionByRange(4, col("ts")), Seq("ts"))
+      val Row(mn: Long, mx: Long) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val lo = mn + (mx - mn) / 4
+      val hi = mn + (mx - mn) / 2
+      val nFiles = t.fileNames(t.currentVersion).size
+      val openedFiles = t.prunedRead("ts", lo, hi).inputFiles.length
+      val filesPruned = openedFiles < nFiles && nFiles == 4
+      t.scan()
+        .filter(col("ts") >= timestamp_micros(lit(lo)) &&
+          col("ts") < timestamp_micros(lit(hi)))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("value")), 6).as("sum_value"))
+        .select(col("n_rows"), col("sum_value"),
+          lit(filesPruned).as("files_pruned"))
+    }),
+
     // OPTIMISTIC CONCURRENCY: a MERGE and a range-disjoint APPEND race
     // from two threads with no table lock. Whoever loses the version
     // race REBASES (the Delta conflict-resolution model: per-file key
@@ -839,6 +868,17 @@ object LakeQueries {
         |  true AS restore_is_new_commit,
         |  true AS history_shows_restore
         |FROM base""".stripMargin,
+
+    "lake_prune_time" ->
+      """WITH h AS (
+        |  SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx
+        |  FROM events)
+        |SELECT count(*) AS n_rows,
+        |  round(sum(value), 6) AS sum_value,
+        |  true AS files_pruned
+        |FROM events
+        |WHERE epoch_us(ts) >= (SELECT mn + (mx - mn) // 4 FROM h)
+        |  AND epoch_us(ts) < (SELECT mn + (mx - mn) // 2 FROM h)""".stripMargin,
 
     "lake_concurrent" ->
       """WITH base AS (

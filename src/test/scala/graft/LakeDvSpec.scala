@@ -54,25 +54,28 @@ class LakeDvSpec extends AnyFunSuite {
     assert(t.readVersion(t.currentVersion - 1).count() == 400)
   }
 
+  // AQE hides stage plans behind QueryStageExec nodes; unwrap them
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scansOf(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scansOf(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(scansOf)
+  }
+
+  /** Data files the executed plan actually opened (DV sidecars excluded). */
+  private def opened(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect() // materialize so AQE finalizes and metrics land
+    scansOf(df.queryExecution.executedPlan)
+      .filter(!_.metadata.get("Location").exists(_.contains("dv-")))
+      .map(_.metrics("numFiles").value).sum
+  }
+
   test("DV overlay keeps pushed-filter file pruning in scan()") {
     val t = table("morp") // 4 range-clustered files
     t.deleteWhereMoR(col("k") % 10 === 0)
-    // AQE hides stage plans behind QueryStageExec nodes; unwrap them
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scansOf(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scansOf(q.plan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scansOf)
-    }
-    def opened(df: org.apache.spark.sql.DataFrame): Long = {
-      df.collect() // materialize so AQE finalizes and metrics land
-      scansOf(df.queryExecution.executedPlan)
-        .filter(!_.metadata.get("Location").exists(_.contains("dv-")))
-        .map(_.metrics("numFiles").value).sum
-    }
     // the filter must reach LakeFileIndex THROUGH the DV anti-join:
     // a k <= 100 point read opens 1 of 4 data files, not all of them
     val pruned = opened(t.scan().filter(col("k") <= 100L))
@@ -160,6 +163,49 @@ class LakeDvSpec extends AnyFunSuite {
     val cur = t.currentVersion
     t.restore(cur)
     assert(t.currentVersion == cur)
+  }
+
+  test("timestamp stats prune time-range scans off the manifest") {
+    val path = freshDir("tss")
+    val epoch0 = 1700000000000000L // µs
+    val df = (0 until 1440).toDF("i").select(
+      col("i").cast("long").as("event_id"),
+      timestamp_micros(col("i").cast("long") * 60000000L + lit(epoch0)).as("ts"))
+      .repartitionByRange(4, col("ts")) // 4 files, 6h of minutes each
+    val t = LakeTable.create(spark, path, df, Seq("ts"))
+    // manual pruned read in epoch micros: first hour lives in 1 file
+    val hour = 3600L * 1000000L
+    assert(t.prunedRead("ts", epoch0, epoch0 + hour - 1).inputFiles.length == 1)
+    assert(t.prunedRead("ts", epoch0, epoch0 + hour - 1)
+      .filter(col("ts") < timestamp_micros(lit(epoch0 + hour))).count() == 60)
+    // Catalyst path: a plain timestamp-literal filter on scan() prunes —
+    // the TIMESTAMP literal's micros match the manifest's unix_micros
+    val q = t.scan().filter(col("ts") < timestamp_micros(lit(epoch0 + hour)))
+    assert(q.count() == 60)
+    assert(opened(q) == 1, s"expected 1 of 4 files, opened ${opened(q)}")
+    // a string literal coerced to timestamp folds and prunes too
+    val iso = java.time.Instant.ofEpochSecond(1700000000L + 3600L).toString
+    val q2 = t.scan().filter(col("ts") < lit(iso.replace("Z", "")).cast("timestamp"))
+    assert(opened(q2) <= 2)
+    // deleteWhere candidate pruning rides the same bounds: a one-hour
+    // delete rewrites only the file holding that hour
+    val before = t.fileNames(t.currentVersion).toSet
+    t.deleteWhere(col("ts") < timestamp_micros(lit(epoch0 + hour)))
+    val after = t.fileNames(t.currentVersion).toSet
+    assert((before -- after).size == 1, "only the lo file should rewrite")
+    assert(t.read().count() == 1380)
+  }
+
+  test("date stats: DATE literals bound pruning in epoch days") {
+    val path = freshDir("dts")
+    val df = (0 until 400).toDF("i").select(
+      col("i").cast("long").as("k"),
+      date_add(to_date(lit("2024-01-01")), col("i")).as("d"))
+      .repartitionByRange(4, col("d"))
+    val t = LakeTable.create(spark, path, df, Seq("d"))
+    val q = t.scan().filter(col("d") < to_date(lit("2024-02-01")))
+    assert(q.count() == 31)
+    assert(opened(q) == 1, s"expected 1 of 4 files, opened ${opened(q)}")
   }
 
   test("optimistic rebase: disjoint concurrent writes both land; overlaps conflict") {
