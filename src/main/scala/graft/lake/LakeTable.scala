@@ -364,12 +364,15 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val v = currentVersion
     val base = manifest(v)
     requireSameSchema(updates.schema, base)
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    // key range in the SAME encoding the manifest stats use (micros for
+    // timestamp keys, days for dates) — a bare cast("long") would give
+    // seconds for timestamps and silently mis-prune the candidate set
+    val keyEnc = LakeTable.statLong(keyCol, schema(keyCol).dataType)
     val Row(lo: Long, hi: Long, nUpd: Long) = updates
-      .agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long")),
-        count(lit(1))).head()
+      .agg(min(keyEnc), max(keyEnc), count(lit(1))).head()
     require(nUpd > 0, "merge with an empty updates frame")
     val (candidates, untouched) = base.files.partition(_.overlaps(keyCol, lo, hi))
-    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
     val cols = schema.fieldNames.map(col).toSeq
     val candData = readEntries(candidates, schema)
     // surviving source rows: everything (upsert), or minus the

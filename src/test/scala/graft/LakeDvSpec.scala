@@ -196,6 +196,35 @@ class LakeDvSpec extends AnyFunSuite {
     assert(t.read().count() == 1380)
   }
 
+  test("merge keyed on a timestamp column prunes in micros, not seconds") {
+    val path = freshDir("tsm")
+    val epoch0 = 1700000000000000L // µs
+    def mk(r: Range, v: Long) = r.toDF("i").select(
+      timestamp_micros(col("i").cast("long") * 60000000L + lit(epoch0)).as("ts"),
+      lit(v).as("v"))
+    val t = LakeTable.create(spark, path,
+      mk(0 until 1440, 1L).repartitionByRange(4, col("ts")), Seq("ts"))
+    val before = t.fileNames(t.currentVersion).toSet
+    t.merge(mk(0 until 10, 999L).coalesce(1), "ts")
+    // a seconds-encoded key range would miss every candidate file and
+    // DUPLICATE the updated keys instead of replacing them
+    assert(t.read().count() == 1440)
+    assert(t.read().filter(col("v") === 999L).count() == 10)
+    // and only the overlapping file was rewritten
+    val after = t.fileNames(t.currentVersion).toSet
+    assert((before -- after).size == 1)
+  }
+
+  test("legacy single-txn manifests parse into the per-app ledger") {
+    val head = "{\"operation\":\"x\",\"schema\":\"{}\"," +
+      "\"statsCols\":[],\"txn\":5}"
+    assert(graft.lake.LakeTestAccess.parseTxns(head + "\n") ==
+      Map("_legacy" -> 5L))
+    val headNone = "{\"operation\":\"x\",\"schema\":\"{}\"," +
+      "\"statsCols\":[],\"txn\":-1}"
+    assert(graft.lake.LakeTestAccess.parseTxns(headNone + "\n").isEmpty)
+  }
+
   test("date stats: DATE literals bound pruning in epoch days") {
     val path = freshDir("dts")
     val df = (0 until 400).toDF("i").select(

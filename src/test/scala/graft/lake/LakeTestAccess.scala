@@ -12,6 +12,11 @@ object LakeTestAccess {
       version: Int): Long =
     new LakeFileIndex(s, t.path, t.manifest(version)).sizeInBytes
 
+  /** Parse a raw manifest text and return its txn ledger — exercises
+    * the legacy single-`txn` compatibility path.
+    */
+  def parseTxns(text: String): Map[String, Long] = Manifest.parse(text).txns
+
   /** Drive commitMutation directly: plan a mutation against version
     * `vRead`, let the caller interleave commits, then attempt — the
     * deterministic harness for the optimistic-rebase matrix.
