@@ -106,13 +106,21 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val planned = new LakeFileIndex(spark, path, m).toDataFrame
     val sidecars = m.files.flatMap(_.dv).distinct
     if (sidecars.isEmpty) planned
-    else planned
-      .select(col("*"),
-        element_at(split(col("_metadata.file_path"), "/"), -1).as("_gf_file"),
-        col("_metadata.row_index").as("_gf_pos"))
-      .join(readSidecars(sidecars), Seq("_gf_file", "_gf_pos"), "left_anti")
+    else maskDeleted(withProvenance(planned), sidecars)
       .drop("_gf_file", "_gf_pos")
   }
+
+  /** Expose each row's physical provenance as `_gf_file` / `_gf_pos`
+    * (parquet metadata columns) — the join key of the DV mask.
+    */
+  private def withProvenance(df: DataFrame): DataFrame =
+    df.select(col("*"),
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("_gf_file"),
+      col("_metadata.row_index").as("_gf_pos"))
+
+  /** Anti-join away the (file, position) pairs the sidecars mask. */
+  private def maskDeleted(df: DataFrame, sidecars: Seq[String]): DataFrame =
+    df.join(readSidecars(sidecars), Seq("_gf_file", "_gf_pos"), "left_anti")
 
   private def readManifest(m: Manifest): DataFrame =
     readEntries(m.files, DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
@@ -135,13 +143,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val sides = Seq(
       if (plain.isEmpty) None else Some(readPlain(plain)),
       if (dvd.isEmpty) None else Some {
-        val deleted = readSidecars(dvd.flatMap(_.dv).distinct)
-        readPlain(dvd)
-          .select(col("*"),
-            element_at(split(col("_metadata.file_path"), "/"), -1)
-              .as("_gf_file"),
-            col("_metadata.row_index").as("_gf_pos"))
-          .join(deleted, Seq("_gf_file", "_gf_pos"), "left_anti")
+        maskDeleted(withProvenance(readPlain(dvd)), dvd.flatMap(_.dv).distinct)
           .drop("_gf_file", "_gf_pos")
       }).flatten
     sides.reduce(_ unionByName _)
@@ -231,11 +233,19 @@ class LakeTable private (spark: SparkSession, val path: String) {
     * version automatically.
     */
   def append(df: DataFrame): Int = {
-    validateChecks(df, manifest(currentVersion))
     val staged = stageFiles(df)
+    var proven: Map[String, String] = null
     retryCommit { v =>
       val base = manifest(v)
       requireSameSchema(df.schema, base)
+      // enforce the ATTEMPT base's constraints (a concurrent addCheck
+      // between retries must gate this append too); validating the
+      // staged parquet is one cheap columnar read, not a recomputation
+      // of df's lineage, and a violation cleans the staged files up
+      if (proven == null || proven != base.checks) {
+        enforceChecks(staged, base)
+        proven = base.checks
+      }
       commit(v + 1, "append", base.files ++ staged, base)
     }
   }
@@ -264,15 +274,20 @@ class LakeTable private (spark: SparkSession, val path: String) {
   def appendStream(df: DataFrame, appId: String, batchId: Long): Int = {
     require(batchId >= 0, "streaming batch ids are non-negative")
     require(appId.nonEmpty, "appId must be non-empty (scope of the txn ledger)")
-    def ledger(m: Manifest): Long = m.txns.getOrElse(appId, -1L)
+    // pre-scoping manifests carried ONE global ledger (parsed in under
+    // the reserved "_legacy" app id). Falling back to it for every app
+    // preserves exactly-once across the upgrade: the old world had a
+    // single logical writer, so its floor applies to whoever resumes.
+    def ledger(m: Manifest): Long =
+      m.txns.getOrElse(appId, m.txns.getOrElse("_legacy", -1L))
     def checkRegression(last: Long): Unit = require(batchId >= last,
       s"batch id $batchId regresses below app '$appId' ledger $last: a fresh " +
         "checkpoint restarted batch ids — use a new appId, or data WOULD be dropped")
     val head = ledger(manifest(currentVersion))
     if (head == batchId) return currentVersion
     checkRegression(head)
-    validateChecks(df, manifest(currentVersion))
     val staged = stageFiles(df)
+    var proven: Map[String, String] = null
     retryCommit { v =>
       val base = manifest(v)
       val last = ledger(base)
@@ -283,6 +298,10 @@ class LakeTable private (spark: SparkSession, val path: String) {
       } else {
         checkRegression(last)
         requireSameSchema(df.schema, base)
+        if (proven == null || proven != base.checks) {
+          enforceChecks(staged, base)
+          proven = base.checks
+        }
         LakeTable.commit(logDir.toString, v + 1,
           base.copy(operation = "stream-append",
             files = base.files ++ staged,
@@ -318,12 +337,16 @@ class LakeTable private (spark: SparkSession, val path: String) {
       if (df.columns.contains(n)) col(n)
       else lit(null).cast(unified(n).dataType).as(n)
     }: _*)
-    validateChecks(aligned, base0)
     val staged = LakeTable.stage(spark, path, aligned, base0.statsCols)
+    var proven: Map[String, String] = null
     retryCommit { v =>
       val base = manifest(v)
       require(base.schemaJson == base0.schemaJson,
         "schema changed concurrently; re-run appendEvolve against the new snapshot")
+      if (proven == null || proven != base.checks) {
+        enforceChecks(staged, base, unified)
+        proven = base.checks
+      }
       commit(v + 1, "append-evolve", base.files ++ staged,
         base.copy(schemaJson = unified.json))
     }
@@ -331,10 +354,10 @@ class LakeTable private (spark: SparkSession, val path: String) {
 
   /** Replace the table contents with `df` (schema may change). */
   def overwrite(df: DataFrame): Int = {
-    validateChecks(df, manifest(currentVersion))
-    val staged = stageFiles(df)
     val v = currentVersion
     val base = manifest(v)
+    val staged = stageFiles(df, base)
+    enforceChecks(staged, base, df.schema)
     commit(v + 1, "overwrite",
       staged, base.copy(schemaJson = df.schema.json, statsCols = statsColsOf(df, base)))
   }
@@ -369,9 +392,11 @@ class LakeTable private (spark: SparkSession, val path: String) {
     // timestamp keys, days for dates) — a bare cast("long") would give
     // seconds for timestamps and silently mis-prune the candidate set
     val keyEnc = LakeTable.statLong(keyCol, schema(keyCol).dataType)
-    val Row(lo: Long, hi: Long, nUpd: Long) = updates
-      .agg(min(keyEnc), max(keyEnc), count(lit(1))).head()
-    require(nUpd > 0, "merge with an empty updates frame")
+    val range = updates.agg(min(keyEnc), max(keyEnc), count(lit(1))).head()
+    require(range.getLong(2) > 0, "merge with an empty updates frame")
+    require(!range.isNullAt(0),
+      s"merge updates have only NULL $keyCol keys — nothing to match on")
+    val (lo, hi) = (range.getLong(0), range.getLong(1))
     val (candidates, untouched) = base.files.partition(_.overlaps(keyCol, lo, hi))
     val cols = schema.fieldNames.map(col).toSeq
     val candData = readEntries(candidates, schema)
@@ -385,13 +410,16 @@ class LakeTable private (spark: SparkSession, val path: String) {
       case Some(cond) => updates.filter(!coalesce(cond, lit(false)))
       case None => updates
     }
-    validateChecks(surviving, base)
     val merged = candData
       .join(updates.select(col(keyCol).as("_upd_key")),
         col(keyCol) === col("_upd_key"), "left_anti")
       .select(cols: _*)
       .unionByName(surviving.select(cols: _*))
     val staged = stageFiles(merged, base)
+    // constraints gate the staged OUTPUT (rewritten survivors were
+    // proven at their own write time, so this stays delta-bounded);
+    // commitMutation conflicts outright if checks change concurrently
+    enforceChecks(staged, base)
     // optimistic rebase: a concurrent append/mutation lands too unless
     // its files could contain keys in this merge's [lo, hi] range
     commitMutation(v, base, "merge", candidates, staged,
@@ -414,7 +442,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val base = manifest(v)
     if (base.files.isEmpty) return v
     val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-    val candidates = statsCandidates(base, cond, schema)
+    val bounds = deleteBounds(base, cond, schema)
+    val candidates = statsCandidates(base, bounds)
     if (candidates.isEmpty) return v
     val touchedNames = liveRows(candidates, schema).filter(cond)
       .select(col("_gf_file")).distinct()
@@ -425,7 +454,6 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val kept = readEntries(touched, schema).filter(!coalesce(cond, lit(false)))
     val staged = if (kept.isEmpty) Seq.empty else stageFiles(kept, base)
     // rebase over concurrent writes whose files cannot match `cond`
-    val bounds = deleteBounds(base, cond, schema)
     commitMutation(v, base, "delete", touched, staged,
       f => bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) })
   }
@@ -450,7 +478,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val base = manifest(v)
     if (base.files.isEmpty) return v
     val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-    val candidates = statsCandidates(base, cond, schema)
+    val bounds = deleteBounds(base, cond, schema)
+    val candidates = statsCandidates(base, bounds)
     if (candidates.isEmpty) return v
     val hits = liveRows(candidates, schema).filter(cond)
       .select(col("_gf_file"), col("_gf_pos"))
@@ -484,7 +513,6 @@ class LakeTable private (spark: SparkSession, val path: String) {
       else Some(f.copy(dv = f.dv :+ sidecar.get, dvRows = f.dvRows + n))
     }
     // rebase over concurrent writes whose files cannot match `cond`
-    val bounds = deleteBounds(base, cond, schema)
     commitMutation(v, base, "delete-mor", touched, masked,
       f => bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) })
   }
@@ -493,13 +521,11 @@ class LakeTable private (spark: SparkSession, val path: String) {
     * candidate pruning of both delete flavors): integral-comparison
     * conjuncts become per-column bounds, anything else keeps the file.
     */
-  private def statsCandidates(base: Manifest, cond: Column,
-      schema: StructType): Seq[FileEntry] = {
-    val bounds = deleteBounds(base, cond, schema)
+  private def statsCandidates(base: Manifest,
+      bounds: Map[String, (Long, Long)]): Seq[FileEntry] =
     base.files.filter { f =>
       bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) }
     }
-  }
 
   /** The per-column bounds `cond` implies over the stats columns —
     * shared by the delete candidate pruning and the rebase conflict
@@ -509,7 +535,9 @@ class LakeTable private (spark: SparkSession, val path: String) {
     */
   private def deleteBounds(base: Manifest, cond: Column,
       schema: StructType): Map[String, (Long, Long)] = {
-    val probe = readEntries(base.files, schema)
+    // analysis-only: an empty frame with the manifest schema resolves
+    // the Column without touching data or sidecar footers
+    val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     LakeFileIndex.resolvedCondition(probe, cond)
       .map(e => LakeFileIndex.boundsOf(Seq(e), base.statsCols.toSet))
       .getOrElse(Map.empty)
@@ -521,14 +549,10 @@ class LakeTable private (spark: SparkSession, val path: String) {
     */
   private def liveRows(entries: Seq[FileEntry],
       schema: StructType): DataFrame = {
-    val raw = spark.read.schema(schema)
-      .parquet(entries.map(f => s"$path/${f.name}"): _*)
-      .select(col("*"),
-        element_at(split(col("_metadata.file_path"), "/"), -1).as("_gf_file"),
-        col("_metadata.row_index").as("_gf_pos"))
+    val raw = withProvenance(spark.read.schema(schema)
+      .parquet(entries.map(f => s"$path/${f.name}"): _*))
     val sidecars = entries.flatMap(_.dv).distinct
-    if (sidecars.isEmpty) raw
-    else raw.join(readSidecars(sidecars), Seq("_gf_file", "_gf_pos"), "left_anti")
+    if (sidecars.isEmpty) raw else maskDeleted(raw, sidecars)
   }
 
   /** OPTIMIZE: bin-pack the small files (rows < `smallFileRows`) into
@@ -726,16 +750,31 @@ class LakeTable private (spark: SparkSession, val path: String) {
     * current again, as a NEW commit — history is append-only and no
     * data moves (the restored manifest references the same immutable
     * files, which retention kept alive because the version is still in
-    * the log). The streaming ledger (`txns`) is carried from the
-    * CURRENT head, never rolled back: replay protection must survive a
-    * restore or a checkpointed stream would double-append.
+    * the log). GOVERNANCE rides the HEAD, not the restored version:
+    * the streaming ledger (`txns`) never rolls back (replay protection
+    * must survive a restore or a checkpointed stream would
+    * double-append), and CHECK constraints stay active — restoring
+    * must not silently disable them, so the restored snapshot is
+    * re-proven against the head's constraint set (one scan; restore is
+    * rare) and the restore FAILS if the old data violates a
+    * constraint added since.
     */
   def restore(version: Int): Int = {
     val cur = currentVersion
     if (version == cur) return cur
     val target = manifest(version) // validates the version is retained
+    val head = manifest(cur)
+    if (head.checks.nonEmpty && head.checks != target.checks) {
+      val probe = readManifest(target)
+      head.checks.foreach { case (n, e) =>
+        if (probe.filter(!coalesce(expr(e), lit(true))).limit(1).count() > 0L)
+          throw new CheckViolationException(n, e,
+            s"rows of restored version $version")
+      }
+    }
     LakeTable.commit(logDir.toString, cur + 1,
-      target.copy(operation = "restore", txns = manifest(cur).txns))
+      target.copy(operation = "restore", txns = head.txns,
+        checks = head.checks))
   }
 
   /** ADD CONSTRAINT name CHECK (exprSql): the CURRENT snapshot is
@@ -772,19 +811,31 @@ class LakeTable private (spark: SparkSession, val path: String) {
   /** The recorded CHECK constraints (name -> SQL expression). */
   def checks: Map[String, String] = manifest(currentVersion).checks
 
-  /** One aggregate pass over the incoming rows, all constraints at
+  /** One aggregate pass over the STAGED files, all constraints at
     * once; throws [[CheckViolationException]] naming the first violated
-    * one. Runs BEFORE staging so a rejected write leaves no orphans.
+    * one, deleting the staged files first — a rejected write leaves
+    * neither a commit nor orphans. Validating staged parquet instead of
+    * the incoming DataFrame means the input lineage is computed exactly
+    * once (staging), and a commit-time retry can cheaply re-enforce
+    * against a constraint set a concurrent addCheck just changed.
     */
-  private def validateChecks(df: DataFrame, base: Manifest): Unit = {
-    if (base.checks.isEmpty) return
+  private def enforceChecks(staged: Seq[FileEntry], base: Manifest,
+      schemaOverride: StructType = null): Unit = {
+    if (base.checks.isEmpty || staged.isEmpty) return
+    val schema =
+      if (schemaOverride != null) schemaOverride
+      else DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
     val aggs = base.checks.toSeq.map { case (n, e) =>
       count_if(!coalesce(expr(e), lit(true))).as(n)
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val r = spark.read.schema(schema)
+      .parquet(staged.map(f => s"$path/${f.name}"): _*)
+      .agg(aggs.head, aggs.tail: _*).head()
     base.checks.toSeq.foreach { case (n, e) =>
-      if (r.getAs[Long](n) > 0L)
+      if (r.getAs[Long](n) > 0L) {
+        staged.foreach(f => Files.deleteIfExists(Paths.get(path, f.name)))
         throw new CheckViolationException(n, e, s"${r.getAs[Long](n)} incoming rows")
+      }
     }
   }
 

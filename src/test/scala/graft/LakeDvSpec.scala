@@ -215,6 +215,58 @@ class LakeDvSpec extends AnyFunSuite {
     assert((before -- after).size == 1)
   }
 
+  test("merge rejects empty and all-NULL-key updates with clear errors") {
+    val t = table("mrgnull")
+    val empty = kv(1 to 1).filter(col("k") < 0L)
+    val exEmpty = intercept[IllegalArgumentException] { t.merge(empty, "k") }
+    assert(exEmpty.getMessage.contains("empty updates frame"))
+    val nullKeys = kv(1 to 3)
+      .select(lit(null).cast("long").as("k"), col("v"))
+    val exNull = intercept[IllegalArgumentException] { t.merge(nullKeys, "k") }
+    assert(exNull.getMessage.contains("NULL"))
+    assert(t.read().count() == 400) // untouched either way
+  }
+
+  test("restore keeps head constraints active and re-proves restored data") {
+    val t = table("rstchk")
+    t.deleteWhere(col("k") <= 100L) // v2: keys 101..400
+    t.addCheck("k_min", "k > 100")  // v3: proven against current data
+    // restoring v1 would resurrect rows 1..100 that violate k_min
+    intercept[CheckViolationException] { t.restore(1) }
+    assert(t.read().count() == 300) // restore rejected atomically
+    // restore to a COMPATIBLE snapshot carries the constraint forward
+    t.deleteWhere(col("k") <= 200L) // v4: keys 201..400
+    t.restore(2)                     // v2 data (101..400) satisfies k_min
+    assert(t.read().count() == 300)
+    assert(t.checks.keySet == Set("k_min"), "constraints must survive restore")
+    intercept[CheckViolationException] {
+      t.append(kv(1 to 1).coalesce(1)) // still gated after the restore
+    }
+  }
+
+  test("appendStream honors a legacy global txn ledger as the floor") {
+    val t = table("legacy")
+    // hand-craft a v2 manifest in the PRE-SCOPING format: same files,
+    // head carries the old single global `txn` long instead of `txns`
+    val log = new File(t.path, "_graft_log")
+    val v1 = Files.readString(new File(log, "v00000001.manifest").toPath)
+    assert(v1.contains("\"txns\":{}"))
+    Files.writeString(new File(log, "v00000002.manifest").toPath,
+      v1.replace("\"txns\":{}", "\"txn\":7"))
+    // a replay of the legacy batch id is recognized under ANY app id
+    val v = t.currentVersion
+    t.appendStream(kv(500 to 509).coalesce(1), "resumed-query", 7L)
+    assert(t.currentVersion == v && t.read().count() == 400)
+    // regressing below the legacy floor fails loudly
+    intercept[IllegalArgumentException] {
+      t.appendStream(kv(500 to 509).coalesce(1), "resumed-query", 3L)
+    }
+    // the next batch lands and migrates the ledger to the scoped form
+    t.appendStream(kv(500 to 509).coalesce(1), "resumed-query", 8L)
+    assert(t.read().count() == 410)
+    assert(t.lastStreamBatchId("resumed-query") == 8L)
+  }
+
   test("legacy single-txn manifests parse into the per-app ledger") {
     val head = "{\"operation\":\"x\",\"schema\":\"{}\"," +
       "\"statsCols\":[],\"txn\":5}"
