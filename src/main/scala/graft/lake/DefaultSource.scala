@@ -66,6 +66,64 @@ class DefaultSource extends RelationProvider
     val t = LakeTable.forPath(spark, path)
     val version = parameters.get("version").map(_.toInt)
       .getOrElse(t.currentVersion)
-    new LakeFileIndex(spark, path, t.manifest(version)).relation
+    val m = t.manifest(version)
+    if (m.files.forall(_.dv.isEmpty))
+      new LakeFileIndex(spark, path, m).relation
+    else
+      // deletion vectors present: the plain file relation would
+      // resurrect masked rows, so serve the DV-masked scan through a
+      // PrunedFilteredScan — pushed filters are re-applied as Columns
+      // on scanVersion, where they still reach LakeFileIndex for
+      // manifest-stats file skipping
+      new DvMaskedRelation(sqlContext, t, version)
+  }
+}
+
+/** Format-reader relation over a snapshot that carries deletion
+  * vectors: delegates to [[LakeTable.scanVersion]] (index-planned scan
+  * + DV anti-join) and forwards the pushed column prunes and filters
+  * into it, so file skipping survives this fallback path. Unsupported
+  * filter shapes are simply not forwarded — Spark re-evaluates every
+  * filter above the relation, so this stays exact (the
+  * PrunedFilteredScan contract).
+  */
+private[lake] class DvMaskedRelation(ctx: SQLContext, t: LakeTable,
+    version: Int) extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.{functions => F, Column, Row}
+  import org.apache.spark.sql.sources._
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType
+      .fromJson(t.manifest(version).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[Row] = {
+    val base = t.scanVersion(version)
+    val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select(F.lit(1).as("_one"))
+      else filtered.select(requiredColumns.toSeq.map(F.col): _*)
+    projected.rdd
+  }
+
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case In(a, vs) => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(F.col(a).isNull)
+    case IsNotNull(a) => Some(F.col(a).isNotNull)
+    case And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
   }
 }

@@ -215,6 +215,22 @@ class LakeDvSpec extends AnyFunSuite {
     assert((before -- after).size == 1)
   }
 
+  test("the format reader masks deletion vectors (with pruning intact)") {
+    val t = table("fmtdv")
+    t.deleteWhereMoR(col("k") % 10 === 0)
+    val df = spark.read.format("graft.lake").load(t.path)
+    assert(df.count() == 360, "format reader must apply the DV mask")
+    assert(df.filter(col("k") === 10L).count() == 0)
+    assert(df.filter(col("k") <= 100L).count() == 90)
+    // version option: the pre-delete snapshot has no DVs → native path
+    val v1 = spark.read.format("graft.lake")
+      .option("version", "1").load(t.path)
+    assert(v1.count() == 400)
+    // column prune + filter through the PrunedFilteredScan shim
+    assert(df.select("v").where(col("k") === 11L).as[Long].head() ==
+      11L % 7)
+  }
+
   test("merge rejects empty and all-NULL-key updates with clear errors") {
     val t = table("mrgnull")
     val empty = kv(1 to 1).filter(col("k") < 0L)
