@@ -104,8 +104,12 @@ private[lake] class DvMaskedRelation(ctx: SQLContext, t: LakeTable,
       filters: Array[Filter]): org.apache.spark.rdd.RDD[Row] = {
     val base = t.scanVersion(version)
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
+    // an empty projection (e.g. count(*)) must return rows matching the
+    // empty pruned schema — select() gives genuinely zero-field Rows,
+    // honoring the PrunedFilteredScan contract rather than relying on
+    // the row converter ignoring extra fields
     val projected =
-      if (requiredColumns.isEmpty) filtered.select(F.lit(1).as("_one"))
+      if (requiredColumns.isEmpty) filtered.select()
       else filtered.select(requiredColumns.toSeq.map(F.col): _*)
     projected.rdd
   }

@@ -118,9 +118,18 @@ class LakeTable private (spark: SparkSession, val path: String) {
       element_at(split(col("_metadata.file_path"), "/"), -1).as("_gf_file"),
       col("_metadata.row_index").as("_gf_pos"))
 
-  /** Anti-join away the (file, position) pairs the sidecars mask. */
+  /** Anti-join away the (file, position) pairs the sidecars mask. The
+    * sidecar side is PINNED to a broadcast: DVs are deleted-row
+    * positions only (KBs–MBs), and without the hint a table whose
+    * deletes accumulated past the auto-broadcast threshold would
+    * silently degrade to shuffling the whole fact on (file, pos) — the
+    * exact scale-killer DVs exist to avoid. [[purgeDeletes]] is the
+    * matching debt policy: once dvRows/rows crosses a threshold, the
+    * masked files get rewritten and the sidecars retired.
+    */
   private def maskDeleted(df: DataFrame, sidecars: Seq[String]): DataFrame =
-    df.join(readSidecars(sidecars), Seq("_gf_file", "_gf_pos"), "left_anti")
+    df.join(broadcast(readSidecars(sidecars)),
+      Seq("_gf_file", "_gf_pos"), "left_anti")
 
   private def readManifest(m: Manifest): DataFrame =
     readEntries(m.files, DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
@@ -235,7 +244,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
   def append(df: DataFrame): Int = {
     val staged = stageFiles(df)
     var proven: Map[String, String] = null
-    retryCommit { v =>
+    try retryCommit { v =>
       val base = manifest(v)
       requireSameSchema(df.schema, base)
       // enforce the ATTEMPT base's constraints (a concurrent addCheck
@@ -247,6 +256,9 @@ class LakeTable private (spark: SparkSession, val path: String) {
         proven = base.checks
       }
       commit(v + 1, "append", base.files ++ staged, base)
+    } catch { case NonFatal(e) =>
+      staged.foreach(f => Files.deleteIfExists(Paths.get(path, f.name)))
+      throw e
     }
   }
 
@@ -267,19 +279,22 @@ class LakeTable private (spark: SparkSession, val path: String) {
     * `appId` must be stable across restarts of the SAME logical query
     * (e.g. the checkpoint location or `query.id`). Restarting with a
     * FRESH checkpoint restarts batch ids at 0; to avoid silently
-    * dropping those batches, a batchId far below the ledger (regression
-    * by more than one, which replay can never produce) fails loudly —
-    * pick a new appId for a genuinely new incarnation.
+    * dropping those batches, ANY batchId below the app's ledger (other
+    * than the exact replay of the last id, which is skipped) fails
+    * loudly — pick a new appId for a genuinely new incarnation.
     */
   def appendStream(df: DataFrame, appId: String, batchId: Long): Int = {
     require(batchId >= 0, "streaming batch ids are non-negative")
     require(appId.nonEmpty, "appId must be non-empty (scope of the txn ledger)")
     // pre-scoping manifests carried ONE global ledger (parsed in under
-    // the reserved "_legacy" app id). Falling back to it for every app
-    // preserves exactly-once across the upgrade: the old world had a
-    // single logical writer, so its floor applies to whoever resumes.
+    // the reserved "_legacy" app id). The old world had a single logical
+    // writer, so its floor applies to whoever resumes FIRST — and only
+    // until then: the first scoped commit consumes the legacy entry, so
+    // later, genuinely new appIds start at a clean -1 instead of
+    // inheriting a floor they can never satisfy.
     def ledger(m: Manifest): Long =
-      m.txns.getOrElse(appId, m.txns.getOrElse("_legacy", -1L))
+      m.txns.getOrElse(appId,
+        if (m.txns.keySet == Set("_legacy")) m.txns("_legacy") else -1L)
     def checkRegression(last: Long): Unit = require(batchId >= last,
       s"batch id $batchId regresses below app '$appId' ledger $last: a fresh " +
         "checkpoint restarted batch ids — use a new appId, or data WOULD be dropped")
@@ -288,7 +303,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     checkRegression(head)
     val staged = stageFiles(df)
     var proven: Map[String, String] = null
-    retryCommit { v =>
+    try retryCommit { v =>
       val base = manifest(v)
       val last = ledger(base)
       if (last == batchId) {
@@ -305,8 +320,13 @@ class LakeTable private (spark: SparkSession, val path: String) {
         LakeTable.commit(logDir.toString, v + 1,
           base.copy(operation = "stream-append",
             files = base.files ++ staged,
-            txns = base.txns + (appId -> batchId)))
+            txns = base.txns - "_legacy" + (appId -> batchId)))
       }
+    } catch { case NonFatal(e) =>
+      // a rejected write (ledger regression, schema mismatch, constraint
+      // violation) must not leave staged files orphaned until a vacuum
+      staged.foreach(f => Files.deleteIfExists(Paths.get(path, f.name)))
+      throw e
     }
   }
 
@@ -339,7 +359,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     }: _*)
     val staged = LakeTable.stage(spark, path, aligned, base0.statsCols)
     var proven: Map[String, String] = null
-    retryCommit { v =>
+    try retryCommit { v =>
       val base = manifest(v)
       require(base.schemaJson == base0.schemaJson,
         "schema changed concurrently; re-run appendEvolve against the new snapshot")
@@ -349,13 +369,21 @@ class LakeTable private (spark: SparkSession, val path: String) {
       }
       commit(v + 1, "append-evolve", base.files ++ staged,
         base.copy(schemaJson = unified.json))
+    } catch { case NonFatal(e) =>
+      staged.foreach(f => Files.deleteIfExists(Paths.get(path, f.name)))
+      throw e
     }
   }
 
-  /** Replace the table contents with `df` (schema may change). */
+  /** Replace the table contents with `df` (schema may change — but a
+    * schema change that invalidates an active CHECK constraint is
+    * rejected up front with the constraint's name, BEFORE any data is
+    * staged: drop or migrate the constraint first, the Delta rule).
+    */
   def overwrite(df: DataFrame): Int = {
     val v = currentVersion
     val base = manifest(v)
+    validateChecksResolve(base.checks, df.schema)
     val staged = stageFiles(df, base)
     enforceChecks(staged, base, df.schema)
     commit(v + 1, "overwrite",
@@ -692,6 +720,38 @@ class LakeTable private (spark: SparkSession, val path: String) {
     commitMutation(v, base, "zorder", base.files, staged, _ => false)
   }
 
+  /** Fraction of the current snapshot's physical rows masked by
+    * deletion vectors — the table's DV debt. Control-plane only (one
+    * manifest read). Reads pay one broadcast anti-join while this is
+    * non-zero; [[purgeDeletes]] reclaims it.
+    */
+  def dvDebt: Double = {
+    val m = manifest(currentVersion)
+    val tot = m.files.map(_.rows).sum
+    if (tot == 0L) 0.0 else m.files.map(_.dvRows).sum.toDouble / tot
+  }
+
+  /** The DV-debt policy: rewrite every file whose own dvRows/rows ratio
+    * is at least `minDebt` (0.0 = any DV at all), dropping its deletion
+    * vectors — merge-on-read deletes buy cheap writes by taxing reads,
+    * and this is where the tax is repaid. Content-identical by
+    * construction (the rewrite materializes exactly the live rows), one
+    * atomic commit, files below the threshold keep their DVs, and the
+    * retired sidecars become unreferenced for the next vacuum. Returns
+    * the current version when nothing crosses the threshold.
+    */
+  def purgeDeletes(minDebt: Double = 0.0): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    val indebted = base.files.filter(f =>
+      f.dvRows > 0 && f.dvRows.toDouble / f.rows >= minDebt)
+    if (indebted.isEmpty) return v
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val staged = stageFiles(readEntries(indebted, schema), base)
+    // content-identical layout move: concurrent additions never conflict
+    commitMutation(v, base, "purge-dv", indebted, staged, _ => false)
+  }
+
   /** Drop manifests older than the last `retainVersions` and every
     * data file no retained manifest references (including orphans from
     * crashed/lost-race writers). Returns the deleted file names.
@@ -765,6 +825,11 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val target = manifest(version) // validates the version is retained
     val head = manifest(cur)
     if (head.checks.nonEmpty && head.checks != target.checks) {
+      // surface "constraint references a column the restored schema
+      // lacks" as a clear drop-or-migrate error, not an opaque
+      // AnalysisException out of expr()
+      validateChecksResolve(head.checks,
+        DataType.fromJson(target.schemaJson).asInstanceOf[StructType])
       val probe = readManifest(target)
       head.checks.foreach { case (n, e) =>
         if (probe.filter(!coalesce(expr(e), lit(true))).limit(1).count() > 0L)
@@ -835,6 +900,26 @@ class LakeTable private (spark: SparkSession, val path: String) {
       if (r.getAs[Long](n) > 0L) {
         staged.foreach(f => Files.deleteIfExists(Paths.get(path, f.name)))
         throw new CheckViolationException(n, e, s"${r.getAs[Long](n)} incoming rows")
+      }
+    }
+  }
+
+  /** Every recorded CHECK expression must resolve against `schema` —
+    * called by schema-changing paths (overwrite, restore) BEFORE any
+    * data is staged, so "constraint X references a dropped column"
+    * fails with an actionable message instead of an opaque analysis
+    * error mid-write (and never orphans staged files).
+    */
+  private def validateChecksResolve(checks: Map[String, String],
+      schema: StructType): Unit = {
+    if (checks.isEmpty) return
+    val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    checks.foreach { case (n, e) =>
+      try probe.filter(coalesce(expr(e), lit(true))).queryExecution.analyzed
+      catch { case NonFatal(ex) =>
+        throw new IllegalArgumentException(
+          s"CHECK constraint $n ($e) does not resolve against the new schema " +
+            s"${schema.simpleString}: DROP CONSTRAINT $n or migrate it first", ex)
       }
     }
   }
@@ -971,8 +1056,11 @@ private[lake] case class FileEntry(name: String, rows: Long,
   /** Snapshot identity for change detection: the same physical file
     * with a different deletion-vector set is a DIFFERENT logical
     * content (a MoR delete changes rows without changing `name`).
+    * The dv list is sorted so the identity is order-insensitive — two
+    * manifests carrying the same DV set must compare equal even if a
+    * future path normalizes or merges sidecar lists.
     */
-  def signature: String = s"$name|${dv.mkString(",")}"
+  def signature: String = s"$name|${dv.sorted.mkString(",")}"
 }
 
 case class LakeCommit(version: Int, operation: String, numFiles: Int, totalRows: Long)

@@ -419,4 +419,123 @@ class LakeDvSpec extends AnyFunSuite {
     t.append(Seq((600L, 100L)).toDF("k", "v"))
     assert(t.read().count() == 411)
   }
+
+  private def collectPlan[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case o => o.children
+    }
+    pf.lift(p).toSeq ++ kids.flatMap(collectPlan(_)(pf))
+  }
+
+  test("DV mask is pinned to a BroadcastHashJoin LeftAnti in scan()") {
+    val t = table("morbc")
+    t.deleteWhereMoR(col("k") % 10 === 0)
+    val df = t.scan()
+    df.collect() // finalize AQE
+    val antiJoins = collectPlan(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    // without the explicit broadcast() pin, a sidecar past the
+    // auto-broadcast threshold would degrade this to a full shuffle of
+    // the fact on (file, pos) — the plan shape IS the contract here
+    assert(antiJoins.nonEmpty,
+      s"DV mask must plan as BroadcastHashJoin(LeftAnti); got:\n${df.queryExecution.executedPlan}")
+    val shuffleAnti = collectPlan(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(shuffleAnti.isEmpty, "DV mask must never shuffle the fact side")
+  }
+
+  test("purgeDeletes repays DV debt above the threshold only") {
+    val t = table("purge") // 4 range-clustered files, 100 rows each
+    t.deleteWhereMoR(col("k") <= 50L)   // first file: 50% of its rows
+    t.deleteWhereMoR(col("k") === 150L) // second file: 1% of its rows
+    assert(t.dvDebt > 0.12 && t.dvDebt < 0.13, s"debt=${t.dvDebt}")
+    val expect = (1L to 400L).filter(k => k > 50 && k != 150)
+    // threshold between the two per-file ratios: only the heavy file
+    // rewrites; the 1%-debt file keeps its sidecar
+    t.purgeDeletes(minDebt = 0.25)
+    val dvAfter = graft.lake.LakeTestAccess.dvEntries(t, t.currentVersion)
+    assert(dvAfter.values.count(_.nonEmpty) == 1,
+      s"exactly one file should keep DV debt, got $dvAfter")
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq == expect)
+    // full purge: no entry carries a DV, content identical, and the
+    // retired sidecars are vacuum-collectable
+    t.purgeDeletes()
+    assert(graft.lake.LakeTestAccess.dvEntries(t, t.currentVersion)
+      .values.forall(_.isEmpty))
+    assert(t.dvDebt == 0.0)
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq == expect)
+    t.vacuum(1)
+    assert(new File(t.path).list((_, n) => n.startsWith("dv-")).isEmpty)
+    // nothing over the threshold → no-op commit
+    val v = t.currentVersion
+    assert(t.purgeDeletes() == v && t.currentVersion == v)
+  }
+
+  test("first scoped commit consumes the legacy ledger; new apps start clean") {
+    val t = table("legacy2")
+    val log = new File(t.path, "_graft_log")
+    val v1 = Files.readString(new File(log, "v00000001.manifest").toPath)
+    Files.writeString(new File(log, "v00000002.manifest").toPath,
+      v1.replace("\"txns\":{}", "\"txn\":7"))
+    // before any scoped commit, a fresh-checkpoint query (batch 0)
+    // inherits the legacy floor — conservative, data would be dropped
+    intercept[IllegalArgumentException] {
+      t.appendStream(kv(500 to 509).coalesce(1), "new-query", 0L)
+    }
+    // the resuming writer's commit consumes _legacy...
+    t.appendStream(kv(500 to 509).coalesce(1), "resumed", 8L)
+    assert(t.lastStreamBatchId("resumed") == 8L)
+    // ...so a genuinely new query can now start at batch 0
+    t.appendStream(kv(600 to 604).coalesce(1), "new-query", 0L)
+    assert(t.lastStreamBatchId("new-query") == 0L)
+    assert(t.read().count() == 415)
+  }
+
+  test("rejected writes clean their staged files (no orphans until vacuum)") {
+    val t = table("orphan")
+    val physBefore = dataFiles(t)
+    // appendStream: ledger regression cleans staged files
+    t.appendStream(kv(401 to 410).coalesce(1), "app", 5L)
+    val physAfter5 = dataFiles(t)
+    intercept[IllegalArgumentException] {
+      t.appendStream(kv(411 to 420).coalesce(1), "app", 2L)
+    }
+    assert(dataFiles(t) == physAfter5, "regressed batch left orphan files")
+    // append: schema mismatch cleans staged files
+    intercept[IllegalArgumentException] {
+      t.append(Seq(("x", 1L)).toDF("s", "k"))
+    }
+    assert(dataFiles(t) == physAfter5, "schema-rejected append left orphans")
+    assert(physBefore.subsetOf(physAfter5))
+  }
+
+  test("overwrite rejects a schema that invalidates a CHECK, before staging") {
+    val t = table("chkschema")
+    t.addCheck("v_low", "v < 7")
+    val physBefore = dataFiles(t)
+    val e = intercept[IllegalArgumentException] {
+      t.overwrite(Seq((1L, "a")).toDF("k", "s")) // drops column v
+    }
+    assert(e.getMessage.contains("v_low") &&
+      e.getMessage.toLowerCase.contains("drop constraint"),
+      s"error must name the constraint and the remedy: ${e.getMessage}")
+    assert(dataFiles(t) == physBefore, "rejected overwrite staged orphans")
+    // restore to a pre-schema-change snapshot with an unresolvable check
+    // gets the same clear error (not an opaque AnalysisException)
+    t.dropCheck("v_low")
+    t.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    t.addCheck("s_nonempty", "length(s) > 0")
+    intercept[IllegalArgumentException] { t.restore(1) } // v1 has no `s`
+  }
 }

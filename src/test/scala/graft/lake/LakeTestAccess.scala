@@ -31,6 +31,13 @@ object LakeTestAccess {
       f => f.overlaps(c, lo, hi))
   }
 
+  /** Per-file deletion-vector references of a version's manifest
+    * (file name -> sidecar names) — lets specs pin which entries carry
+    * DV debt without widening the production API.
+    */
+  def dvEntries(t: LakeTable, version: Int): Map[String, Seq[String]] =
+    t.manifest(version).files.map(f => f.name -> f.dv).toMap
+
   /** boundsOf over a user-facing Column predicate, resolved against
     * `df` exactly the way deleteWhere's candidate pruning does it.
     */
