@@ -996,15 +996,18 @@ object Ext7Queries {
 
     // Tukey fences: IQR-based outlier counts per returnflag using
     // DISCRETE quartiles (actual data values — no interpolation
-    // divergence); fences are then pure row-local compares
+    // divergence). ONE lineitem scan: cume_dist over the per-flag sort
+    // gives each row its quantile position, percentile_disc(p) = the
+    // smallest value whose cume_dist >= p (its exact definition) as a
+    // whole-partition window min — no second scan for the fence counts
     "agg_tukey_fences" -> ((s, dir) => {
-      val q = Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag").as("f"))
-        .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("q1"),
-          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("q3"))
+      import org.apache.spark.sql.expressions.Window
+      val byF = Window.partitionBy(col("f"))
       Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("f"), col("l_extendedprice").as("p"))
-        .join(broadcast(q), "f")
+        .withColumn("cd", cume_dist().over(byF.orderBy(col("p"))))
+        .withColumn("q1", min(when(col("cd") >= 0.25, col("p"))).over(byF))
+        .withColumn("q3", min(when(col("cd") >= 0.75, col("p"))).over(byF))
         .groupBy(col("f"), col("q1"), col("q3"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("p") < col("q1") - (col("q3") - col("q1")) * 1.5, 1L)
