@@ -7,12 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast,
   EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan,
-  LessThanOrEqual, Literal}
+  LessThanOrEqual, Literal, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType,
-  LongType, ShortType, StructType, TimestampType}
+  LongType, ShortType, StringType, StructType, TimestampType}
 
 /** Catalyst-integrated scan path for [[LakeTable]]: a
   * [[org.apache.spark.sql.execution.datasources.FileIndex]] whose
@@ -59,10 +59,12 @@ class LakeFileIndex private[lake] (sparkSession: SparkSession,
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = LakeFileIndex.boundsOf(dataFilters, statsCols)
+    val strBounds = LakeFileIndex.strBoundsOf(dataFilters, statsCols)
     val kept =
-      if (bounds.isEmpty) m.files
+      if (bounds.isEmpty && strBounds.isEmpty) m.files
       else m.files.filter { f =>
-        bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) }
+        bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) } &&
+          strBounds.forall { case (c, (lo, hi)) => f.strOverlaps(c, lo, hi) }
       }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
   }
@@ -123,6 +125,72 @@ private[lake] object LakeFileIndex {
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
+  }
+
+  /** String twin of [[boundsOf]]: per-column [lo, hi] bounds (either
+    * side optional = unbounded) in UTF-8 binary order, from string
+    * comparison conjuncts over stats columns. `col LIKE 'p%'`
+    * (StartsWith) becomes the range [p, bump(p)) — the prefix scan the
+    * doc-id/source/lang filters of a corpus pipeline actually issue.
+    */
+  def strBoundsOf(filters: Seq[Expression], statsCols: Set[String])
+      : Map[String, (Option[String], Option[String])] = {
+    val perCol = filters.flatMap(conjuncts).flatMap(strBoundOf(_, statsCols))
+    perCol.groupBy(_._1).map { case (c, bs) =>
+      val los = bs.flatMap(_._2._1)
+      val his = bs.flatMap(_._2._2)
+      c -> ((if (los.isEmpty) None else Some(los.max(utf8Ord)),
+        if (his.isEmpty) None else Some(his.min(utf8Ord))))
+    }
+  }
+
+  private val utf8Ord: Ordering[String] =
+    (a: String, b: String) => LakeTable.utf8Cmp(a, b)
+
+  private def strBoundOf(e: Expression, statsCols: Set[String])
+      : Option[(String, (Option[String], Option[String]))] = {
+    val SA = new StrStatsAttr(statsCols)
+    e match {
+      case EqualTo(SA(c), StringLit(v)) => Some(c -> ((Some(v), Some(v))))
+      case EqualTo(StringLit(v), SA(c)) => Some(c -> ((Some(v), Some(v))))
+      case GreaterThan(SA(c), StringLit(v)) => Some(c -> ((Some(v), None)))
+      case GreaterThanOrEqual(SA(c), StringLit(v)) => Some(c -> ((Some(v), None)))
+      case LessThan(SA(c), StringLit(v)) => Some(c -> ((None, Some(v))))
+      case LessThanOrEqual(SA(c), StringLit(v)) => Some(c -> ((None, Some(v))))
+      case GreaterThan(StringLit(v), SA(c)) => Some(c -> ((None, Some(v))))
+      case GreaterThanOrEqual(StringLit(v), SA(c)) => Some(c -> ((None, Some(v))))
+      case LessThan(StringLit(v), SA(c)) => Some(c -> ((Some(v), None)))
+      case LessThanOrEqual(StringLit(v), SA(c)) => Some(c -> ((Some(v), None)))
+      case StartsWith(SA(c), StringLit(v)) =>
+        Some(c -> ((Some(v), LakeTable.prefixUpper(v))))
+      case In(SA(c), vs) if vs.nonEmpty =>
+        val strs = vs.map {
+          case StringLit(v) => v
+          case _ => return None
+        }
+        Some(c -> ((Some(strs.min(utf8Ord)), Some(strs.max(utf8Ord)))))
+      case _ => None
+    }
+  }
+
+  /** Bare string attribute whose name has manifest stats — no cast
+    * stripping here: any cast around a string column changes the value
+    * domain, so bounds only derive from direct comparisons.
+    */
+  private class StrStatsAttr(statsCols: Set[String]) {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: Attribute if a.resolved && a.dataType == StringType &&
+          statsCols(a.name) => Some(a.name)
+      case _ => None
+    }
+  }
+
+  private object StringLit {
+    def unapply(e: Expression): Option[String] = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Some(v.toString)
+      case _ => None
+    }
   }
 
   private def boundOf(e: Expression,

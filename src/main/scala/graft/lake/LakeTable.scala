@@ -417,15 +417,29 @@ class LakeTable private (spark: SparkSession, val path: String) {
     requireSameSchema(updates.schema, base)
     val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
     // key range in the SAME encoding the manifest stats use (micros for
-    // timestamp keys, days for dates) — a bare cast("long") would give
-    // seconds for timestamps and silently mis-prune the candidate set
-    val keyEnc = LakeTable.statLong(keyCol, schema(keyCol).dataType)
+    // timestamp keys, days for dates, truncated UTF-8 for strings) — a
+    // bare cast("long") would give seconds for timestamps and silently
+    // mis-prune the candidate set
+    val keyIsString = schema(keyCol).dataType == StringType
+    val keyEnc =
+      if (keyIsString) col(keyCol)
+      else LakeTable.statLong(keyCol, schema(keyCol).dataType)
     val range = updates.agg(min(keyEnc), max(keyEnc), count(lit(1))).head()
     require(range.getLong(2) > 0, "merge with an empty updates frame")
     require(!range.isNullAt(0),
       s"merge updates have only NULL $keyCol keys — nothing to match on")
-    val (lo, hi) = (range.getLong(0), range.getLong(1))
-    val (candidates, untouched) = base.files.partition(_.overlaps(keyCol, lo, hi))
+    // the same overlap test serves candidate pruning AND the optimistic
+    // rebase conflict check: a file outside the update key range can
+    // neither hold a matched row nor invalidate the merge
+    val inKeyRange: FileEntry => Boolean =
+      if (keyIsString) {
+        val (lo, hi) = (Some(range.getString(0)), Some(range.getString(1)))
+        f => f.strOverlaps(keyCol, lo, hi)
+      } else {
+        val (lo, hi) = (range.getLong(0), range.getLong(1))
+        f => f.overlaps(keyCol, lo, hi)
+      }
+    val (candidates, untouched) = base.files.partition(inKeyRange)
     val cols = schema.fieldNames.map(col).toSeq
     val candData = readEntries(candidates, schema)
     // surviving source rows: everything (upsert), or minus the
@@ -449,9 +463,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
     // commitMutation conflicts outright if checks change concurrently
     enforceChecks(staged, base)
     // optimistic rebase: a concurrent append/mutation lands too unless
-    // its files could contain keys in this merge's [lo, hi] range
-    commitMutation(v, base, "merge", candidates, staged,
-      f => f.overlaps(keyCol, lo, hi))
+    // its files could contain keys in this merge's key range
+    commitMutation(v, base, "merge", candidates, staged, inKeyRange)
   }
 
   /** Delete the rows matching `cond`, rewriting ONLY the files that
@@ -1041,10 +1054,17 @@ private[lake] case class Manifest(operation: String, schemaJson: String,
   * pairs mask rows of THIS file out of every read (merge-on-read
   * deletes); `dvRows` is how many of `rows` they mask (logical rows =
   * rows - dvRows). `rows` stays the physical parquet count.
+  * `strStats` carries TRUNCATED string [min,max] (Delta/Iceberg-style):
+  * the min is a ≤-prefix, the max is the prefix with its last char
+  * bumped (None = unbounded when no safe bump exists) — see
+  * [[LakeTable.truncMin]]/[[LakeTable.truncMax]] — so string-keyed
+  * predicates (doc ids, source, lang: the most common corpus filters)
+  * prune at the manifest level without bloating it with long values.
   */
 private[lake] case class FileEntry(name: String, rows: Long,
     stats: Map[String, (Long, Long)], bytes: Long = 0L,
-    dv: Seq[String] = Nil, dvRows: Long = 0L) {
+    dv: Seq[String] = Nil, dvRows: Long = 0L,
+    strStats: Map[String, (String, Option[String])] = Map.empty) {
   /** Can this file contain a value of `col` in [lo, hi]? Conservative:
     * no stats for `col` → yes. Still valid with deletion vectors — a
     * DV only narrows the live set, so [min,max] stays an
@@ -1052,6 +1072,17 @@ private[lake] case class FileEntry(name: String, rows: Long,
     */
   def overlaps(col: String, lo: Long, hi: Long): Boolean =
     stats.get(col).forall { case (mn, mx) => mx >= lo && mn <= hi }
+
+  /** String twin of [[overlaps]], in UTF-8 binary order (what Spark's
+    * string comparisons use). `lo`/`hi` None = that side unbounded; a
+    * file max of None (truncation found no safe upper bound) matches
+    * any lower bound, conservatively.
+    */
+  def strOverlaps(col: String, lo: Option[String], hi: Option[String]): Boolean =
+    strStats.get(col).forall { case (mn, mx) =>
+      hi.forall(h => LakeTable.utf8Cmp(mn, h) <= 0) &&
+        lo.forall(l => mx.forall(m => LakeTable.utf8Cmp(m, l) >= 0))
+    }
 
   /** Snapshot identity for change detection: the same physical file
     * with a different deletion-vector set is a DIFFERENT logical
@@ -1096,12 +1127,50 @@ object LakeTable {
     * timestamps as epoch MICROSECONDS, dates as epoch DAYS — exactly
     * the long encodings Catalyst literals of those types use, so
     * [[LakeFileIndex.boundsOf]] compares stats and predicate literals
-    * in one unit with no conversion.
+    * in one unit with no conversion — and STRINGS as truncated UTF-8
+    * [min,max] ([[truncMin]]/[[truncMax]]).
     */
   private[lake] def isStatsType(t: DataType): Boolean = t match {
-    case TimestampType | DateType => true
+    case TimestampType | DateType | StringType => true
     case other => isIntegral(other)
   }
+
+  /** Manifest string stats are truncated to this many chars — long
+    * values (document text, URLs) must not bloat the control plane.
+    */
+  private[lake] val StrStatLen = 64
+
+  /** UTF-8 binary comparison — the order Spark string predicates use.
+    * Java String.compareTo (UTF-16 units) disagrees with it above the
+    * BMP, so stats and literals are always compared through this.
+    */
+  private[lake] def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Truncated lower bound: a prefix precedes (or equals) every one of
+    * its extensions in UTF-8 order, so the cut stays a valid min.
+    */
+  private[lake] def truncMin(s: String): String =
+    if (s.length <= StrStatLen) s else s.substring(0, StrStatLen)
+
+  /** Smallest convenient string GREATER than every string having
+    * prefix `s`: bump the last char below the surrogate range and cut
+    * there (bumping a surrogate could form an invalid string). None =
+    * no bumpable char, the bound is unbounded — conservative.
+    */
+  private[lake] def prefixUpper(s: String): Option[String] = {
+    val i = s.lastIndexWhere(c => c < '\uD7FF')
+    if (i < 0) None
+    else Some(s.substring(0, i) + (s.charAt(i) + 1).toChar)
+  }
+
+  /** Truncated upper bound: exact when short enough, else a bumped
+    * prefix that dominates every value the file holds.
+    */
+  private[lake] def truncMax(s: String): Option[String] =
+    if (s.length <= StrStatLen) Some(s)
+    else prefixUpper(s.substring(0, StrStatLen))
 
   /** The stats encoding of a column: the long that matches how a
     * Catalyst Literal of that type carries its value.
@@ -1160,28 +1229,43 @@ object LakeTable {
     deleteRecursively(scratch)
     if (named.isEmpty) return Seq.empty
     val reread = spark.read.parquet(named.map(n => s"$path/$n"): _*)
+    val (strCols, longCols) = statsCols.partition(c =>
+      reread.schema(c).dataType == StringType)
     val aggs = count(lit(1)).as("_rows") +:
-      statsCols.flatMap { c =>
+      (longCols.flatMap { c =>
         val enc = statLong(c, reread.schema(c).dataType)
         Seq(min(enc).as(s"_min_$c"), max(enc).as(s"_max_$c"))
-      }
+      } ++ strCols.flatMap { c =>
+        // min/max travel untruncated (one value per file per column);
+        // truncation to the manifest encoding happens below, driver-side
+        Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c"))
+      })
     val statRows = reread
       .groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val byName = statRows.map { r =>
-      val stats = statsCols.flatMap { c =>
+      val stats = longCols.flatMap { c =>
         val mn = r.getAs[Any](s"_min_$c")
         val mx = r.getAs[Any](s"_max_$c")
         if (mn == null || mx == null) None
         else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
       }.toMap
+      val strStats = strCols.flatMap { c =>
+        val mn = r.getAs[String](s"_min_$c")
+        val mx = r.getAs[String](s"_max_$c")
+        if (mn == null || mx == null) None
+        else Some(c -> ((truncMin(mn), truncMax(mx))))
+      }.toMap
       new File(r.getAs[String]("_file")).getName ->
-        ((r.getAs[Long]("_rows"), stats))
+        ((r.getAs[Long]("_rows"), stats, strStats))
     }.toMap
     named.toSeq.map { n =>
-      val (rows, stats) = byName.getOrElse(n, (0L, Map.empty[String, (Long, Long)]))
-      FileEntry(n, rows, stats, Files.size(Paths.get(path, n)))
+      val (rows, stats, strStats) = byName.getOrElse(n,
+        (0L, Map.empty[String, (Long, Long)],
+          Map.empty[String, (String, Option[String])]))
+      FileEntry(n, rows, stats, Files.size(Paths.get(path, n)),
+        strStats = strStats)
     }
   }
 
@@ -1238,11 +1322,17 @@ private[lake] object Manifest {
         "stats" -> JObject(f.stats.toList.sortBy(_._1).map { case (c, (mn, mx)) =>
           c -> JArray(List(JLong(mn), JLong(mx)))
         }))
+      val sstats =
+        if (f.strStats.isEmpty) Nil
+        else List("sstats" -> JObject(
+          f.strStats.toList.sortBy(_._1).map { case (c, (mn, mx)) =>
+            c -> JArray(List(JString(mn), mx.map(JString(_)).getOrElse(JNull)))
+          }))
       val dv =
         if (f.dv.isEmpty) Nil
         else List("dv" -> JArray(f.dv.map(JString(_)).toList),
           "dvRows" -> JLong(f.dvRows))
-      JsonMethods.compact(JsonMethods.render(JObject(core ++ dv)))
+      JsonMethods.compact(JsonMethods.render(JObject(core ++ sstats ++ dv)))
     }
     (head +: lines).mkString("", "\n", "\n")
   }
@@ -1271,8 +1361,18 @@ private[lake] object Manifest {
         case JNothing => 0L
         case n => n.extract[Long]
       }
+      val strStats = (j \ "sstats") match {
+        case JObject(fields) => fields.collect {
+          case (c, JArray(List(JString(mn), mx))) =>
+            c -> ((mn, mx match {
+              case JString(v) => Some(v)
+              case _ => None
+            }))
+        }.toMap
+        case _ => Map.empty[String, (String, Option[String])]
+      }
       FileEntry((j \ "file").extract[String], (j \ "rows").extract[Long],
-        stats, bytes, dv, dvRows)
+        stats, bytes, dv, dvRows, strStats)
     }
     // pre-scoping manifests carried a single global `txn` long; fold it
     // into the map under a reserved app id so old tables stay readable

@@ -583,6 +583,34 @@ object LakeQueries {
           lit(filesPruned).as("files_pruned"))
     }),
 
+    // STRING-COLUMN manifest stats: truncated UTF-8 [min,max] recorded
+    // per file, so the most common corpus filters — equality and LIKE
+    // 'prefix%' on a string key (source, lang, doc id) — prune files
+    // off the manifest exactly like integral ranges. The table is
+    // range-clustered on `source`; a plain .filter on scan() drives the
+    // pruning through Catalyst (equality AND prefix pinned in-band).
+    "lake_prune_string" -> ((s, dir) => {
+      val path = tablePath("lake_prune_string")
+      wipe(path)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val t = LakeTable.create(s, path,
+        d.repartitionByRange(4, col("source")), Seq("source"))
+      def opened(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(input_file_name()).distinct().count()
+      val nAll = opened(t.scan())
+      val prunesEq = opened(t.scan().filter(col("source") === "src0")) < nAll
+      val prefixScan = t.scan().filter(col("source").startsWith("src1"))
+      val prunesPrefix = opened(prefixScan) < nAll
+      prefixScan.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .select(col("source"), col("n"), col("sum_chars"),
+          lit(nAll == 4).as("all_files_unfiltered"),
+          lit(prunesEq).as("equality_prunes"),
+          lit(prunesPrefix).as("prefix_prunes"))
+        .orderBy(col("source"))
+    }),
+
     // OPTIMISTIC CONCURRENCY: a MERGE and a range-disjoint APPEND race
     // from two threads with no table lock. Whoever loses the version
     // race REBASES (the Delta conflict-resolution model: per-file key
@@ -879,6 +907,15 @@ object LakeQueries {
         |FROM events
         |WHERE epoch_us(ts) >= (SELECT mn + (mx - mn) // 4 FROM h)
         |  AND epoch_us(ts) < (SELECT mn + (mx - mn) // 2 FROM h)""".stripMargin,
+
+    "lake_prune_string" ->
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  true AS all_files_unfiltered,
+        |  true AS equality_prunes,
+        |  true AS prefix_prunes
+        |FROM documents WHERE source LIKE 'src1%'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "lake_concurrent" ->
       """WITH base AS (

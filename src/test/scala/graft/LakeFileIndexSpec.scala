@@ -386,4 +386,83 @@ class LakeFileIndexSpec extends AnyFunSuite {
     // the scan's FileIndex reports exactly the manifest-recorded sizes
     assert(graft.lake.LakeTestAccess.indexSizeInBytes(spark, t, 1) == fromDisk)
   }
+
+  /** 4 files range-clustered on a STRING id: ids "id000".."id399". */
+  private def strClustered(tag: String): LakeTable = {
+    val path = freshDir(tag)
+    val df = (0 until 400).toDF("i")
+      .select(format_string("id%03d", col("i")).as("id"),
+        col("i").cast("long").as("v"))
+      .repartitionByRange(4, col("id"))
+    LakeTable.create(spark, path, df, Seq("id"))
+  }
+
+  test("string stats prune equality, range, IN, and prefix filters") {
+    val t = strClustered("sprune")
+    assert(filesOpened(t.scan()) == 4)
+    // equality: one file
+    val eq = t.scan().filter(col("id") === "id250")
+    assert(filesOpened(eq) == 1 && eq.count() == 1)
+    // range: the 120..180 band sits in one file
+    val rg = t.scan().filter(col("id") >= "id120" && col("id") <= "id180")
+    assert(filesOpened(rg) == 1 && rg.count() == 61)
+    // IN: all three in the first file
+    assert(filesOpened(t.scan().filter(
+      col("id").isin("id005", "id042", "id099"))) == 1)
+    // prefix (LIKE 'id3%'): only the last file holds id300..id399
+    val pre = t.scan().filter(col("id").startsWith("id3"))
+    assert(filesOpened(pre) == 1 && pre.count() == 100)
+    // non-stats predicates stay conservative and exact
+    assert(t.scan().filter(upper(col("id")) === "ID250").count() == 1)
+  }
+
+  test("string stats truncate long values without losing rows") {
+    val path = freshDir("strunc")
+    // values share a >64-char prefix and differ only at the tail, so the
+    // truncated [min, bumped-max] must still cover every row
+    val long0 = "x" * 80
+    val df = (0 until 100).toDF("i")
+      .select(concat(lit(long0), format_string("%03d", col("i"))).as("id"),
+        col("i").cast("long").as("v"))
+    val t = LakeTable.create(spark, path, df.coalesce(1), Seq("id"))
+    assert(t.scan().filter(col("id") === (long0 + "050")).count() == 1)
+    assert(t.scan().filter(col("id").startsWith(long0)).count() == 100)
+    // a probe past the bumped max opens nothing
+    assert(filesOpened(t.scan().filter(col("id") > ("y" * 80))) == 0)
+    // the manifest line itself stays bounded (no untruncated 83-char values)
+    val manifestText = Files.readString(
+      new File(new File(t.path, "_graft_log"), "v00000001.manifest").toPath)
+    assert(!manifestText.contains(long0 + "0"),
+      "manifest must carry truncated string stats")
+  }
+
+  test("truncMin/truncMax/prefixUpper bound correctly in UTF-8 order") {
+    import graft.lake.LakeTestAccess.{strTruncMin, strTruncMax, strPrefixUpper}
+    assert(strTruncMin("short") == "short")
+    assert(strTruncMax("short") == Some("short"))
+    val long = "a" * 70
+    assert(strTruncMin(long) == "a" * 64)
+    assert(strTruncMax(long) == Some("a" * 63 + "b"))
+    assert(strPrefixUpper("src1") == Some("src2"))
+    // a non-BMP suffix (surrogate pair) must not get bumped into an
+    // invalid string: the bump lands on the last safe char before it
+    val emoji = "ab" + new String(Character.toChars(0x1F600))
+    val bumped = strPrefixUpper(emoji).get
+    assert(bumped == "ac", s"expected the safe bump, got $bumped")
+  }
+
+  test("merge prunes candidate files by STRING key stats") {
+    val t = strClustered("smerge")
+    val before = t.fileNames(t.currentVersion).toSet
+    // all update keys live in the first file (id000..id099)
+    val updates = (0 until 100 by 10).toDF("i")
+      .select(format_string("id%03d", col("i")).as("id"), lit(-1L).as("v"))
+    t.merge(updates.coalesce(1), "id")
+    val after = t.fileNames(t.currentVersion).toSet
+    // the three untouched files carry over by reference
+    assert((before intersect after).size == 3,
+      s"expected 3 files carried by reference, got ${(before intersect after).size}")
+    assert(t.read().filter(col("v") === -1L).count() == 10)
+    assert(t.read().count() == 400)
+  }
 }

@@ -31,6 +31,11 @@ object LakeTestAccess {
       f => f.overlaps(c, lo, hi))
   }
 
+  /** String-stats truncation helpers, exposed for unit tests. */
+  def strTruncMin(s: String): String = LakeTable.truncMin(s)
+  def strTruncMax(s: String): Option[String] = LakeTable.truncMax(s)
+  def strPrefixUpper(s: String): Option[String] = LakeTable.prefixUpper(s)
+
   /** Per-file deletion-vector references of a version's manifest
     * (file name -> sidecar names) — lets specs pin which entries carry
     * DV debt without widening the production API.
