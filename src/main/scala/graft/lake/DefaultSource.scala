@@ -41,12 +41,14 @@ class DefaultSource extends RelationProvider
         new java.io.File(s"$path/${LakeTable.LogDir}").list() != null &&
         new java.io.File(s"$path/${LakeTable.LogDir}")
           .list().exists(_.endsWith(".manifest"))
-    val statsCols = parameters.get("statsCols")
+    def colList(key: String): Seq[String] = parameters.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    val statsCols = colList("statsCols")
+    val partitionBy = colList("partitionBy")
     val spark = sqlContext.sparkSession
     if (!exists) {
-      LakeTable.create(spark, path, data, statsCols)
+      LakeTable.create(spark, path, data, statsCols, partitionBy)
     } else mode match {
       case SaveMode.Append => LakeTable.forPath(spark, path).append(data)
       case SaveMode.Overwrite => LakeTable.forPath(spark, path).overwrite(data)

@@ -4,6 +4,7 @@ import java.io.File
 import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -357,7 +358,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
       if (df.columns.contains(n)) col(n)
       else lit(null).cast(unified(n).dataType).as(n)
     }: _*)
-    val staged = LakeTable.stage(spark, path, aligned, base0.statsCols)
+    val staged = LakeTable.stage(spark, path, aligned, base0.statsCols,
+      base0.partitionBy)
     var proven: Map[String, String] = null
     try retryCommit { v =>
       val base = manifest(v)
@@ -384,6 +386,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val v = currentVersion
     val base = manifest(v)
     validateChecksResolve(base.checks, df.schema)
+    require(base.partitionBy.forall(df.columns.contains),
+      s"overwrite must keep the partition columns ${base.partitionBy.mkString(", ")}")
     val staged = stageFiles(df, base)
     enforceChecks(staged, base, df.schema)
     commit(v + 1, "overwrite",
@@ -959,7 +963,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     */
   private def stageFiles(df: DataFrame,
       base: Manifest = manifest(currentVersion)): Seq[FileEntry] =
-    LakeTable.stage(spark, path, df, base.statsCols)
+    LakeTable.stage(spark, path, df, base.statsCols, base.partitionBy)
 
   private def retryCommit(attempt: Int => Int): Int = {
     var tries = 0
@@ -1045,7 +1049,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
 private[lake] case class Manifest(operation: String, schemaJson: String,
     statsCols: Seq[String], files: Seq[FileEntry],
     txns: Map[String, Long] = Map.empty,
-    checks: Map[String, String] = Map.empty)
+    checks: Map[String, String] = Map.empty,
+    partitionBy: Seq[String] = Nil)
 
 /** One immutable data file with optional per-column long [min,max].
   * `bytes` (0 = unrecorded, pre-upgrade manifests) feeds split planning
@@ -1182,21 +1187,39 @@ object LakeTable {
   }
 
   /** Create a new table at `path` from `df`, recording per-file
-    * [min,max] stats for `statsCols` (integral, timestamp, or date
-    * columns; the merge/read pruning keys). Fails if a table already
-    * exists there.
+    * [min,max] stats for `statsCols` (integral, timestamp, date, or
+    * string columns; the merge/read pruning keys). Fails if a table
+    * already exists there.
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
-      statsCols: Seq[String] = Seq.empty): LakeTable = {
-    statsCols.foreach { c =>
+      statsCols: Seq[String] = Seq.empty): LakeTable =
+    create(spark, path, df, statsCols, Nil)
+
+  /** [[create]] with PARTITION COLUMNS: every write splits its files by
+    * the distinct `partitionBy` values (one-or-more files per value —
+    * the partition columns stay stored IN the data files), and because
+    * each file then carries exactly one value per partition column, the
+    * ordinary stats job records min = max = value: partition pruning IS
+    * stats pruning, exact, with no directory scheme — the manifest is
+    * the index. First-line skipping for the date/tenant/lang layouts a
+    * 100 TB table actually uses; stats columns keep working on top for
+    * within-partition ranges.
+    */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+      statsCols: Seq[String], partitionBy: Seq[String]): LakeTable = {
+    (statsCols ++ partitionBy).foreach { c =>
       require(isStatsType(df.schema(c).dataType),
-        s"stats column $c must be integral/timestamp/date, is ${df.schema(c).dataType}")
+        s"stats/partition column $c must be integral/timestamp/date/string, " +
+          s"is ${df.schema(c).dataType}")
     }
     Files.createDirectories(Paths.get(path, LogDir))
     val t = new LakeTable(spark, path)
-    val staged = stage(spark, path, df, statsCols)
+    // partition columns get stats implicitly (min = max = value)
+    val allStats = (statsCols ++ partitionBy.filterNot(statsCols.contains))
+    val staged = stage(spark, path, df, allStats, partitionBy)
     commit(Paths.get(path, LogDir).toString, 1,
-      Manifest("create", df.schema.json, statsCols, staged))
+      Manifest("create", df.schema.json, allStats, staged,
+        partitionBy = partitionBy))
     t
   }
 
@@ -1211,19 +1234,37 @@ object LakeTable {
     * a scratch dir, move each part in under a job-unique name, then
     * compute per-file rows + stats with ONE aggregation job keyed on
     * `input_file_name()` (no footer reads, no per-file jobs).
+    *
+    * With `partitionBy`, the scratch write splits files by the distinct
+    * partition values — via DUPLICATED `_gfp_*` columns, so the
+    * original columns stay stored in the data files and the table reads
+    * as plain parquet — and the moved files land flat in the table root
+    * like any other (the manifest, not the directory tree, is the
+    * index). Nulls go to Hive's default partition, read back as null.
     */
   private def stage(spark: SparkSession, path: String, df: DataFrame,
-      statsCols: Seq[String]): Seq[FileEntry] = {
+      statsCols: Seq[String], partitionBy: Seq[String] = Nil): Seq[FileEntry] = {
     val job = UUID.randomUUID().toString.replace("-", "").take(12)
     val scratch = Paths.get(path, s"_staging_$job")
-    df.write.mode("overwrite").parquet(scratch.toString)
-    val parts = Option(scratch.toFile.list((_, n) =>
-        n.startsWith("part-") && n.endsWith(".parquet")))
-      .getOrElse(Array.empty[String]).sorted
+    if (partitionBy.isEmpty)
+      df.write.mode("overwrite").parquet(scratch.toString)
+    else {
+      val gfp = partitionBy.map(c => s"_gfp_$c")
+      df.withColumns(partitionBy.zip(gfp)
+          .map { case (c, g) => g -> col(c) }.toMap)
+        .write.mode("overwrite").partitionBy(gfp: _*).parquet(scratch.toString)
+    }
+    val parts: Seq[java.nio.file.Path] = {
+      val walk = Files.walk(scratch)
+      try walk.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.sorted().iterator().asScala.toVector
+      finally walk.close()
+    }
     val named = parts.zipWithIndex.map { case (p, i) =>
       val target = f"part-$job-$i%05d.parquet"
-      Files.move(scratch.resolve(p), Paths.get(path, target),
-        StandardCopyOption.ATOMIC_MOVE)
+      Files.move(p, Paths.get(path, target), StandardCopyOption.ATOMIC_MOVE)
       target
     }
     deleteRecursively(scratch)
@@ -1313,7 +1354,8 @@ private[lake] object Manifest {
       }),
       "checks" -> JObject(m.checks.toList.sortBy(_._1).map { case (n, e) =>
         n -> JString(e)
-      }))))
+      }),
+      "partitionBy" -> JArray(m.partitionBy.map(JString(_)).toList))))
     val lines = m.files.map { f =>
       val core = List(
         "file" -> JString(f.name),
@@ -1391,8 +1433,13 @@ private[lake] object Manifest {
         fields.map { case (n, e) => n -> e.extract[String] }.toMap
       case _ => Map.empty[String, String]
     }
+    val partitionBy = (head \ "partitionBy") match {
+      case JArray(vs) => vs.map(_.extract[String])
+      case _ => Nil
+    }
     Manifest((head \ "operation").extract[String],
       (head \ "schema").extract[String],
-      (head \ "statsCols").extract[List[String]], files, txns, checks)
+      (head \ "statsCols").extract[List[String]], files, txns, checks,
+      partitionBy)
   }
 }

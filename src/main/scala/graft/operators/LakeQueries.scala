@@ -583,6 +583,39 @@ object LakeQueries {
           lit(filesPruned).as("files_pruned"))
     }),
 
+    // PARTITIONED lake table: every write splits its files by the
+    // partition column's values (partition columns stay stored in the
+    // data files; the manifest — not a directory scheme — is the
+    // index, recording min = max = value per file). A lang filter
+    // therefore opens EXACTLY that partition's files: first-line
+    // skipping before stats are even consulted, the date/tenant/lang
+    // layout of a real 100 TB corpus. Appends keep the layout
+    // (per-partition files), pinned in-band along with the prune.
+    "lake_partition_prune" -> ((s, dir) => {
+      val path = tablePath("lake_part_prune")
+      wipe(path)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val t = LakeTable.create(s, path, d.filter(col("lang") =!= "zh"),
+        Seq("doc_id"), Seq("lang"))
+      t.append(d.filter(col("lang") === "zh"))
+      def opened(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(input_file_name()).distinct().count()
+      val nAll = opened(t.scan())
+      val en = t.scan().filter(col("lang") === "en")
+      val enPruned = opened(en) < nAll
+      // the appended partition prunes to its own files too
+      val zh = t.scan().filter(col("lang") === "zh")
+      val zhPruned = opened(zh) < nAll && zh.count() > 0
+      en.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(col("lang"), col("n"), col("sum_chars"),
+          lit(nAll >= 5).as("file_per_partition"),
+          lit(enPruned).as("partition_pruned"),
+          lit(zhPruned).as("appended_partition_pruned"))
+    }),
+
     // STRING-COLUMN manifest stats: truncated UTF-8 [min,max] recorded
     // per file, so the most common corpus filters — equality and LIKE
     // 'prefix%' on a string key (source, lang, doc id) — prune files
@@ -907,6 +940,15 @@ object LakeQueries {
         |FROM events
         |WHERE epoch_us(ts) >= (SELECT mn + (mx - mn) // 4 FROM h)
         |  AND epoch_us(ts) < (SELECT mn + (mx - mn) // 2 FROM h)""".stripMargin,
+
+    "lake_partition_prune" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  true AS file_per_partition,
+        |  true AS partition_pruned,
+        |  true AS appended_partition_pruned
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY lang""".stripMargin,
 
     "lake_prune_string" ->
       """SELECT source, count(*) AS n,

@@ -451,6 +451,37 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(bumped == "ac", s"expected the safe bump, got $bumped")
   }
 
+  test("partitioned table: files split per value; filters prune to the partition") {
+    val path = freshDir("part")
+    val df = (1 to 300).toDF("i").select(col("i").cast("long").as("k"),
+      (col("i") % 3).cast("string").as("p"))
+    val t = LakeTable.create(spark, path, df.coalesce(1), Seq("k"), Seq("p"))
+    // one input task x 3 partition values = 3 files, one per value
+    assert(t.fileNames(1).size == 3)
+    val q = t.scan().filter(col("p") === "1")
+    assert(filesOpened(q) == 1 && q.count() == 100)
+    // partition columns are stored IN the data files: plain reads work
+    assert(t.read().columns.toSeq == Seq("k", "p"))
+    assert(t.read().count() == 300)
+    // appends keep the layout: the appended slice lands in its own
+    // per-value file and the partition filter opens old + new only
+    t.append(df.filter(col("p") === "2").coalesce(1))
+    assert(filesOpened(t.scan().filter(col("p") === "2")) == 2)
+    assert(filesOpened(t.scan().filter(col("p") === "1")) == 1)
+    // stats pruning composes on top within a partition
+    assert(t.scan().filter(col("p") === "1" && col("k") === 10L).count() == 1)
+  }
+
+  test("partitioned table: NULL partition values stay readable, unpruned") {
+    val path = freshDir("partnull")
+    val dfn = Seq((1L, "a"), (2L, null)).toDF("k", "p")
+    val t = LakeTable.create(spark, path, dfn.coalesce(1), Seq("k"), Seq("p"))
+    assert(t.fileNames(1).size == 2)
+    assert(t.read().count() == 2)
+    assert(t.read().filter(col("p").isNull).select("k").as[Long].head() == 2L)
+    assert(t.scan().filter(col("p") === "a").count() == 1)
+  }
+
   test("merge prunes candidate files by STRING key stats") {
     val t = strClustered("smerge")
     val before = t.fileNames(t.currentVersion).toSet
