@@ -14,6 +14,7 @@ object Bench {
       // actually accumulated-cache plan bloat — fixed by the per-query
       // clearCache below
       .config("spark.sql.adaptive.enabled", "true")
+      .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/scheduler paths once so the first timed query

@@ -166,6 +166,18 @@ object ScaleBench {
     // (clusterBlockedPairs alone is the linear scale path)
     "dedup_semantic")
 
+  // lake-format family: each declared query BUILDS its table from the
+  // scaled orders/documents inside the timed region (the documented
+  // construction-heavy lake shape), so ~linear ratios here prove the
+  // whole write+mutate+read path — staging, stats job, constraint
+  // enforcement, DV sidecar write, concurrent rebase — scales with the
+  // data. Streaming lake queries are excluded (trigger pacing, not
+  // data volume, dominates their time).
+  private val lakeFamily = Seq(
+    "lake_merge", "lake_delete_dv", "lake_restore", "lake_constraints",
+    "lake_concurrent", "lake_prune_string", "lake_partition_prune",
+    "lake_sql_dml")
+
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     // optional 2nd arg: comma-separated query filter (ad-hoc iteration
@@ -236,10 +248,46 @@ object ScaleBench {
         f""""$n":{"t1":$t1%.3f,"t$f":$tN%.3f,"ratio":$ratio%.2f}"""
       }.mkString("{", ",", "}")
 
+    // DV read-overhead: the broadcast-pinned mask must keep scan cost
+    // FLAT as merge-on-read deletes accumulate sidecars — the read-side
+    // half of the deletion-vector trade. Measured on one 8-file table:
+    // full-scan aggregate at 0, 1, and 8 accumulated sidecars.
+    def dvProbe(): String = {
+      import org.apache.spark.sql.functions._
+      val path = s"$root/dv_overhead"
+      val pd = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(pd)) {
+        val walk = java.nio.file.Files.walk(pd)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally walk.close()
+      }
+      val b = spark.read.parquet(s"$baseDir/orders.parquet").select(
+        col("o_orderkey").cast("long").as("k"), col("o_totalprice").as("price"))
+      val t = graft.lake.LakeTable.create(spark, path,
+        b.repartitionByRange(8, col("k")), Seq("k"))
+      def scanTime(): Double = {
+        val t0 = System.nanoTime()
+        t.scan().agg(count(lit(1)), sum(col("price"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def best2(): Double = math.min(scanTime(), scanTime())
+      val t0dv = best2()
+      t.deleteWhereMoR(col("k") % 997 === 1)
+      val t1dv = best2()
+      (2 to 8).foreach(i => t.deleteWhereMoR(col("k") % 997 === i))
+      val t8dv = best2()
+      f"""{"scan_0dv":$t0dv%.3f,"scan_1dv":$t1dv%.3f,"scan_8dv":$t8dv%.3f}"""
+    }
+
     val scaleJson = runSet(keep(scaleFamily), s"$root/x$factor", factor)
     val quadJson = runSet(keep(quadFamily), s"$root/x2", 2)
+    val lakeJson = runSet(keep(lakeFamily), s"$root/x$factor", factor)
+    val dvJson = if (only.isEmpty || only.exists(_.contains("dv_overhead")))
+      dvProbe() else "{}"
     println(s"""{"metric":"scale_curves","base":"$baseDir","factor":$factor,""" +
-      s""""scale_paths":$scaleJson,"quad_baselines_x2":$quadJson}""")
+      s""""scale_paths":$scaleJson,"quad_baselines_x2":$quadJson,""" +
+      s""""lake_paths":$lakeJson,"dv_read_overhead":$dvJson}""")
     spark.stop()
   }
 }

@@ -95,6 +95,8 @@ private[lake] class DvMaskedRelation(ctx: SQLContext, t: LakeTable,
   import org.apache.spark.sql.{functions => F, Column, Row}
   import org.apache.spark.sql.sources._
 
+  private[lake] def tablePath: String = t.path
+
   override def sqlContext: SQLContext = ctx
 
   override val schema: org.apache.spark.sql.types.StructType =

@@ -36,7 +36,7 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType,
   * driver never stats data files.
   */
 class LakeFileIndex private[lake] (sparkSession: SparkSession,
-    tablePath: String, m: Manifest) extends FileIndex {
+    private[lake] val tablePath: String, m: Manifest) extends FileIndex {
 
   private val schema: StructType =
     DataType.fromJson(m.schemaJson).asInstanceOf[StructType]

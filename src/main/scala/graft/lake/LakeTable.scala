@@ -407,12 +407,13 @@ class LakeTable private (spark: SparkSession, val path: String) {
   /** Full MERGE INTO with a `WHEN MATCHED AND <cond> THEN DELETE` arm:
     * `deleteWhen` (evaluated against the UPDATE row) selects source
     * rows that DELETE their matched target row instead of replacing
-    * it; source rows satisfying it with no match are ignored (not
-    * inserted). One atomic commit covers updates, inserts, and
-    * deletes; the copy-on-write rewrite set is still bounded by the
-    * source's key range, so the stats pruning is identical to the
-    * plain upsert — at 100 TB a mixed merge touches the overlapping
-    * files, not the table.
+    * it. Per SQL MERGE semantics (and Delta/Iceberg), the delete arm
+    * applies to MATCHED rows only — a delete-arm row with no match
+    * falls through to the insert clause and IS inserted. One atomic
+    * commit covers updates, inserts, and deletes; the copy-on-write
+    * rewrite set is still bounded by the source's key range, so the
+    * stats pruning is identical to the plain upsert — at 100 TB a
+    * mixed merge touches the overlapping files, not the table.
     */
   def merge(updates: DataFrame, keyCol: String,
       deleteWhen: Option[Column]): Int = {
@@ -446,14 +447,24 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val (candidates, untouched) = base.files.partition(inKeyRange)
     val cols = schema.fieldNames.map(col).toSeq
     val candData = readEntries(candidates, schema)
-    // surviving source rows: everything (upsert), or minus the
-    // delete-arm rows (their matched targets vanish via the anti-join,
-    // and unmatched delete-arm rows are not inserted). SQL MERGE treats
-    // a NULL `WHEN MATCHED AND cond` as NOT matching the arm, so a
+    // surviving source rows: everything (upsert), or minus the MATCHED
+    // delete-arm rows (their targets vanish via the anti-join below).
+    // SQL MERGE scopes the delete arm to matched rows — an unmatched
+    // delete-arm row falls through to the insert clause — and treats a
+    // NULL `WHEN MATCHED AND cond` as NOT matching the arm, so a
     // NULL-condition row must survive (= be updated/inserted), not be
     // silently deleted — hence the coalesce to false before negating.
+    // Matched ⊆ candidates by construction (a file holding a source key
+    // overlaps the source key range), so the match probe anti-joins the
+    // delete-arm subset against the candidate data only.
     val surviving = deleteWhen match {
-      case Some(cond) => updates.filter(!coalesce(cond, lit(false)))
+      case Some(cond) =>
+        val delArm = updates.filter(coalesce(cond, lit(false)))
+        val unmatchedDelArm = delArm.join(
+          candData.select(col(keyCol).as("_tgt_key")),
+          col(keyCol) === col("_tgt_key"), "left_anti")
+        updates.filter(!coalesce(cond, lit(false)))
+          .unionByName(unmatchedDelArm.select(cols: _*))
       case None => updates
     }
     val merged = candData
@@ -500,6 +511,43 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val staged = if (kept.isEmpty) Seq.empty else stageFiles(kept, base)
     // rebase over concurrent writes whose files cannot match `cond`
     commitMutation(v, base, "delete", touched, staged,
+      f => bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) })
+  }
+
+  /** UPDATE ... SET ... WHERE: copy-on-write rewrite of ONLY the files
+    * that contain at least one matching row, sharing [[deleteWhere]]'s
+    * stats-pruned candidate probe. Matching rows get each `set` column
+    * replaced (cast to the column's type); NULL conditions leave the
+    * row unchanged, per SQL UPDATE semantics. CHECK constraints gate
+    * the rewritten output. At 100 TB a point update rewrites the
+    * touched handful of files, not the table.
+    */
+  def updateWhere(cond: Column, set: Map[String, Column]): Int = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val v = currentVersion
+    val base = manifest(v)
+    if (base.files.isEmpty) return v
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"no such column: $c"))
+    val bounds = deleteBounds(base, cond, schema)
+    val candidates = statsCandidates(base, bounds)
+    if (candidates.isEmpty) return v
+    val touchedNames = liveRows(candidates, schema).filter(cond)
+      .select(col("_gf_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedNames.isEmpty) return v
+    val touched = base.files.filter(f => touchedNames(f.name))
+    // when() treats a NULL condition as its otherwise branch — exactly
+    // the keep-the-row semantics SQL UPDATE wants
+    val rewritten = readEntries(touched, schema).select(schema.fields.map { f =>
+      set.get(f.name)
+        .map(e => when(cond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+        .getOrElse(col(f.name))
+    }.toIndexedSeq: _*)
+    val staged = stageFiles(rewritten, base)
+    enforceChecks(staged, base)
+    commitMutation(v, base, "update", touched, staged,
       f => bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) })
   }
 

@@ -583,6 +583,43 @@ object LakeQueries {
           lit(filesPruned).as("files_pruned"))
     }),
 
+    // SQL DML: DELETE FROM / UPDATE / MERGE INTO statements on a
+    // CREATE TABLE ... USING graft.lake table plan through the
+    // session-extension rule (graft.lake.LakeDmlRule) into the same
+    // file-pruned copy-on-write mutations the Scala API runs — a SQL
+    // user gets the full lakehouse DML surface with no programmatic
+    // API. The MERGE exercises all three arms incl. the SQL-semantics
+    // subtlety that an unmatched delete-arm row falls through to
+    // INSERT; the commit ledger (create→delete→update→merge) is pinned
+    // in-band.
+    "lake_sql_dml" -> ((s, dir) => {
+      val path = tablePath("lake_sql_dml")
+      wipe(path)
+      val b = base(s, dir)
+      val t = LakeTable.create(s, path,
+        b.repartitionByRange(2, col("k")), Seq("k"))
+      s.sql("DROP TABLE IF EXISTS lake_dml_t")
+      s.sql(s"CREATE TABLE lake_dml_t USING graft.lake OPTIONS (path '$path')")
+      s.sql("DELETE FROM lake_dml_t WHERE k % 13 = 0")
+      s.sql("UPDATE lake_dml_t SET price = price + 10.0 WHERE k % 7 = 0")
+      b.filter(col("k") % 10 === 0)
+        .select(col("k"), lit("U").as("status"),
+          (col("price") + 100.0).as("price"))
+        .createOrReplaceTempView("lake_dml_src")
+      s.sql("""MERGE INTO lake_dml_t t USING lake_dml_src sb ON t.k = sb.k
+        WHEN MATCHED AND sb.k % 20 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET k = sb.k, status = sb.status, price = sb.price
+        WHEN NOT MATCHED THEN INSERT (k, status, price) VALUES (sb.k, sb.status, sb.price)""")
+      val ops = LakeTable.forPath(s, path).history().map(_.operation)
+      val ledgerOk = ops == Seq("create", "delete", "update", "merge")
+      s.table("lake_dml_t").agg(
+          count(lit(1)).as("n_rows"),
+          count_if(col("status") === "U").as("n_updated"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("n_updated"), col("total_price"),
+          lit(ledgerOk).as("ledger_ok"))
+    }),
+
     // PARTITIONED lake table: every write splits its files by the
     // partition column's values (partition columns stay stored in the
     // data files; the manifest — not a directory scheme — is the
@@ -940,6 +977,30 @@ object LakeQueries {
         |FROM events
         |WHERE epoch_us(ts) >= (SELECT mn + (mx - mn) // 4 FROM h)
         |  AND epoch_us(ts) < (SELECT mn + (mx - mn) // 2 FROM h)""".stripMargin,
+
+    "lake_sql_dml" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |s2 AS (
+        |  SELECT k, status,
+        |    CASE WHEN k % 7 = 0 THEN price + 10.0 ELSE price END AS price
+        |  FROM base WHERE k % 13 <> 0),
+        |src AS (
+        |  SELECT k, 'U' AS status, price + 100.0 AS price
+        |  FROM base WHERE k % 10 = 0),
+        |final AS (
+        |  SELECT * FROM s2 WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT * FROM src WHERE k % 13 <> 0 AND k % 20 <> 0
+        |  UNION ALL
+        |  SELECT * FROM src WHERE k % 13 = 0)
+        |SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE status = 'U') AS n_updated,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS ledger_ok
+        |FROM final""".stripMargin,
 
     "lake_partition_prune" ->
       """SELECT lang, count(*) AS n,

