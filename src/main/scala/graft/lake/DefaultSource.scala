@@ -69,11 +69,12 @@ class DefaultSource extends RelationProvider
     val version = parameters.get("version").map(_.toInt)
       .getOrElse(t.currentVersion)
     val m = t.manifest(version)
-    if (m.files.forall(_.dv.isEmpty))
+    if (m.files.forall(_.dv.isEmpty) && m.physNames.isEmpty)
       new LakeFileIndex(spark, path, m).relation
     else
-      // deletion vectors present: the plain file relation would
-      // resurrect masked rows, so serve the DV-masked scan through a
+      // deletion vectors present (the plain file relation would
+      // resurrect masked rows) or renamed columns (the files store
+      // physical names): serve the scanVersion plan through a
       // PrunedFilteredScan — pushed filters are re-applied as Columns
       // on scanVersion, where they still reach LakeFileIndex for
       // manifest-stats file skipping

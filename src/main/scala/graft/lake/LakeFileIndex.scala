@@ -38,9 +38,13 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType,
 class LakeFileIndex private[lake] (sparkSession: SparkSession,
     private[lake] val tablePath: String, m: Manifest) extends FileIndex {
 
-  private val schema: StructType =
-    DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-  private val statsCols: Set[String] = m.statsCols.toSet
+  // the index plans what the FILES store: PHYSICAL field names (stable
+  // across renames under column mapping); [[LakeTable.scanVersion]]
+  // aliases the logical names on top. Stats are keyed physically too,
+  // so pushed filters (which reference the relation's physical attrs)
+  // line up with the bounds with no translation.
+  private val schema: StructType = m.physSchema
+  private val statsCols: Set[String] = m.statsCols.map(m.physOf).toSet
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 

@@ -62,7 +62,7 @@ class LakeStreamSource extends StreamSourceProvider {
     val spark = sqlContext.sparkSession
     val t = LakeTable.forPath(spark, tablePath(parameters))
     val declared = schema.getOrElse(
-      DataType.fromJson(t.manifest(t.currentVersion).schemaJson).asInstanceOf[StructType])
+      t.manifest(t.currentVersion).schema)
     ("graft-lake", declared)
   }
 
@@ -136,7 +136,8 @@ private[lake] class LakeStreamingSource(
     // planner; wrap the batch parquet scan's physical RDD in a streaming
     // LogicalRDD (the FileStreamSource/internalCreateDataFrame shape).
     // readEntries applies any deletion vectors already on the new files.
-    val batch = table.readEntries(added, schema)
+    val batch = table.readEntries(added,
+      table.manifest(ver(end)).copy(files = added))
     val qe = batch.queryExecution
     new ClassicDataset[Row](spark,
       LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(spark),

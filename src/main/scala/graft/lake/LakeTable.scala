@@ -106,9 +106,15 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val m = manifest(version)
     val planned = new LakeFileIndex(spark, path, m).toDataFrame
     val sidecars = m.files.flatMap(_.dv).distinct
-    if (sidecars.isEmpty) planned
-    else maskDeleted(withProvenance(planned), sidecars)
-      .drop("_gf_file", "_gf_pos")
+    val masked =
+      if (sidecars.isEmpty) planned
+      else maskDeleted(withProvenance(planned), sidecars)
+        .drop("_gf_file", "_gf_pos")
+    // the index plans under PHYSICAL field names (what the files store);
+    // surface the logical names on top — filters and column prunes push
+    // through the alias-only Project, so file skipping is unchanged
+    if (m.physNames.isEmpty) masked
+    else masked.toDF(m.schema.fieldNames.toIndexedSeq: _*)
   }
 
   /** Expose each row's physical provenance as `_gf_file` / `_gf_pos`
@@ -132,8 +138,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     df.join(broadcast(readSidecars(sidecars)),
       Seq("_gf_file", "_gf_pos"), "left_anti")
 
-  private def readManifest(m: Manifest): DataFrame =
-    readEntries(m.files, DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+  private def readManifest(m: Manifest): DataFrame = readEntries(m.files, m)
 
   /** Read a set of manifest entries, applying any deletion vectors:
     * files without DVs read as plain parquet; files WITH them are read
@@ -144,11 +149,15 @@ class LakeTable private (spark: SparkSession, val path: String) {
     * nothing.
     */
   private[lake] def readEntries(entries: Seq[FileEntry],
-      schema: StructType): DataFrame = {
+      m: Manifest): DataFrame = {
+    val logical = m.schema
     if (entries.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logical)
     val (dvd, plain) = entries.partition(_.dv.nonEmpty)
-    def readPlain(fs: Seq[FileEntry]): DataFrame = spark.read.schema(schema)
+    // files store PHYSICAL field names (stable across renames); read
+    // under them, then alias to the logical names in one Project
+    def readPlain(fs: Seq[FileEntry]): DataFrame = spark.read
+      .schema(m.physSchema)
       .parquet(fs.map(f => s"$path/${f.name}"): _*)
     val sides = Seq(
       if (plain.isEmpty) None else Some(readPlain(plain)),
@@ -156,7 +165,9 @@ class LakeTable private (spark: SparkSession, val path: String) {
         maskDeleted(withProvenance(readPlain(dvd)), dvd.flatMap(_.dv).distinct)
           .drop("_gf_file", "_gf_pos")
       }).flatten
-    sides.reduce(_ unionByName _)
+    val physDf = sides.reduce(_ unionByName _)
+    if (m.physNames.isEmpty) physDf
+    else physDf.toDF(logical.fieldNames.toIndexedSeq: _*)
   }
 
   /** The (file, position) pairs the given sidecars mask out. */
@@ -170,8 +181,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     */
   def prunedRead(col: String, lo: Long, hi: Long): DataFrame = {
     val m = manifest(currentVersion)
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    readEntries(m.files.filter(_.overlaps(col, lo, hi)), schema)
+    readEntries(m.files.filter(_.overlaps(m.physOf(col), lo, hi)), m)
   }
 
   /** Incremental (streaming-style) consumption: the rows in files that
@@ -188,8 +198,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val cur = manifest(currentVersion)
     val old = manifest(sinceVersion).files.map(_.name).toSet
     val added = cur.files.filterNot(f => old(f.name))
-    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
-    readEntries(added, schema)
+    readEntries(added, cur)
   }
 
   /** Row-level change feed between two retained versions: rows only in
@@ -204,18 +213,18 @@ class LakeTable private (spark: SparkSession, val path: String) {
   def changesBetween(from: Int, to: Int): DataFrame = {
     val mFrom = manifest(from)
     val mTo = manifest(to)
-    require(mFrom.schemaJson == mTo.schemaJson,
+    require(mFrom.schemaJson == mTo.schemaJson &&
+        mFrom.physNames == mTo.physNames,
       s"schema changed between v$from and v$to; diff them with explicit casts")
-    val schema = DataType.fromJson(mTo.schemaJson).asInstanceOf[StructType]
     // share by SIGNATURE (name + deletion-vector set), not bare name: a
     // merge-on-read delete changes a file's logical content without
     // renaming it, and its removed rows must surface as 'delete'
     val fromSigs = mFrom.files.map(_.signature).toSet
     val toSigs = mTo.files.map(_.signature).toSet
     val onlyFrom = readEntries(
-      mFrom.files.filterNot(f => toSigs(f.signature)), schema)
+      mFrom.files.filterNot(f => toSigs(f.signature)), mTo)
     val onlyTo = readEntries(
-      mTo.files.filterNot(f => fromSigs(f.signature)), schema)
+      mTo.files.filterNot(f => fromSigs(f.signature)), mTo)
     onlyTo.exceptAll(onlyFrom).withColumn("_change_type", lit("insert"))
       .unionByName(onlyFrom.exceptAll(onlyTo).withColumn("_change_type", lit("delete")))
   }
@@ -344,7 +353,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     */
   def appendEvolve(df: DataFrame): Int = {
     val base0 = manifest(currentVersion)
-    val cur = DataType.fromJson(base0.schemaJson).asInstanceOf[StructType]
+    val cur = base0.schema
     val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
     df.schema.fields.foreach { f =>
       curTypes.get(f.name).foreach { t =>
@@ -353,13 +362,25 @@ class LakeTable private (spark: SparkSession, val path: String) {
       }
     }
     val newFields = df.schema.fields.filterNot(f => curTypes.contains(f.name))
+    // physical names are the parquet-field namespace: a NEW logical
+    // column must not collide with the physical name a renamed column
+    // still writes under (identity mapping would silently alias them)
+    val physTaken = base0.physSchema.fieldNames.toSet
+    newFields.foreach { f =>
+      require(!physTaken(f.name),
+        s"column ${f.name} collides with the physical name of a renamed " +
+          "column; pick a different name")
+    }
     val unified = StructType((cur.fields ++ newFields).map(_.copy(nullable = true)))
     val aligned = df.select(unified.fieldNames.toSeq.map { n =>
       if (df.columns.contains(n)) col(n)
       else lit(null).cast(unified(n).dataType).as(n)
     }: _*)
-    val staged = LakeTable.stage(spark, path, aligned, base0.statsCols,
-      base0.partitionBy)
+    val alignedPhys =
+      if (base0.physNames.isEmpty) aligned
+      else aligned.toDF(aligned.columns.map(base0.physOf).toIndexedSeq: _*)
+    val staged = LakeTable.stage(spark, path, alignedPhys,
+      base0.statsCols.map(base0.physOf), base0.partitionBy.map(base0.physOf))
     var proven: Map[String, String] = null
     try retryCommit { v =>
       val base = manifest(v)
@@ -388,10 +409,13 @@ class LakeTable private (spark: SparkSession, val path: String) {
     validateChecksResolve(base.checks, df.schema)
     require(base.partitionBy.forall(df.columns.contains),
       s"overwrite must keep the partition columns ${base.partitionBy.mkString(", ")}")
-    val staged = stageFiles(df, base)
-    enforceChecks(staged, base, df.schema)
+    // every file is replaced, so the column-mapping indirection resets
+    // to identity: stage under the NEW logical names directly
+    val staged = stageFiles(df, base.copy(physNames = Map.empty))
+    enforceChecks(staged, base.copy(physNames = Map.empty), df.schema)
     commit(v + 1, "overwrite",
-      staged, base.copy(schemaJson = df.schema.json, statsCols = statsColsOf(df, base)))
+      staged, base.copy(schemaJson = df.schema.json,
+        statsCols = statsColsOf(df, base), physNames = Map.empty))
   }
 
   /** Upsert by equality on `keyCol`: rows of `updates` replace
@@ -420,11 +444,12 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val v = currentVersion
     val base = manifest(v)
     requireSameSchema(updates.schema, base)
-    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val schema = base.schema
     // key range in the SAME encoding the manifest stats use (micros for
     // timestamp keys, days for dates, truncated UTF-8 for strings) — a
     // bare cast("long") would give seconds for timestamps and silently
-    // mis-prune the candidate set
+    // mis-prune the candidate set. Stats are keyed by PHYSICAL name.
+    val physKey = base.physOf(keyCol)
     val keyIsString = schema(keyCol).dataType == StringType
     val keyEnc =
       if (keyIsString) col(keyCol)
@@ -439,14 +464,14 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val inKeyRange: FileEntry => Boolean =
       if (keyIsString) {
         val (lo, hi) = (Some(range.getString(0)), Some(range.getString(1)))
-        f => f.strOverlaps(keyCol, lo, hi)
+        f => f.strOverlaps(physKey, lo, hi)
       } else {
         val (lo, hi) = (range.getLong(0), range.getLong(1))
-        f => f.overlaps(keyCol, lo, hi)
+        f => f.overlaps(physKey, lo, hi)
       }
     val (candidates, untouched) = base.files.partition(inKeyRange)
     val cols = schema.fieldNames.map(col).toSeq
-    val candData = readEntries(candidates, schema)
+    val candData = readEntries(candidates, base)
     // surviving source rows: everything (upsert), or minus the MATCHED
     // delete-arm rows (their targets vanish via the anti-join below).
     // SQL MERGE scopes the delete arm to matched rows — an unmatched
@@ -497,21 +522,21 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val v = currentVersion
     val base = manifest(v)
     if (base.files.isEmpty) return v
-    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-    val bounds = deleteBounds(base, cond, schema)
+    val bounds = deleteBounds(base, cond, base.schema)
     val candidates = statsCandidates(base, bounds)
     if (candidates.isEmpty) return v
-    val touchedNames = liveRows(candidates, schema).filter(cond)
+    val touchedNames = liveRows(candidates, base).filter(cond)
       .select(col("_gf_file")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedNames.isEmpty) return v
     val (touched, untouched) = base.files.partition(f => touchedNames(f.name))
     // NULL conditions keep the row (SQL DELETE removes cond=TRUE only)
-    val kept = readEntries(touched, schema).filter(!coalesce(cond, lit(false)))
+    val kept = readEntries(touched, base).filter(!coalesce(cond, lit(false)))
     val staged = if (kept.isEmpty) Seq.empty else stageFiles(kept, base)
     // rebase over concurrent writes whose files cannot match `cond`
     commitMutation(v, base, "delete", touched, staged,
-      f => bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) })
+      f => bounds.forall { case (c, (lo, hi)) =>
+        f.overlaps(base.physOf(c), lo, hi) })
   }
 
   /** UPDATE ... SET ... WHERE: copy-on-write rewrite of ONLY the files
@@ -527,20 +552,20 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val v = currentVersion
     val base = manifest(v)
     if (base.files.isEmpty) return v
-    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val schema = base.schema
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"no such column: $c"))
     val bounds = deleteBounds(base, cond, schema)
     val candidates = statsCandidates(base, bounds)
     if (candidates.isEmpty) return v
-    val touchedNames = liveRows(candidates, schema).filter(cond)
+    val touchedNames = liveRows(candidates, base).filter(cond)
       .select(col("_gf_file")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedNames.isEmpty) return v
     val touched = base.files.filter(f => touchedNames(f.name))
     // when() treats a NULL condition as its otherwise branch — exactly
     // the keep-the-row semantics SQL UPDATE wants
-    val rewritten = readEntries(touched, schema).select(schema.fields.map { f =>
+    val rewritten = readEntries(touched, base).select(schema.fields.map { f =>
       set.get(f.name)
         .map(e => when(cond, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
         .getOrElse(col(f.name))
@@ -548,7 +573,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val staged = stageFiles(rewritten, base)
     enforceChecks(staged, base)
     commitMutation(v, base, "update", touched, staged,
-      f => bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) })
+      f => bounds.forall { case (c, (lo, hi)) =>
+        f.overlaps(base.physOf(c), lo, hi) })
   }
 
   /** Merge-on-read DELETE: instead of copy-on-write rewriting every
@@ -570,11 +596,10 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val v = currentVersion
     val base = manifest(v)
     if (base.files.isEmpty) return v
-    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-    val bounds = deleteBounds(base, cond, schema)
+    val bounds = deleteBounds(base, cond, base.schema)
     val candidates = statsCandidates(base, bounds)
     if (candidates.isEmpty) return v
-    val hits = liveRows(candidates, schema).filter(cond)
+    val hits = liveRows(candidates, base).filter(cond)
       .select(col("_gf_file"), col("_gf_pos"))
     // one sidecar parquet per delete (positions are small next to data;
     // a delete wide enough to make this big belongs in deleteWhere)
@@ -607,7 +632,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
     }
     // rebase over concurrent writes whose files cannot match `cond`
     commitMutation(v, base, "delete-mor", touched, masked,
-      f => bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) })
+      f => bounds.forall { case (c, (lo, hi)) =>
+        f.overlaps(base.physOf(c), lo, hi) })
   }
 
   /** Manifest entries whose stats could overlap `cond` (the shared
@@ -617,7 +643,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
   private def statsCandidates(base: Manifest,
       bounds: Map[String, (Long, Long)]): Seq[FileEntry] =
     base.files.filter { f =>
-      bounds.forall { case (c, (lo, hi)) => f.overlaps(c, lo, hi) }
+      bounds.forall { case (c, (lo, hi)) =>
+        f.overlaps(base.physOf(c), lo, hi) }
     }
 
   /** The per-column bounds `cond` implies over the stats columns —
@@ -641,11 +668,15 @@ class LakeTable private (spark: SparkSession, val path: String) {
     * both delete flavors share.
     */
   private def liveRows(entries: Seq[FileEntry],
-      schema: StructType): DataFrame = {
-    val raw = withProvenance(spark.read.schema(schema)
+      m: Manifest): DataFrame = {
+    val raw = withProvenance(spark.read.schema(m.physSchema)
       .parquet(entries.map(f => s"$path/${f.name}"): _*))
     val sidecars = entries.flatMap(_.dv).distinct
-    if (sidecars.isEmpty) raw else maskDeleted(raw, sidecars)
+    val masked = if (sidecars.isEmpty) raw else maskDeleted(raw, sidecars)
+    if (m.physNames.isEmpty) masked
+    else masked.select(m.schema.fields.map(f =>
+      col(m.physOf(f.name)).as(f.name)).toIndexedSeq
+      :+ col("_gf_file") :+ col("_gf_pos"): _*)
   }
 
   /** OPTIMIZE: bin-pack the small files (rows < `smallFileRows`) into
@@ -672,8 +703,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val base = manifest(v)
     val (small, big) = base.files.partition(f => f.rows - f.dvRows < smallFileRows)
     if (small.size < 2) return v
-    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-    val data = readEntries(small, schema) // DVs applied → purged by the rewrite
+    val data = readEntries(small, base) // DVs applied → purged by the rewrite
     val totalRows = small.map(f => f.rows - f.dvRows).sum
     val nOut = math.max(1, math.ceil(totalRows.toDouble / targetRows).toInt)
     val laidOut =
@@ -710,17 +740,17 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val v = currentVersion
     val base = manifest(v)
     if (base.files.isEmpty) return v
-    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val schema = base.schema
     zorderBy.foreach { c =>
       require(LakeTable.isIntegral(schema(c).dataType),
         s"zorder column $c must be integral, is ${schema(c).dataType}")
     }
-    val data = readEntries(base.files, schema)
+    val data = readEntries(base.files, base)
     // global [lo, hi] per column: manifest stats when every file
     // recorded them (control plane), else one data-plane aggregate
     val ranges: Map[String, (Long, Long)] = {
       val fromStats = zorderBy.flatMap { c =>
-        val perFile = base.files.map(_.stats.get(c))
+        val perFile = base.files.map(_.stats.get(base.physOf(c)))
         if (perFile.forall(_.isDefined))
           Some(c -> (perFile.map(_.get._1).min, perFile.map(_.get._2).max))
         else None
@@ -811,8 +841,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val indebted = base.files.filter(f =>
       f.dvRows > 0 && f.dvRows.toDouble / f.rows >= minDebt)
     if (indebted.isEmpty) return v
-    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-    val staged = stageFiles(readEntries(indebted, schema), base)
+    val staged = stageFiles(readEntries(indebted, base), base)
     // content-identical layout move: concurrent additions never conflict
     commitMutation(v, base, "purge-dv", indebted, staged, _ => false)
   }
@@ -893,8 +922,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
       // surface "constraint references a column the restored schema
       // lacks" as a clear drop-or-migrate error, not an opaque
       // AnalysisException out of expr()
-      validateChecksResolve(head.checks,
-        DataType.fromJson(target.schemaJson).asInstanceOf[StructType])
+      validateChecksResolve(head.checks, target.schema)
       val probe = readManifest(target)
       head.checks.foreach { case (n, e) =>
         if (probe.filter(!coalesce(expr(e), lit(true))).limit(1).count() > 0L)
@@ -938,6 +966,45 @@ class LakeTable private (spark: SparkSession, val path: String) {
       base.copy(checks = base.checks - name))
   }
 
+  /** ALTER TABLE ... RENAME COLUMN: a metadata-only commit via column
+    * mapping (the Delta columnMapping model). The PHYSICAL parquet field
+    * name never changes — old and new files keep agreeing on it — so a
+    * rename rewrites ZERO data, old snapshots time-travel under their
+    * own (old) logical names, and stats/partition pruning keep working
+    * (stats are keyed physically). CHECK constraints referencing the
+    * column must be dropped or migrated first — silently rebinding an
+    * invariant expression would change what it proves.
+    */
+  def renameColumn(oldName: String, newName: String): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    val schema = base.schema
+    require(schema.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(!schema.fieldNames.contains(newName),
+      s"column $newName already exists")
+    // a resolvable-under-the-NEW-schema check might still silently
+    // rebind; require the old name to be absent from every check expr
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    base.checks.foreach { case (n, e) =>
+      val refs = probe.filter(coalesce(expr(e), lit(true)))
+        .queryExecution.analyzed.expressions
+        .flatMap(_.references.map(_.name)).toSet
+      require(!refs.contains(oldName),
+        s"CHECK constraint $n ($e) references $oldName: " +
+          s"DROP CONSTRAINT $n, rename, then re-add it under $newName")
+    }
+    def ren(c: String): String = if (c == oldName) newName else c
+    commit(v + 1, "rename-column", base.files, base.copy(
+      schemaJson = newSchema.json,
+      statsCols = base.statsCols.map(ren),
+      partitionBy = base.partitionBy.map(ren),
+      physNames = (base.physNames - oldName) +
+        (newName -> base.physOf(oldName))))
+  }
+
   /** The recorded CHECK constraints (name -> SQL expression). */
   def checks: Map[String, String] = manifest(currentVersion).checks
 
@@ -952,15 +1019,21 @@ class LakeTable private (spark: SparkSession, val path: String) {
   private def enforceChecks(staged: Seq[FileEntry], base: Manifest,
       schemaOverride: StructType = null): Unit = {
     if (base.checks.isEmpty || staged.isEmpty) return
-    val schema =
+    val logical =
       if (schemaOverride != null) schemaOverride
-      else DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+      else base.schema
+    // staged parquet carries physical names; check exprs use logical
+    val phys = StructType(logical.fields.map(f =>
+      f.copy(name = base.physOf(f.name))))
     val aggs = base.checks.toSeq.map { case (n, e) =>
       count_if(!coalesce(expr(e), lit(true))).as(n)
     }
-    val r = spark.read.schema(schema)
+    val raw = spark.read.schema(phys)
       .parquet(staged.map(f => s"$path/${f.name}"): _*)
-      .agg(aggs.head, aggs.tail: _*).head()
+    val logicalDf =
+      if (base.physNames.isEmpty) raw
+      else raw.toDF(logical.fieldNames.toIndexedSeq: _*)
+    val r = logicalDf.agg(aggs.head, aggs.tail: _*).head()
     base.checks.toSeq.foreach { case (n, e) =>
       if (r.getAs[Long](n) > 0L) {
         staged.foreach(f => Files.deleteIfExists(Paths.get(path, f.name)))
@@ -992,7 +1065,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
   // ---- internals --------------------------------------------------------
 
   private def requireSameSchema(s: StructType, base: Manifest): Unit = {
-    val cur = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val cur = base.schema
     require(s.fields.map(f => (f.name, f.dataType)).toSeq ==
         cur.fields.map(f => (f.name, f.dataType)).toSeq,
       s"schema mismatch: table has ${cur.simpleString}, got ${s.simpleString}")
@@ -1010,8 +1083,15 @@ class LakeTable private (spark: SparkSession, val path: String) {
     * next vacuum collects, never a corrupt snapshot.
     */
   private def stageFiles(df: DataFrame,
-      base: Manifest = manifest(currentVersion)): Seq[FileEntry] =
-    LakeTable.stage(spark, path, df, base.statsCols, base.partitionBy)
+      base: Manifest = manifest(currentVersion)): Seq[FileEntry] = {
+    // files store PHYSICAL names: rename the (logical) frame on the way
+    // in, and key the recorded stats physically too
+    val physDf =
+      if (base.physNames.isEmpty) df
+      else df.toDF(df.columns.map(base.physOf).toIndexedSeq: _*)
+    LakeTable.stage(spark, path, physDf,
+      base.statsCols.map(base.physOf), base.partitionBy.map(base.physOf))
+  }
 
   private def retryCommit(attempt: Int => Int): Int = {
     var tries = 0
@@ -1098,7 +1178,26 @@ private[lake] case class Manifest(operation: String, schemaJson: String,
     statsCols: Seq[String], files: Seq[FileEntry],
     txns: Map[String, Long] = Map.empty,
     checks: Map[String, String] = Map.empty,
-    partitionBy: Seq[String] = Nil)
+    partitionBy: Seq[String] = Nil,
+    physNames: Map[String, String] = Map.empty) {
+  /** Column-mapping indirection (the Delta columnMapping model): the
+    * PHYSICAL parquet field name behind a logical column. Identity for
+    * never-renamed columns (absent from `physNames`); a rename changes
+    * only the logical side, so no data file is ever rewritten and old
+    * and new files agree on the physical name forever.
+    */
+  def physOf(c: String): String = physNames.getOrElse(c, c)
+
+  /** The logical (user-facing) schema. */
+  def schema: StructType =
+    DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  /** The schema under physical field names — what the parquet files
+    * actually store, and therefore what every file read plans with.
+    */
+  def physSchema: StructType =
+    StructType(schema.fields.map(f => f.copy(name = physOf(f.name))))
+}
 
 /** One immutable data file with optional per-column long [min,max].
   * `bytes` (0 = unrecorded, pre-upgrade manifests) feeds split planning
@@ -1403,7 +1502,10 @@ private[lake] object Manifest {
       "checks" -> JObject(m.checks.toList.sortBy(_._1).map { case (n, e) =>
         n -> JString(e)
       }),
-      "partitionBy" -> JArray(m.partitionBy.map(JString(_)).toList))))
+      "partitionBy" -> JArray(m.partitionBy.map(JString(_)).toList),
+      "physNames" -> JObject(m.physNames.toList.sortBy(_._1).map {
+        case (l, ph) => l -> JString(ph)
+      }))))
     val lines = m.files.map { f =>
       val core = List(
         "file" -> JString(f.name),
@@ -1485,9 +1587,14 @@ private[lake] object Manifest {
       case JArray(vs) => vs.map(_.extract[String])
       case _ => Nil
     }
+    val physNames = (head \ "physNames") match {
+      case JObject(fields) =>
+        fields.map { case (l, ph) => l -> ph.extract[String] }.toMap
+      case _ => Map.empty[String, String]
+    }
     Manifest((head \ "operation").extract[String],
       (head \ "schema").extract[String],
       (head \ "statsCols").extract[List[String]], files, txns, checks,
-      partitionBy)
+      partitionBy, physNames)
   }
 }

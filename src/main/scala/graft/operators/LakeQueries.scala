@@ -583,6 +583,39 @@ object LakeQueries {
           lit(filesPruned).as("files_pruned"))
     }),
 
+    // COLUMN RENAME via column mapping (the Delta columnMapping model):
+    // renameColumn is a metadata-only commit — the physical parquet
+    // field name never changes, so zero data is rewritten, files written
+    // before and after the rename mix transparently, stats pruning keeps
+    // working under the NEW name, and time travel to a pre-rename
+    // version reads the OLD name (each manifest carries its own
+    // logical→physical mapping). All four pinned in-band.
+    "lake_rename" -> ((s, dir) => {
+      val path = tablePath("lake_rename")
+      wipe(path)
+      val b = base(s, dir)
+      val half = b.agg(max(col("k"))).head().getLong(0) / 2
+      val t = LakeTable.create(s, path,
+        b.filter(col("k") <= half).coalesce(1), Seq("k"))
+      val physV1 = t.fileNames(1).toSet
+      t.renameColumn("k", "order_id")
+      t.append(b.filter(col("k") > half)
+        .select(col("k").as("order_id"), col("status"), col("price"))
+        .coalesce(1))
+      val zeroRewrite = physV1.subsetOf(t.fileNames(t.currentVersion).toSet)
+      val v1OldName = t.readVersion(1).schema.fieldNames.toSeq ==
+        Seq("k", "status", "price")
+      val hi = t.scan().filter(col("order_id") > half)
+      val prunedOnNewName = hi.select(input_file_name()).distinct().count() <
+        t.fileNames(t.currentVersion).size
+      hi.agg(count(lit(1)).as("n_hi"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_hi"))
+        .select(col("n_hi"), col("total_hi"),
+          lit(zeroRewrite).as("zero_rewrite"),
+          lit(v1OldName).as("v1_keeps_old_name"),
+          lit(prunedOnNewName).as("pruned_on_new_name"))
+    }),
+
     // SQL DML: DELETE FROM / UPDATE / MERGE INTO statements on a
     // CREATE TABLE ... USING graft.lake table plan through the
     // session-extension rule (graft.lake.LakeDmlRule) into the same
@@ -977,6 +1010,17 @@ object LakeQueries {
         |FROM events
         |WHERE epoch_us(ts) >= (SELECT mn + (mx - mn) // 4 FROM h)
         |  AND epoch_us(ts) < (SELECT mn + (mx - mn) // 2 FROM h)""".stripMargin,
+
+    "lake_rename" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders)
+        |SELECT count(*) AS n_hi,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_hi,
+        |  true AS zero_rewrite,
+        |  true AS v1_keeps_old_name,
+        |  true AS pruned_on_new_name
+        |FROM base WHERE k > (SELECT max(k) // 2 FROM base)""".stripMargin,
 
     "lake_sql_dml" ->
       """WITH base AS (

@@ -484,6 +484,62 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(t.scan().filter(col("p") === "a").count() == 1)
   }
 
+  test("renameColumn: metadata-only, reads old+new files, keeps pruning") {
+    val t = clustered("ren") // 4 files over k, stats on k
+    val physBefore = new File(t.path).list((_, n) =>
+      n.startsWith("part-") && n.endsWith(".parquet")).toSet
+    t.renameColumn("k", "id")
+    // zero data movement: same physical files, one new manifest
+    assert(new File(t.path).list((_, n) =>
+      n.startsWith("part-") && n.endsWith(".parquet")).toSet == physBefore)
+    assert(t.read().columns.toSeq == Seq("id", "v"))
+    assert(t.read().agg(sum(col("id"))).head().getLong(0) == (1L to 400L).sum)
+    // stats pruning rides the physical mapping: a filter on the NEW
+    // name still opens 1 of 4 files
+    assert(filesOpened(t.scan().filter(col("id").between(120L, 180L))) == 1)
+    // time travel to the pre-rename version keeps the OLD name
+    assert(t.readVersion(t.currentVersion - 1).columns.toSeq == Seq("k", "v"))
+    // writes after the rename use the new logical name and mix with old
+    // files transparently (same physical name under the hood)
+    t.append((401 to 410).toDF("i")
+      .select(col("i").cast("long").as("id"), lit(0).as("v")).coalesce(1))
+    assert(t.read().count() == 410)
+    assert(t.scan().filter(col("id") > 400L).count() == 10)
+    // mutations under the new name: merge prunes, delete rewrites
+    t.merge(Seq((5L, 99)).toDF("id", "v").coalesce(1), "id")
+    assert(t.read().filter(col("id") === 5L).select("v").as[Long].head() == 99L)
+    t.deleteWhere(col("id") > 400L)
+    assert(t.read().count() == 400)
+    // rename again (chains compose onto the original physical name)
+    t.renameColumn("id", "key")
+    assert(t.read().columns.toSeq == Seq("key", "v"))
+    assert(filesOpened(t.scan().filter(col("key").between(120L, 180L))) == 1)
+  }
+
+  test("renameColumn guards: checks must migrate; new-column collisions rejected") {
+    val t = clustered("renguard")
+    t.addCheck("k_pos", "k > 0")
+    val e = intercept[IllegalArgumentException] { t.renameColumn("k", "id") }
+    assert(e.getMessage.contains("k_pos"))
+    t.dropCheck("k_pos")
+    t.renameColumn("k", "id")
+    // constraints added under the new name enforce on appends
+    t.addCheck("id_pos", "id > 0")
+    intercept[graft.lake.CheckViolationException] {
+      t.append(Seq((-1L, 0)).toDF("id", "v"))
+    }
+    // a NEW column named like the retired physical name would silently
+    // alias the renamed column's storage — rejected with a clear error
+    val e2 = intercept[IllegalArgumentException] {
+      t.appendEvolve(Seq((500L, 0, "x")).toDF("id", "v", "k"))
+    }
+    assert(e2.getMessage.contains("physical"))
+    // an unrelated new column evolves fine post-rename
+    t.appendEvolve(Seq((500L, 0, "x")).toDF("id", "v", "tag").coalesce(1))
+    assert(t.read().filter(col("tag").isNotNull).count() == 1)
+    assert(t.read().filter(col("id") === 500L).count() == 1)
+  }
+
   test("merge prunes candidate files by STRING key stats") {
     val t = strClustered("smerge")
     val before = t.fileNames(t.currentVersion).toSet
