@@ -91,6 +91,10 @@ private[lake] class LakeStreamingSource(
 
   require(maxVersionsPerTrigger >= 1, "maxVersionsPerTrigger must be >= 1")
   private val table = LakeTable.forPath(spark, path)
+  // logical→physical mapping captured with the stream schema: physical
+  // names are stable forever, so this resolves files written after any
+  // later rename too, while the stream keeps its fixed logical names
+  private val physNames = table.manifest(table.currentVersion).physNames
 
   /** Highest version offered to the engine so far — the pacing cursor.
     * Re-anchored forward by getBatch on checkpoint restart (the engine
@@ -136,8 +140,14 @@ private[lake] class LakeStreamingSource(
     // planner; wrap the batch parquet scan's physical RDD in a streaming
     // LogicalRDD (the FileStreamSource/internalCreateDataFrame shape).
     // readEntries applies any deletion vectors already on the new files.
+    // read under the STREAM's fixed schema (captured at start), with the
+    // current logical→physical mapping: physical names are stable across
+    // renames, so the capture-time mapping resolves files written later
+    // too, and schema evolution after stream start stays a by-name
+    // subset/null-fill read exactly as before
     val batch = table.readEntries(added,
-      table.manifest(ver(end)).copy(files = added))
+      table.manifest(ver(end)).copy(schemaJson = schema.json,
+        physNames = physNames))
     val qe = batch.queryExecution
     new ClassicDataset[Row](spark,
       LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(spark),
