@@ -966,6 +966,32 @@ class LakeTable private (spark: SparkSession, val path: String) {
       base.copy(checks = base.checks - name))
   }
 
+  /** ALTER TABLE ... SET PARTITIONING: a metadata-only commit — because
+    * the manifest (not a directory scheme) is the index, changing the
+    * partition spec affects only FUTURE writes; existing files keep
+    * their recorded min = max = value stats and keep pruning under the
+    * old layout. This is Iceberg's partition-spec evolution, free by
+    * construction here: no rewrite, no dual-read path, and a query
+    * never needs to know which spec a file was written under.
+    */
+  def setPartitionBy(partitionBy: Seq[String]): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    if (partitionBy == base.partitionBy) return v
+    val schema = base.schema
+    partitionBy.foreach { c =>
+      require(schema.fieldNames.contains(c), s"no such column: $c")
+      require(LakeTable.isStatsType(schema(c).dataType),
+        s"partition column $c must be integral/timestamp/date/string, " +
+          s"is ${schema(c).dataType}")
+    }
+    // new partition columns get exact-value stats on future files
+    val stats = base.statsCols ++
+      partitionBy.filterNot(base.statsCols.contains)
+    commit(v + 1, "set-partitioning", base.files,
+      base.copy(partitionBy = partitionBy, statsCols = stats))
+  }
+
   /** ALTER TABLE ... RENAME COLUMN: a metadata-only commit via column
     * mapping (the Delta columnMapping model). The PHYSICAL parquet field
     * name never changes — old and new files keep agreeing on it — so a

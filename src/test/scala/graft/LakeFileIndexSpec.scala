@@ -474,6 +474,29 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(t.scan().filter(col("p") === "1" && col("k") === 10L).count() == 1)
   }
 
+  test("setPartitionBy evolves the spec for future writes only (metadata-only)") {
+    val path = freshDir("partevo")
+    val df = (1 to 300).toDF("i").select(col("i").cast("long").as("k"),
+      (col("i") % 3).cast("string").as("p"))
+    // starts unpartitioned: one file
+    val t = LakeTable.create(spark, path, df.coalesce(1), Seq("k"))
+    assert(t.fileNames(t.currentVersion).size == 1)
+    val v = t.setPartitionBy(Seq("p"))
+    // metadata-only: same files, one new manifest
+    assert(t.fileNames(v).size == 1)
+    // future appends split per partition value and prune
+    t.append(df.coalesce(1))
+    assert(t.fileNames(t.currentVersion).size == 4) // 1 old + 3 per-value
+    val q = t.scan().filter(col("p") === "1")
+    // opens the old (unsplit, conservative) file + the p=1 file only
+    assert(filesOpened(q) == 2 && q.count() == 200)
+    assert(t.read().count() == 600)
+    // back to unpartitioned: also metadata-only
+    t.setPartitionBy(Nil)
+    t.append(df.limit(5).coalesce(1))
+    assert(t.read().count() == 605)
+  }
+
   test("partitioned table: NULL partition values stay readable, unpruned") {
     val path = freshDir("partnull")
     val dfn = Seq((1L, "a"), (2L, null)).toDF("k", "p")
