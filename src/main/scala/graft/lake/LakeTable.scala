@@ -742,16 +742,30 @@ class LakeTable private (spark: SparkSession, val path: String) {
     if (base.files.isEmpty) return v
     val schema = base.schema
     zorderBy.foreach { c =>
-      require(LakeTable.isIntegral(schema(c).dataType),
-        s"zorder column $c must be integral, is ${schema(c).dataType}")
+      require(LakeTable.isStatsType(schema(c).dataType),
+        s"zorder column $c must be integral/timestamp/date/string, " +
+          s"is ${schema(c).dataType}")
     }
     val data = readEntries(base.files, base)
+    // the z bucketing needs an ORDER-PRESERVING long per column:
+    // integrals/timestamps/dates via their stats encoding, strings via
+    // the first 7 UTF-8 bytes right-padded with zeros (left-aligned so
+    // "b" > "aa" numerically, exactly like the lexicographic order) —
+    // all codegen built-ins, no UDF
+    def zenc(c: String): Column = schema(c).dataType match {
+      case StringType => expr(
+        s"cast(conv(hex(rpad(substring(encode(`$c`, 'utf-8'), 1, 7), " +
+          "7, x'00')), 16, 10) as bigint)")
+      case t => LakeTable.statLong(c, t)
+    }
     // global [lo, hi] per column: manifest stats when every file
     // recorded them (control plane), else one data-plane aggregate
+    // (strings always aggregate — their manifest stats are truncated
+    // text, not the z encoding)
     val ranges: Map[String, (Long, Long)] = {
       val fromStats = zorderBy.flatMap { c =>
         val perFile = base.files.map(_.stats.get(base.physOf(c)))
-        if (perFile.forall(_.isDefined))
+        if (schema(c).dataType != StringType && perFile.forall(_.isDefined))
           Some(c -> (perFile.map(_.get._1).min, perFile.map(_.get._2).max))
         else None
       }.toMap
@@ -759,8 +773,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
       if (missing.isEmpty) fromStats
       else {
         val aggs = missing.flatMap(c => Seq(
-          min(col(c).cast("long")).as(s"_lo_$c"),
-          max(col(c).cast("long")).as(s"_hi_$c")))
+          min(zenc(c)).as(s"_lo_$c"), max(zenc(c)).as(s"_hi_$c")))
         val r = data.agg(aggs.head, aggs.tail: _*).head()
         fromStats ++ missing.map(c =>
           c -> (r.getAs[Long](s"_lo_$c"), r.getAs[Long](s"_hi_$c")))
@@ -777,17 +790,17 @@ class LakeTable private (spark: SparkSession, val path: String) {
     // content — identical rows come out either way.
     def bucketOf(c: String): Column = {
       val (lo, hi) = ranges(c)
+      val enc = zenc(c)
       val spanOk = hi - lo + 1L > 0L // hi - lo itself can overflow
       val scaled =
         if (spanOk && (hi - lo + 1L) <= Long.MaxValue / buckets) {
           val span = math.max(1L, hi - lo + 1L)
-          (coalesce(col(c).cast("long"), lit(lo)) - lit(lo)) *
-            lit(buckets) / lit(span)
+          (coalesce(enc, lit(lo)) - lit(lo)) * lit(buckets) / lit(span)
         } else {
           // (v - lo) can overflow a long too when the span does —
           // normalize in double end to end
           val spanD = hi.toDouble - lo.toDouble + 1.0
-          ((coalesce(col(c).cast("double"), lit(lo.toDouble)) -
+          ((coalesce(enc.cast("double"), lit(lo.toDouble)) -
             lit(lo.toDouble)) * lit(buckets.toDouble) / lit(spanD))
             .cast("long")
         }

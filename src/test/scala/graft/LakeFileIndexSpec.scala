@@ -563,6 +563,24 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(t.read().filter(col("id") === 500L).count() == 1)
   }
 
+  test("zorderCompact clusters STRING columns too (order-preserving encode)") {
+    val path = freshDir("zstr")
+    val df = (0 until 400).toDF("i").select(
+      format_string("u%03d", col("i") % 20).as("uid"),
+      col("i").cast("long").as("k"))
+    val t = LakeTable.create(spark, path, df.repartition(4), Seq("uid", "k"))
+    // hash layout: a uid point read opens all 4 files
+    assert(filesOpened(t.scan().filter(col("uid") === "u005")) == 4)
+    t.zorderCompact(100, Seq("uid", "k"))
+    // content identical, and the string-stats [min,max] of the z-laid
+    // files prune BOTH a uid point read and a k range read
+    assert(t.read().count() == 400)
+    assert(t.scan().agg(sum(col("k"))).head().getLong(0) == (0L until 400L).sum)
+    val nAll = filesOpened(t.scan())
+    assert(filesOpened(t.scan().filter(col("uid") === "u005")) < nAll)
+    assert(filesOpened(t.scan().filter(col("k") < 100L)) < nAll)
+  }
+
   test("merge prunes candidate files by STRING key stats") {
     val t = strClustered("smerge")
     val before = t.fileNames(t.currentVersion).toSet
