@@ -80,13 +80,22 @@ class LakeFileIndex private[lake] (sparkSession: SparkSession,
     new FileStatus(sizeOf(f), false, 1, 128L * 1024 * 1024, 0L,
       new Path(s"$tablePath/${f.name}"))
 
-  /** The snapshot as a Spark-plannable relation over this index. */
+  /** The snapshot as a Spark-plannable relation over this index. For a
+    * bucketed table the relation carries the manifest's BucketSpec (the
+    * files follow Spark's bucket naming and hash, enforced at staging),
+    * so scans report HashPartitioning(bucketBy, n): equal-bucketed
+    * joins plan with NO exchange and bucket-column filters prune
+    * buckets inside the scan.
+    */
   private[lake] def relation: HadoopFsRelation =
     HadoopFsRelation(
       location = this,
       partitionSchema = StructType(Nil),
       dataSchema = schema,
-      bucketSpec = None,
+      bucketSpec =
+        if (m.bucketBy.isEmpty) None
+        else Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          m.buckets, m.bucketBy.map(m.physOf), Nil)),
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(sparkSession)
 

@@ -380,7 +380,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
       if (base0.physNames.isEmpty) aligned
       else aligned.toDF(aligned.columns.map(base0.physOf).toIndexedSeq: _*)
     val staged = LakeTable.stage(spark, path, alignedPhys,
-      base0.statsCols.map(base0.physOf), base0.partitionBy.map(base0.physOf))
+      base0.statsCols.map(base0.physOf), base0.partitionBy.map(base0.physOf),
+      base0.bucketBy.map(base0.physOf), base0.buckets)
     var proven: Map[String, String] = null
     try retryCommit { v =>
       val base = manifest(v)
@@ -737,6 +738,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
     */
   def zorderCompact(targetRows: Long, zorderBy: Seq[String]): Int = {
     require(zorderBy.nonEmpty, "zorderCompact needs at least one column")
+    require(manifest(currentVersion).bucketBy.isEmpty,
+      "zorderCompact would break the bucket layout; drop bucketing first")
     val v = currentVersion
     val base = manifest(v)
     if (base.files.isEmpty) return v
@@ -1129,7 +1132,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
       if (base.physNames.isEmpty) df
       else df.toDF(df.columns.map(base.physOf).toIndexedSeq: _*)
     LakeTable.stage(spark, path, physDf,
-      base.statsCols.map(base.physOf), base.partitionBy.map(base.physOf))
+      base.statsCols.map(base.physOf), base.partitionBy.map(base.physOf),
+      base.bucketBy.map(base.physOf), base.buckets)
   }
 
   private def retryCommit(attempt: Int => Int): Int = {
@@ -1218,7 +1222,8 @@ private[lake] case class Manifest(operation: String, schemaJson: String,
     txns: Map[String, Long] = Map.empty,
     checks: Map[String, String] = Map.empty,
     partitionBy: Seq[String] = Nil,
-    physNames: Map[String, String] = Map.empty) {
+    physNames: Map[String, String] = Map.empty,
+    bucketBy: Seq[String] = Nil, buckets: Int = 0) {
   /** Column-mapping indirection (the Delta columnMapping model): the
     * PHYSICAL parquet field name behind a logical column. Identity for
     * never-renamed columns (absent from `physNames`); a rename changes
@@ -1392,20 +1397,42 @@ object LakeTable {
     * within-partition ranges.
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
-      statsCols: Seq[String], partitionBy: Seq[String]): LakeTable = {
+      statsCols: Seq[String], partitionBy: Seq[String]): LakeTable =
+    create(spark, path, df, statsCols, partitionBy, Nil, 0)
+
+  /** [[create]] with BUCKETING: every write hash-distributes its rows
+    * into `buckets` files by `bucketBy` (Spark's own bucket hash —
+    * murmur3 pmod n — and Spark's bucket-file naming), and the scan
+    * relation carries the matching BucketSpec. Two lake tables bucketed
+    * the same way therefore JOIN WITHOUT A SHUFFLE on the bucket
+    * columns — the co-location move that turns a 100 TB × 100 TB join
+    * from two full exchanges into a zipped per-bucket merge. Filters on
+    * the bucket columns also prune buckets inside the scan. Mutually
+    * exclusive with `partitionBy` (compose by partitioning the bigger
+    * dimension instead).
+    */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+      statsCols: Seq[String], partitionBy: Seq[String],
+      bucketBy: Seq[String], buckets: Int): LakeTable = {
+    require(bucketBy.isEmpty == (buckets == 0),
+      "bucketBy and buckets must be given together")
+    require(partitionBy.isEmpty || bucketBy.isEmpty,
+      "partitionBy and bucketBy are mutually exclusive")
     (statsCols ++ partitionBy).foreach { c =>
       require(isStatsType(df.schema(c).dataType),
         s"stats/partition column $c must be integral/timestamp/date/string, " +
           s"is ${df.schema(c).dataType}")
     }
+    bucketBy.foreach { c => df.schema(c) } // must exist
     Files.createDirectories(Paths.get(path, LogDir))
     val t = new LakeTable(spark, path)
     // partition columns get stats implicitly (min = max = value)
     val allStats = (statsCols ++ partitionBy.filterNot(statsCols.contains))
-    val staged = stage(spark, path, df, allStats, partitionBy)
+    val staged = stage(spark, path, df, allStats, partitionBy,
+      bucketBy, buckets)
     commit(Paths.get(path, LogDir).toString, 1,
       Manifest("create", df.schema.json, allStats, staged,
-        partitionBy = partitionBy))
+        partitionBy = partitionBy, bucketBy = bucketBy, buckets = buckets))
     t
   }
 
@@ -1429,10 +1456,17 @@ object LakeTable {
     * index). Nulls go to Hive's default partition, read back as null.
     */
   private def stage(spark: SparkSession, path: String, df: DataFrame,
-      statsCols: Seq[String], partitionBy: Seq[String] = Nil): Seq[FileEntry] = {
+      statsCols: Seq[String], partitionBy: Seq[String] = Nil,
+      bucketBy: Seq[String] = Nil, buckets: Int = 0): Seq[FileEntry] = {
     val job = UUID.randomUUID().toString.replace("-", "").take(12)
     val scratch = Paths.get(path, s"_staging_$job")
-    if (partitionBy.isEmpty)
+    if (bucketBy.nonEmpty) {
+      // Spark's own bucket distribution: repartition(n, cols) IS
+      // HashPartitioning(cols, n), so scratch partition index i holds
+      // exactly bucket i's rows — the reader-side grouping contract
+      df.repartition(buckets, bucketBy.map(col): _*)
+        .write.mode("overwrite").parquet(scratch.toString)
+    } else if (partitionBy.isEmpty)
       df.write.mode("overwrite").parquet(scratch.toString)
     else {
       val gfp = partitionBy.map(c => s"_gfp_$c")
@@ -1448,8 +1482,19 @@ object LakeTable {
       }.sorted().iterator().asScala.toVector
       finally walk.close()
     }
+    // scratch part files are named part-<task>%05d-<uuid>; for bucketed
+    // layouts task index == bucket id, re-encoded into the Spark bucket
+    // suffix (_NNNNN) the reader's BucketingUtils.getBucketId parses
+    val BucketPart = "part-(\\d+)-.*".r
     val named = parts.zipWithIndex.map { case (p, i) =>
-      val target = f"part-$job-$i%05d.parquet"
+      val target =
+        if (bucketBy.isEmpty) f"part-$job-$i%05d.parquet"
+        else p.getFileName.toString match {
+          case BucketPart(task) =>
+            f"part-$job-$i%05d_${task.toInt}%05d.parquet"
+          case other => throw new IllegalStateException(
+            s"unexpected scratch part name for a bucketed write: $other")
+        }
       Files.move(p, Paths.get(path, target), StandardCopyOption.ATOMIC_MOVE)
       target
     }
@@ -1544,7 +1589,9 @@ private[lake] object Manifest {
       "partitionBy" -> JArray(m.partitionBy.map(JString(_)).toList),
       "physNames" -> JObject(m.physNames.toList.sortBy(_._1).map {
         case (l, ph) => l -> JString(ph)
-      }))))
+      }),
+      "bucketBy" -> JArray(m.bucketBy.map(JString(_)).toList),
+      "buckets" -> JLong(m.buckets.toLong))))
     val lines = m.files.map { f =>
       val core = List(
         "file" -> JString(f.name),
@@ -1631,9 +1678,17 @@ private[lake] object Manifest {
         fields.map { case (l, ph) => l -> ph.extract[String] }.toMap
       case _ => Map.empty[String, String]
     }
+    val bucketBy = (head \ "bucketBy") match {
+      case JArray(vs) => vs.map(_.extract[String])
+      case _ => Nil
+    }
+    val buckets = (head \ "buckets") match {
+      case JNothing => 0
+      case n => n.extract[Long].toInt
+    }
     Manifest((head \ "operation").extract[String],
       (head \ "schema").extract[String],
       (head \ "statsCols").extract[List[String]], files, txns, checks,
-      partitionBy, physNames)
+      partitionBy, physNames, bucketBy, buckets)
   }
 }

@@ -583,6 +583,41 @@ object LakeQueries {
           lit(filesPruned).as("files_pruned"))
     }),
 
+    // BUCKETED lake tables: every write hash-distributes rows into N
+    // bucket files (Spark's own bucket hash + file naming, enforced at
+    // staging), and the scan relation carries the matching BucketSpec —
+    // so two lake tables bucketed the same way JOIN WITHOUT A SHUFFLE
+    // on the bucket columns (both booleans pinned in-band from the
+    // join's physical plan). At 100 TB this turns a fact×fact key join
+    // from two full exchanges into a zipped per-bucket merge — the
+    // co-location primitive sink_bucketed_join provides for catalog
+    // parquet tables, now native to the lake format.
+    "lake_bucket_join" -> ((s, dir) => {
+      val pa = tablePath("lake_bkt_a")
+      val pb = tablePath("lake_bkt_b")
+      wipe(pa); wipe(pb)
+      val o = Tables.orders(s, dir)
+      val facts = o.select(col("o_orderkey").cast("long").as("k"),
+        col("o_totalprice").as("price"))
+      val dims = o.select(col("o_orderkey").cast("long").as("k"),
+        col("o_orderpriority").as("prio")).filter(col("k") % 2 === 0)
+      val ta = LakeTable.create(s, pa, facts, Seq("k"), Nil, Seq("k"), 8)
+      val tb = LakeTable.create(s, pb, dims, Seq("k"), Nil, Seq("k"), 8)
+      val joined = ta.scan().join(tb.scan().hint("merge"), "k")
+      // EnsureRequirements has already planned (or not) the exchanges;
+      // no execution needed to read the join shape
+      val plan = joined.queryExecution.executedPlan.toString
+      val bucketedScan = plan.contains("Bucketed: true")
+      val noShuffle = !plan.contains("Exchange hashpartitioning")
+      joined.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("prio"), col("n"), col("total_price"),
+          lit(bucketedScan).as("bucketed_scan"),
+          lit(noShuffle).as("no_shuffle_join"))
+        .orderBy(col("prio"))
+    }),
+
     // COLUMN RENAME via column mapping (the Delta columnMapping model):
     // renameColumn is a metadata-only commit — the physical parquet
     // field name never changes, so zero data is rewritten, files written
@@ -1010,6 +1045,20 @@ object LakeQueries {
         |FROM events
         |WHERE epoch_us(ts) >= (SELECT mn + (mx - mn) // 4 FROM h)
         |  AND epoch_us(ts) < (SELECT mn + (mx - mn) // 2 FROM h)""".stripMargin,
+
+    "lake_bucket_join" ->
+      """WITH facts AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders),
+        |dims AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS prio
+        |  FROM orders WHERE CAST(o_orderkey AS BIGINT) % 2 = 0)
+        |SELECT prio, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS bucketed_scan,
+        |  true AS no_shuffle_join
+        |FROM facts JOIN dims USING (k)
+        |GROUP BY prio ORDER BY prio""".stripMargin,
 
     "lake_rename" ->
       """WITH base AS (

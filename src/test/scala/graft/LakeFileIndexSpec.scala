@@ -581,6 +581,40 @@ class LakeFileIndexSpec extends AnyFunSuite {
     assert(filesOpened(t.scan().filter(col("k") < 100L)) < nAll)
   }
 
+  test("bucketed lake tables join WITHOUT a shuffle; content stays exact") {
+    def mk(tag: String, r: Range, vTag: String): LakeTable = {
+      val path = freshDir(tag)
+      val df = r.toDF("i").select(col("i").cast("long").as("k"),
+        concat(lit(vTag), col("i")).as("v"))
+      LakeTable.create(spark, path, df, Seq("k"), Nil, Seq("k"), 8)
+    }
+    val a = mk("bkta", 1 to 400, "a")
+    val b = mk("bktb", 201 to 600, "b")
+    val joined = a.scan().join(b.scan().hint("merge"), "k")
+    val got = joined.agg(count(lit(1)), sum(col("k"))).head()
+    assert(got.getLong(0) == 200 && got.getLong(1) == (201L to 400L).sum)
+    // the whole point: the join engages the bucketed scans (a bare scan
+    // rightly reports "disabled by query planner" — no distribution
+    // need) and plans NO exchange on either side
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"join must engage the bucketed scan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"equal-bucketed join must not shuffle:\n$plan")
+    // appends keep the layout (multiple files per bucket are grouped)
+    a.append((401 to 450).toDF("i").select(col("i").cast("long").as("k"),
+      concat(lit("a"), col("i")).as("v")))
+    val joined2 = a.scan().join(b.scan().hint("merge"), "k")
+    assert(joined2.count() == 250)
+    assert(!joined2.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"))
+    // content parity with a plain read
+    assert(a.scan().count() == a.read().count())
+    // mis-use guards
+    intercept[IllegalArgumentException] { a.zorderCompact(100, Seq("k")) }
+  }
+
   test("merge prunes candidate files by STRING key stats") {
     val t = strClustered("smerge")
     val before = t.fileNames(t.currentVersion).toSet
