@@ -135,6 +135,45 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** SQL time travel over lake tables: `SELECT ... FROM t VERSION AS OF n`
+  * rewrites to the versioned [[LakeTable.scanVersion]] plan. Injected in
+  * the HINT-resolution batch (before the main resolution), because
+  * ResolveRelations rejects v1 time travel outright — the relation is
+  * still unresolved here, so the table name is looked up against the
+  * session catalog by hand and non-lake tables pass through untouched.
+  */
+case class LakeTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, None, Some(version)) =>
+      lakePathByName(u.multipartIdentifier) match {
+        case Some(path) =>
+          LakeTable.forPath(spark, path)
+            .scanVersion(version.toInt).queryExecution.analyzed
+        case None => tt
+      }
+  }
+
+  private def lakePathByName(parts: Seq[String]): Option[String] = {
+    val catalog = spark.sessionState.catalog
+    val ident = parts match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    if (!catalog.tableExists(ident)) return None
+    val meta = catalog.getTableMetadata(ident)
+    if (!meta.provider.exists(_.equalsIgnoreCase("graft.lake"))) return None
+    meta.storage.properties.get("path")
+      .orElse(meta.storage.locationUri.map(_.getPath))
+      .map(p => if (p.startsWith("file:")) new java.net.URI(p).getPath else p)
+  }
+}
+
 object LakeDmlRule {
   /** The lake-table directory (and catalog identifier, for post-write
     * relation-cache invalidation) behind a resolved DML target, if the

@@ -583,6 +583,30 @@ object LakeQueries {
           lit(filesPruned).as("files_pruned"))
     }),
 
+    // SQL TIME TRAVEL: `VERSION AS OF n` on a graft.lake catalog table
+    // rewrites (hint-batch rule, before ResolveRelations rejects v1
+    // time travel) to the versioned Catalyst scan — SQL users get the
+    // full snapshot history with no programmatic API, composable with
+    // any downstream operator. The ledger row for each version is
+    // reconstructed independently by the oracle.
+    "lake_sql_time_travel" -> ((s, dir) => {
+      val path = tablePath("lake_sql_tt")
+      wipe(path)
+      val b = base(s, dir)
+      LakeTable.create(s, path, b, Seq("k"))
+      s.sql("DROP TABLE IF EXISTS lake_tt_t")
+      s.sql(s"CREATE TABLE lake_tt_t USING graft.lake OPTIONS (path '$path')")
+      s.sql("DELETE FROM lake_tt_t WHERE k % 13 = 0")
+      s.sql("""SELECT 1 AS version, count(*) AS n_rows,
+          CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM lake_tt_t VERSION AS OF 1
+        UNION ALL
+        SELECT 2, count(*),
+          CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lake_tt_t
+        ORDER BY version""")
+    }),
+
     // BUCKETED lake tables: every write hash-distributes rows into N
     // bucket files (Spark's own bucket hash + file naming, enforced at
     // staging), and the scan relation carries the matching BucketSpec —
@@ -1045,6 +1069,19 @@ object LakeQueries {
         |FROM events
         |WHERE epoch_us(ts) >= (SELECT mn + (mx - mn) // 4 FROM h)
         |  AND epoch_us(ts) < (SELECT mn + (mx - mn) // 2 FROM h)""".stripMargin,
+
+    "lake_sql_time_travel" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders)
+        |SELECT 1 AS version, count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM base
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM base WHERE k % 13 <> 0
+        |ORDER BY version""".stripMargin,
 
     "lake_bucket_join" ->
       """WITH facts AS (

@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrite the resolved-but-v1-unsupported DML plans into the lake
     // mutations before checkAnalysis rejects them (see LakeSqlDml.scala)
     e.injectPostHocResolutionRule(s => graft.lake.LakeDmlRule(s))
+    // SQL time travel (VERSION AS OF) over graft.lake tables — must run
+    // BEFORE the main resolution (ResolveRelations rejects v1 time
+    // travel outright), so it rides the hint-resolution batch
+    e.injectHintResolutionRule(s => graft.lake.LakeTimeTravelRule(s))
   }
 }
 

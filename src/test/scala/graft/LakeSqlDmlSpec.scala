@@ -120,6 +120,41 @@ class LakeSqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS dml_dv")
   }
 
+  test("SQL time travel: VERSION AS OF reads retained snapshots") {
+    val t = sqlTable("tt", "dml_tt")
+    try {
+      spark.sql("DELETE FROM dml_tt WHERE k <= 100")
+      assert(spark.sql("SELECT count(*) FROM dml_tt").head().getLong(0) == 300)
+      assert(spark.sql("SELECT count(*) FROM dml_tt VERSION AS OF 1")
+        .head().getLong(0) == 400)
+      // the versioned scan is an ordinary plan: aggregates compose
+      val s1 = spark.sql(
+        "SELECT sum(k) FROM dml_tt VERSION AS OF 1 WHERE k <= 100")
+        .head().getLong(0)
+      assert(s1 == (1L to 100L).sum)
+      // an unretained version errors clearly
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM dml_tt VERSION AS OF 99").collect()
+      }
+      assert(e.getMessage.contains("not retained") ||
+        e.getMessage.contains("99"))
+      assert(t.currentVersion == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS dml_tt")
+  }
+
+  test("VERSION AS OF on non-lake tables keeps the standard error") {
+    val dir = freshDir("ttplain")
+    kv(1 to 10).write.parquet(dir)
+    spark.sql(s"CREATE TABLE dml_ttplain USING parquet OPTIONS (path '$dir')")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM dml_ttplain VERSION AS OF 1").collect()
+      }
+      assert(e.getMessage.contains("TIME_TRAVEL") ||
+        e.getMessage.toLowerCase.contains("time travel"))
+    } finally spark.sql("DROP TABLE IF EXISTS dml_ttplain")
+  }
+
   test("DML on non-lake tables is left alone (plain parquet still errors)") {
     val dir = freshDir("plain")
     kv(1 to 10).write.parquet(dir)
