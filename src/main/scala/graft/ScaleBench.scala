@@ -176,7 +176,8 @@ object ScaleBench {
   private val lakeFamily = Seq(
     "lake_merge", "lake_delete_dv", "lake_restore", "lake_constraints",
     "lake_concurrent", "lake_prune_string", "lake_partition_prune",
-    "lake_sql_dml", "lake_rename")
+    "lake_sql_dml", "lake_rename", "lake_bucket_join",
+    "lake_sql_time_travel")
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
