@@ -80,10 +80,23 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         a.name
       case other => fail(s"ON must be a single same-named key equality, got $other")
     }
+    val TrueLit = org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral
     val (deleteWhen, updates) = m.matchedActions match {
-      case Seq(DeleteAction(cond), u: UpdateAction) => (cond, Some(u))
+      // an unconditional delete arm deletes EVERY matched row — map it
+      // to deleteWhen = true (None would mean "plain upsert", the
+      // opposite); any following UPDATE arm is unreachable per SQL's
+      // first-matching-clause rule and its assignments only shape the
+      // inserted rows
+      case Seq(DeleteAction(cond), u: UpdateAction) =>
+        (Some(cond.getOrElse(TrueLit)), Some(u))
       case Seq(u: UpdateAction) => (None, Some(u))
-      case Seq(DeleteAction(cond)) => (cond, None)
+      case Seq(DeleteAction(None)) => (Some(TrueLit), None)
+      case Seq(DeleteAction(Some(_))) =>
+        // without an UPDATE arm, matched rows that miss the delete
+        // condition must stay UNTOUCHED — the lake merge would replace
+        // them with source values, so this shape cannot map correctly
+        fail("WHEN MATCHED AND cond THEN DELETE without a WHEN MATCHED " +
+          "UPDATE arm is not supported (non-deleted matched rows must stay untouched)")
       case other => fail(s"unsupported WHEN MATCHED actions: $other")
     }
     updates.foreach { u =>

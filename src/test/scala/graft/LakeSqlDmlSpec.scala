@@ -88,6 +88,31 @@ class LakeSqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS dml_mrg")
   }
 
+  test("MERGE with an unconditional delete arm deletes every matched row") {
+    sqlTable("mrgdel", "dml_mrgdel")
+    try {
+      kv(395 to 410).select(col("k"), lit(-1L).as("v"))
+        .createOrReplaceTempView("dml_del_src")
+      spark.sql("""MERGE INTO dml_mrgdel t USING dml_del_src s ON t.k = s.k
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      // matched 395..400 deleted; unmatched 401..410 inserted
+      assert(spark.sql("SELECT count(*) FROM dml_mrgdel")
+        .head().getLong(0) == 404)
+      assert(spark.sql(
+        "SELECT count(*) FROM dml_mrgdel WHERE k BETWEEN 395 AND 400")
+        .head().getLong(0) == 0)
+      // delete-only WITH a condition cannot map (non-deleted matched
+      // rows must stay untouched, not be source-updated) — clear error
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO dml_mrgdel t USING dml_del_src s ON t.k = s.k
+          WHEN MATCHED AND s.v < 0 THEN DELETE
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      }
+      assert(e.getMessage.contains("stay untouched"))
+    } finally spark.sql("DROP TABLE IF EXISTS dml_mrgdel")
+  }
+
   test("unsupported MERGE shapes fail with a clear error, not a misplan") {
     sqlTable("bad", "dml_bad")
     try {
