@@ -615,6 +615,41 @@ class LakeFileIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { a.zorderCompact(100, Seq("k")) }
   }
 
+  test("streaming appends preserve the partition layout (per-value files)") {
+    val path = freshDir("partstream")
+    val df = (1 to 90).toDF("i").select(col("i").cast("long").as("k"),
+      (col("i") % 3).cast("string").as("p"))
+    val t = LakeTable.create(spark, path, df.coalesce(1), Seq("k"), Seq("p"))
+    assert(t.fileNames(1).size == 3)
+    // the exactly-once streaming sink stages through the same layout
+    t.appendStream(df.filter(col("p") =!= "2").coalesce(1), "q", 0L)
+    assert(t.fileNames(t.currentVersion).size == 5) // +2 per-value files
+    assert(filesOpened(t.scan().filter(col("p") === "2")) == 1)
+    assert(filesOpened(t.scan().filter(col("p") === "1")) == 2)
+    assert(t.read().count() == 150)
+    // replay skipped, no layout disturbance
+    t.appendStream(df.filter(col("p") =!= "2").coalesce(1), "q", 0L)
+    assert(t.fileNames(t.currentVersion).size == 5)
+  }
+
+  test("a DV-masked bucketed join is still exchange-free on the fact side") {
+    val path = freshDir("bktdv")
+    def df(r: Range) = r.toDF("i").select(col("i").cast("long").as("k"),
+      (col("i") % 7).cast("long").as("v"))
+    val a = LakeTable.create(spark, path, df(1 to 400), Seq("k"), Nil, Seq("k"), 8)
+    val b = LakeTable.create(spark, freshDir("bktdv2"), df(201 to 600),
+      Seq("k"), Nil, Seq("k"), 8)
+    a.deleteWhereMoR(col("k") % 10 === 0) // a now carries a DV sidecar
+    val joined = a.scan().join(b.scan().hint("merge"), "k")
+    // masked keys vanish from the join; the broadcast LeftAnti DV mask
+    // preserves the streamed side's bucket partitioning, so the
+    // bucket-colocated join still plans with no hash exchange
+    assert(joined.count() == 200 - 20)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"DV mask must not reintroduce a shuffle:\n$plan")
+  }
+
   test("merge prunes candidate files by STRING key stats") {
     val t = strClustered("smerge")
     val before = t.fileNames(t.currentVersion).toSet
