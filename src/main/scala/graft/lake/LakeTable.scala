@@ -994,6 +994,8 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val v = currentVersion
     val base = manifest(v)
     if (partitionBy == base.partitionBy) return v
+    require(base.bucketBy.isEmpty || partitionBy.isEmpty,
+      "partitionBy and bucketBy are mutually exclusive")
     val schema = base.schema
     partitionBy.foreach { c =>
       require(schema.fieldNames.contains(c), s"no such column: $c")
