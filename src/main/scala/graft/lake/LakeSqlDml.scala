@@ -37,13 +37,17 @@ import org.apache.spark.sql.graftbridge.Bridge
 case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import LakeDmlRule._
 
+  // every case is guarded on the node's `resolved` flag: a partially
+  // resolved plan must fall through to checkAnalysis (which surfaces the
+  // real resolution error) instead of tripping the AttributeReference
+  // pattern matches into a misleading "unsupported shape" exception
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case d @ DeleteFromTable(target, cond) =>
+    case d @ DeleteFromTable(target, cond) if d.resolved =>
       lakeTarget(target) match {
         case Some(t) => LakeDeleteCommand(t, unbindCol(cond))
         case None => d
       }
-    case u @ UpdateTable(target, assignments, cond) =>
+    case u @ UpdateTable(target, assignments, cond) if u.resolved =>
       lakeTarget(target) match {
         case Some(t) =>
           val set = assignments.map {
@@ -57,7 +61,7 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)), set)
         case None => u
       }
-    case m: MergeIntoTable if lakeTarget(m.targetTable).isDefined =>
+    case m: MergeIntoTable if m.resolved && lakeTarget(m.targetTable).isDefined =>
       toMergeCommand(m, lakeTarget(m.targetTable).get)
   }
 

@@ -298,13 +298,22 @@ class LakeTable private (spark: SparkSession, val path: String) {
     require(appId.nonEmpty, "appId must be non-empty (scope of the txn ledger)")
     // pre-scoping manifests carried ONE global ledger (parsed in under
     // the reserved "_legacy" app id). The old world had a single logical
-    // writer, so its floor applies to whoever resumes FIRST — and only
-    // until then: the first scoped commit consumes the legacy entry, so
-    // later, genuinely new appIds start at a clean -1 instead of
-    // inheriting a floor they can never satisfy.
+    // writer, so its floor applies in full to whoever resumes FIRST; the
+    // first scoped commit CONSUMES it (any other scoped key existing =
+    // consumed) so genuinely new appIds then start at a clean -1. The
+    // entry itself is never dropped: even after consumption, an
+    // entry-less app replaying EXACTLY the legacy floor is the old
+    // writer's crash-replay of its last batch and must be skipped, not
+    // re-appended — dropping the entry on the first scoped commit would
+    // duplicate that replay's rows. (A new app whose fresh checkpoint
+    // happens to reach the floor id is indistinguishable; the skip is
+    // the safe side — exactly-once beats at-least-once here.)
     def ledger(m: Manifest): Long =
-      m.txns.getOrElse(appId,
-        if (m.txns.keySet == Set("_legacy")) m.txns("_legacy") else -1L)
+      m.txns.getOrElse(appId, m.txns.get("_legacy") match {
+        case None => -1L
+        case Some(floor) if m.txns.keySet == Set("_legacy") => floor
+        case Some(floor) => if (batchId == floor) floor else -1L
+      })
     def checkRegression(last: Long): Unit = require(batchId >= last,
       s"batch id $batchId regresses below app '$appId' ledger $last: a fresh " +
         "checkpoint restarted batch ids — use a new appId, or data WOULD be dropped")
@@ -330,7 +339,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
         LakeTable.commit(logDir.toString, v + 1,
           base.copy(operation = "stream-append",
             files = base.files ++ staged,
-            txns = base.txns - "_legacy" + (appId -> batchId)))
+            txns = base.txns + (appId -> batchId)))
       }
     } catch { case NonFatal(e) =>
       // a rejected write (ledger regression, schema mismatch, constraint
@@ -410,6 +419,11 @@ class LakeTable private (spark: SparkSession, val path: String) {
     validateChecksResolve(base.checks, df.schema)
     require(base.partitionBy.forall(df.columns.contains),
       s"overwrite must keep the partition columns ${base.partitionBy.mkString(", ")}")
+    // same up-front rejection for the bucket layout: without it the
+    // missing column only surfaces as an opaque AnalysisException inside
+    // stage()'s repartition, after the scratch directory exists
+    require(base.bucketBy.forall(df.columns.contains),
+      s"overwrite must keep the bucket columns ${base.bucketBy.mkString(", ")}")
     // every file is replaced, so the column-mapping indirection resets
     // to identity: stage under the NEW logical names directly
     val staged = stageFiles(df, base.copy(physNames = Map.empty))
@@ -1041,10 +1055,16 @@ class LakeTable private (spark: SparkSession, val path: String) {
           s"DROP CONSTRAINT $n, rename, then re-add it under $newName")
     }
     def ren(c: String): String = if (c == oldName) newName else c
+    // bucketBy must remap too: leaving the stale logical name would stay
+    // physically correct only until another column is renamed INTO the
+    // freed name — then physOf(bucketBy) silently resolves to the wrong
+    // column and new writes bucket wrongly while the scan still
+    // advertises the BucketSpec (shuffle-free joins with wrong results)
     commit(v + 1, "rename-column", base.files, base.copy(
       schemaJson = newSchema.json,
       statsCols = base.statsCols.map(ren),
       partitionBy = base.partitionBy.map(ren),
+      bucketBy = base.bucketBy.map(ren),
       physNames = (base.physNames - oldName) +
         (newName -> base.physOf(oldName))))
   }

@@ -500,6 +500,17 @@ class LakeDvSpec extends AnyFunSuite {
     t.appendStream(kv(600 to 604).coalesce(1), "new-query", 0L)
     assert(t.lastStreamBatchId("new-query") == 0L)
     assert(t.read().count() == 415)
+    // even AFTER consumption, an entry-less app replaying EXACTLY the
+    // legacy floor is the pre-upgrade writer's crash-replay of its last
+    // batch: it must be SKIPPED, never re-appended (dropping the floor
+    // on the first scoped commit would duplicate these rows)
+    val v = t.currentVersion
+    t.appendStream(kv(700 to 709).coalesce(1), "old-writer", 7L)
+    assert(t.currentVersion == v && t.read().count() == 415,
+      "legacy-floor replay after consumption must be skipped, not duplicated")
+    // but any OTHER batch id under a fresh app starts clean
+    t.appendStream(kv(700 to 704).coalesce(1), "old-writer", 9L)
+    assert(t.read().count() == 420)
   }
 
   test("rejected writes clean their staged files (no orphans until vacuum)") {

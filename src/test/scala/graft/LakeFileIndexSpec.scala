@@ -615,6 +615,37 @@ class LakeFileIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { a.zorderCompact(100, Seq("k")) }
   }
 
+  test("renameColumn remaps bucketBy; overwrite requires bucket columns") {
+    def kv(r: Range, c1: String, c2: String) = r.toDF("i")
+      .select(col("i").cast("long").as(c1), col("i").cast("string").as(c2))
+    val t = LakeTable.create(spark, freshDir("bktren"),
+      kv(1 to 400, "k", "v"), Seq("k"), Nil, Seq("k"), 8)
+    t.renameColumn("k", "id")
+    // post-rename writes still bucket by the renamed column (physical k)
+    t.append(kv(401 to 450, "id", "v"))
+    // the dangerous case: rename ANOTHER column INTO the freed name "k".
+    // With a stale bucketBy=["k"], physOf("k") would now resolve to v's
+    // physical name — new files would silently bucket by the WRONG
+    // column while the scan still advertises the BucketSpec. The remap
+    // keeps bucketBy=["id"] → physical k, consistently.
+    t.renameColumn("v", "k")
+    t.append(kv(451 to 500, "id", "k"))
+    val b = LakeTable.create(spark, freshDir("bktren2"),
+      kv(201 to 600, "id", "k"), Seq("id"), Nil, Seq("id"), 8)
+    val joined = t.scan().join(b.scan().hint("merge"), "id")
+    val got = joined.agg(count(lit(1)), sum(col("id"))).head()
+    assert(got.getLong(0) == 300 && got.getLong(1) == (201L to 500L).sum,
+      "bucket-colocated join must stay correct across renames")
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"))
+    // overwrite missing the bucket column fails up-front and actionably
+    // (not an opaque AnalysisException from inside staging)
+    val e = intercept[IllegalArgumentException] {
+      t.overwrite(kv(1 to 10, "x", "k")) // missing bucket column id
+    }
+    assert(e.getMessage.contains("bucket"))
+  }
+
   test("streaming appends preserve the partition layout (per-value files)") {
     val path = freshDir("partstream")
     val df = (1 to 90).toDF("i").select(col("i").cast("long").as("k"),
