@@ -460,30 +460,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val base = manifest(v)
     requireSameSchema(updates.schema, base)
     val schema = base.schema
-    // key range in the SAME encoding the manifest stats use (micros for
-    // timestamp keys, days for dates, truncated UTF-8 for strings) — a
-    // bare cast("long") would give seconds for timestamps and silently
-    // mis-prune the candidate set. Stats are keyed by PHYSICAL name.
-    val physKey = base.physOf(keyCol)
-    val keyIsString = schema(keyCol).dataType == StringType
-    val keyEnc =
-      if (keyIsString) col(keyCol)
-      else LakeTable.statLong(keyCol, schema(keyCol).dataType)
-    val range = updates.agg(min(keyEnc), max(keyEnc), count(lit(1))).head()
-    require(range.getLong(2) > 0, "merge with an empty updates frame")
-    require(!range.isNullAt(0),
-      s"merge updates have only NULL $keyCol keys — nothing to match on")
-    // the same overlap test serves candidate pruning AND the optimistic
-    // rebase conflict check: a file outside the update key range can
-    // neither hold a matched row nor invalidate the merge
-    val inKeyRange: FileEntry => Boolean =
-      if (keyIsString) {
-        val (lo, hi) = (Some(range.getString(0)), Some(range.getString(1)))
-        f => f.strOverlaps(physKey, lo, hi)
-      } else {
-        val (lo, hi) = (range.getLong(0), range.getLong(1))
-        f => f.overlaps(physKey, lo, hi)
-      }
+    val inKeyRange = mergeKeyRange(updates, keyCol, base)
     val (candidates, untouched) = base.files.partition(inKeyRange)
     val cols = schema.fieldNames.map(col).toSeq
     val candData = readEntries(candidates, base)
@@ -616,8 +593,121 @@ class LakeTable private (spark: SparkSession, val path: String) {
     if (candidates.isEmpty) return v
     val hits = liveRows(candidates, base).filter(cond)
       .select(col("_gf_file"), col("_gf_pos"))
-    // one sidecar parquet per delete (positions are small next to data;
-    // a delete wide enough to make this big belongs in deleteWhere)
+    writeDvSidecar(hits) match {
+      case None => v
+      case Some((sidecar, perFile)) =>
+        val (touched, masked) = maskEntries(base.files, sidecar, perFile)
+        // rebase over concurrent writes whose files cannot match `cond`
+        commitMutation(v, base, "delete-mor", touched, masked,
+          f => bounds.forall { case (c, (lo, hi)) =>
+            f.overlaps(base.physOf(c), lo, hi) })
+    }
+  }
+
+  /** Merge-on-read UPDATE: the deletion-vector twin of [[updateWhere]].
+    * The matching rows are DV-masked IN PLACE and their rewritten
+    * versions appended as a delta file — one atomic commit, ZERO data
+    * files rewritten (the post-update manifest references every
+    * pre-update file, DV sidecars aside). At 100 TB a point UPDATE then
+    * costs one KB-scale sidecar plus a delta file the size of the
+    * touched rows, instead of rewriting each touched GB-scale file;
+    * reads pay the same broadcast anti-join the MoR delete already
+    * costs, repaid when [[purgeDeletes]] or compaction retires the
+    * sidecars. Candidate stats-probing, NULL-condition semantics (the
+    * row is untouched), CHECK gating of the rewritten output and the
+    * optimistic append rebase are identical to the copy-on-write
+    * [[updateWhere]].
+    */
+  def updateWhereMoR(cond: Column, set: Map[String, Column]): Int = {
+    require(set.nonEmpty, "updateWhereMoR needs at least one SET column")
+    val v = currentVersion
+    val base = manifest(v)
+    if (base.files.isEmpty) return v
+    val schema = base.schema
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"no such column: $c"))
+    val bounds = deleteBounds(base, cond, schema)
+    val candidates = statsCandidates(base, bounds)
+    if (candidates.isEmpty) return v
+    val hits = liveRows(candidates, base).filter(cond)
+      .select(col("_gf_file"), col("_gf_pos"))
+    writeDvSidecar(hits) match {
+      case None => v
+      case Some((sidecar, perFile)) =>
+        try {
+          val (touched, masked) = maskEntries(base.files, sidecar, perFile)
+          // the delta rewrites ONLY the matching rows — every selected
+          // row satisfies `cond` by construction, so SET applies
+          // unconditionally; only the touched files are re-scanned
+          val rewritten = liveRows(touched, base).filter(cond)
+            .select(schema.fields.map { f =>
+              set.get(f.name).map(e => e.cast(f.dataType).as(f.name))
+                .getOrElse(col(f.name))
+            }.toIndexedSeq: _*)
+          val staged = stageFiles(rewritten, base)
+          enforceChecks(staged, base)
+          commitMutation(v, base, "update-mor", touched, masked ++ staged,
+            f => bounds.forall { case (c, (lo, hi)) =>
+              f.overlaps(base.physOf(c), lo, hi) })
+        } catch { case NonFatal(e) =>
+          // a rejected update must not leave the sidecar orphaned until
+          // vacuum (enforceChecks already cleans the staged delta)
+          Files.deleteIfExists(Paths.get(path, sidecar))
+          throw e
+        }
+    }
+  }
+
+  /** Merge-on-read MERGE (upsert by `keyCol`): the deletion-vector twin
+    * of [[merge]]. Matched target rows are DV-masked; the ENTIRE source
+    * frame — updated and inserted rows alike — is appended as delta
+    * files, one atomic commit, zero files rewritten. The copy-on-write
+    * merge rewrites every file overlapping the source key range
+    * INCLUDING its unmatched rows; this variant writes O(|source|)
+    * bytes instead — the CDC-ingest shape a 100 TB table wants for
+    * frequent small upserts. Same stats-pruned candidate set, unique-key
+    * source contract, CHECK gating and append-rebase conflict rule as
+    * the CoW merge; the DV read tax is repaid by [[purgeDeletes]].
+    */
+  def mergeMoR(updates: DataFrame, keyCol: String): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    requireSameSchema(updates.schema, base)
+    val inKeyRange = mergeKeyRange(updates, keyCol, base)
+    val candidates = base.files.filter(inKeyRange)
+    val hits = liveRows(candidates, base)
+      .join(updates.select(col(keyCol).as("_upd_key")),
+        col(keyCol) === col("_upd_key"), "left_semi")
+      .select(col("_gf_file"), col("_gf_pos"))
+    val sidecarOpt = writeDvSidecar(hits)
+    try {
+      val staged = stageFiles(updates, base)
+      enforceChecks(staged, base)
+      sidecarOpt match {
+        case None => // pure insert: nothing matched, nothing masked
+          commitMutation(v, base, "merge-mor", Nil, staged, inKeyRange)
+        case Some((sidecar, perFile)) =>
+          val (touched, masked) = maskEntries(base.files, sidecar, perFile)
+          commitMutation(v, base, "merge-mor", touched, masked ++ staged,
+            inKeyRange)
+      }
+    } catch { case NonFatal(e) =>
+      sidecarOpt.foreach { case (sc, _) =>
+        Files.deleteIfExists(Paths.get(path, sc)) }
+      throw e
+    }
+  }
+
+  /** Write the (file, position) pairs of `hits` as ONE deletion-vector
+    * sidecar parquet in the table root (positions are small next to
+    * data; a mask wide enough to make this big belongs in the
+    * copy-on-write path). Returns the sidecar name and its per-file
+    * masked-row counts; None when nothing matched. The sidecar is dead
+    * data until a manifest references it — a crash here leaves an
+    * orphan for the next vacuum, never a corrupt snapshot.
+    */
+  private def writeDvSidecar(hits: DataFrame)
+      : Option[(String, Map[String, Long])] = {
     val job = UUID.randomUUID().toString.replace("-", "").take(12)
     val scratch = Paths.get(path, s"_staging_dv_$job")
     hits.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
@@ -631,24 +721,61 @@ class LakeTable private (spark: SparkSession, val path: String) {
       target
     }
     LakeTable.deleteRecursively(scratch)
-    if (sidecar.isEmpty) return v
-    val perFile = spark.read.parquet(s"$path/${sidecar.get}")
-      .groupBy(col("_gf_file")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (perFile.isEmpty) {
-      Files.deleteIfExists(Paths.get(path, sidecar.get))
-      return v
+    sidecar.flatMap { sc =>
+      val perFile = spark.read.parquet(s"$path/$sc")
+        .groupBy(col("_gf_file")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perFile.isEmpty) {
+        Files.deleteIfExists(Paths.get(path, sc))
+        None
+      } else Some((sc, perFile))
     }
-    val touched = base.files.filter(f => perFile.contains(f.name))
+  }
+
+  /** Split `files` into (touched, masked): entries the sidecar masks
+    * rows of, and their DV-extended replacements — a file whose every
+    * live row is now masked drops from the manifest outright.
+    */
+  private def maskEntries(files: Seq[FileEntry], sidecar: String,
+      perFile: Map[String, Long]): (Seq[FileEntry], Seq[FileEntry]) = {
+    val touched = files.filter(f => perFile.contains(f.name))
     val masked = touched.flatMap { f =>
       val n = perFile(f.name)
       if (f.dvRows + n >= f.rows) None // fully deleted
-      else Some(f.copy(dv = f.dv :+ sidecar.get, dvRows = f.dvRows + n))
+      else Some(f.copy(dv = f.dv :+ sidecar, dvRows = f.dvRows + n))
     }
-    // rebase over concurrent writes whose files cannot match `cond`
-    commitMutation(v, base, "delete-mor", touched, masked,
-      f => bounds.forall { case (c, (lo, hi)) =>
-        f.overlaps(base.physOf(c), lo, hi) })
+    (touched, masked)
+  }
+
+  /** The source key range as a manifest-stats overlap predicate, in the
+    * SAME encoding the stats use (micros for timestamp keys, days for
+    * dates, truncated UTF-8 for strings — a bare cast("long") would give
+    * seconds for timestamps and silently mis-prune; stats are keyed by
+    * PHYSICAL name). Shared by the CoW and MoR merges: the same test
+    * serves candidate pruning AND the optimistic rebase conflict check —
+    * a file outside the update key range can neither hold a matched row
+    * nor invalidate the merge. Validates a non-empty, not-all-NULL-key
+    * source up front.
+    */
+  private def mergeKeyRange(updates: DataFrame, keyCol: String,
+      base: Manifest): FileEntry => Boolean = {
+    val schema = base.schema
+    val physKey = base.physOf(keyCol)
+    val keyIsString = schema(keyCol).dataType == StringType
+    val keyEnc =
+      if (keyIsString) col(keyCol)
+      else LakeTable.statLong(keyCol, schema(keyCol).dataType)
+    val range = updates.agg(min(keyEnc), max(keyEnc), count(lit(1))).head()
+    require(range.getLong(2) > 0, "merge with an empty updates frame")
+    require(!range.isNullAt(0),
+      s"merge updates have only NULL $keyCol keys — nothing to match on")
+    if (keyIsString) {
+      val (lo, hi) = (Some(range.getString(0)), Some(range.getString(1)))
+      f => f.strOverlaps(physKey, lo, hi)
+    } else {
+      val (lo, hi) = (range.getLong(0), range.getLong(1))
+      f => f.overlaps(physKey, lo, hi)
+    }
   }
 
   /** Manifest entries whose stats could overlap `cond` (the shared

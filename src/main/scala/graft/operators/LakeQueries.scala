@@ -486,6 +486,71 @@ object LakeQueries {
           lit(sidecars == 1).as("one_dv_sidecar"))
     }),
 
+    // merge-on-read UPDATE via deletion vectors: the matching rows are
+    // DV-masked in place and their rewritten versions appended as a
+    // delta file — ONE atomic commit, ZERO data files rewritten
+    // (no_files_rewritten pins that every pre-update file is still
+    // referenced; delta_appended pins that the only new files are the
+    // update delta). At 100 TB a point UPDATE costs one KB-scale
+    // sidecar + a delta the size of the touched rows instead of
+    // rewriting each touched GB-scale file; purgeDeletes repays the
+    // read-side anti-join tax later.
+    "lake_update_dv" -> ((s, dir) => {
+      val (t, half) = twoFileTable(s, dir, "lake_update_dv")
+      val namesBefore = t.fileNames(2).toSet
+      t.updateWhereMoR(col("k") % 10 === 0 && col("k") <= half,
+        Map("status" -> lit("U"), "price" -> (col("price") + lit(100.0))))
+      val after = t.fileNames(3).toSet
+      val noRewrite = namesBefore.subsetOf(after)
+      val deltaAppended = (after -- namesBefore).nonEmpty
+      val sidecars = Option(new java.io.File(t.path)
+        .list((_, n) => n.startsWith("dv-"))).map(_.length).getOrElse(0)
+      t.scan().agg(
+          count(lit(1)).as("n_rows"),
+          count_if(col("status") === "U").as("n_updated"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("n_updated"), col("total_price"),
+          lit(noRewrite).as("no_files_rewritten"),
+          lit(deltaAppended).as("delta_appended"),
+          lit(sidecars == 1).as("one_dv_sidecar"))
+    }),
+
+    // merge-on-read MERGE (upsert): matched target rows are DV-masked,
+    // and the WHOLE source — updated rows ('U') and genuinely new keys
+    // ('N') alike — lands as delta files in one atomic commit with zero
+    // rewrites. Where the CoW merge rewrites every file overlapping the
+    // source key range (unmatched rows included), this writes
+    // O(|source|) bytes — the frequent-small-upsert CDC shape at
+    // 100 TB. The oracle replays upsert-with-inserts in plain SQL.
+    "lake_merge_dv" -> ((s, dir) => {
+      val (t, half) = twoFileTable(s, dir, "lake_merge_dv")
+      val namesBefore = t.fileNames(2).toSet
+      val b = base(s, dir)
+      val maxK = b.agg(max(col("k"))).head().getLong(0)
+      val upd = b.filter(col("k") % 10 === 0 && col("k") <= half)
+        .select(col("k"), lit("U").as("status"),
+          (col("price") + lit(100.0)).as("price"))
+      // insert keys shifted ABOVE the base key domain (keys are 0-based,
+      // so +maxK alone would collide key 0's insert with base key maxK)
+      val ins = b.filter(col("k") % 10 === 0 && col("k") <= half)
+        .select((col("k") + lit(maxK + 1L)).as("k"), lit("N").as("status"),
+          col("price"))
+      t.mergeMoR(upd.unionByName(ins), "k")
+      val after = t.fileNames(3).toSet
+      val noRewrite = namesBefore.subsetOf(after)
+      val sidecars = Option(new java.io.File(t.path)
+        .list((_, n) => n.startsWith("dv-"))).map(_.length).getOrElse(0)
+      t.scan().agg(
+          count(lit(1)).as("n_rows"),
+          count_if(col("status") === "U").as("n_updated"),
+          count_if(col("status") === "N").as("n_inserted"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("n_updated"), col("n_inserted"),
+          col("total_price"),
+          lit(noRewrite).as("no_files_rewritten"),
+          lit(sidecars == 1).as("one_dv_sidecar"))
+    }),
+
     // RESTORE TABLE ... TO VERSION: after a DELETE and a MERGE mutate
     // the table, restore(1) makes the original snapshot current again
     // as a NEW commit — no data moves (the restored manifest references
@@ -1048,6 +1113,51 @@ object LakeQueries {
         |  true AS one_dv_sidecar
         |FROM base
         |WHERE NOT (k % 10 = 0 AND k <= (SELECT max(k) // 2 FROM base))""".stripMargin,
+
+    "lake_update_dv" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |h AS (SELECT max(k) // 2 AS half FROM base),
+        |upd AS (
+        |  SELECT k,
+        |    CASE WHEN k % 10 = 0 AND k <= (SELECT half FROM h)
+        |      THEN 'U' ELSE status END AS status,
+        |    CASE WHEN k % 10 = 0 AND k <= (SELECT half FROM h)
+        |      THEN price + 100.0 ELSE price END AS price
+        |  FROM base)
+        |SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE status = 'U') AS n_updated,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS no_files_rewritten,
+        |  true AS delta_appended,
+        |  true AS one_dv_sidecar
+        |FROM upd""".stripMargin,
+
+    "lake_merge_dv" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |h AS (SELECT max(k) // 2 AS half, max(k) AS mx FROM base),
+        |upd AS (
+        |  SELECT k, 'U' AS status, price + 100.0 AS price FROM base
+        |  WHERE k % 10 = 0 AND k <= (SELECT half FROM h)),
+        |ins AS (
+        |  SELECT k + (SELECT mx + 1 FROM h) AS k, 'N' AS status, price FROM base
+        |  WHERE k % 10 = 0 AND k <= (SELECT half FROM h)),
+        |merged AS (
+        |  SELECT * FROM upd UNION ALL SELECT * FROM ins
+        |  UNION ALL
+        |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd))
+        |SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE status = 'U') AS n_updated,
+        |  count(*) FILTER (WHERE status = 'N') AS n_inserted,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS no_files_rewritten,
+        |  true AS one_dv_sidecar
+        |FROM merged""".stripMargin,
 
     "lake_restore" ->
       """WITH base AS (

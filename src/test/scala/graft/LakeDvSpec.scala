@@ -126,6 +126,84 @@ class LakeDvSpec extends AnyFunSuite {
     assert(new File(t.path).list((_, n) => n.startsWith("dv-")).isEmpty)
   }
 
+  test("MoR update rewrites NO file; delta appended; purge repays the debt") {
+    val t = table("moru")
+    val physBefore = dataFiles(t)
+    t.updateWhereMoR(col("k") % 10 === 0, Map("v" -> lit(-1L)))
+    // zero rewrites: every pre-update file still on disk AND still
+    // referenced by the new manifest; only a sidecar + delta are new
+    assert(physBefore.subsetOf(dataFiles(t)))
+    assert(physBefore.subsetOf(t.fileNames(t.currentVersion).toSet))
+    assert(new File(t.path).list((_, n) => n.startsWith("dv-")).length == 1)
+    // content agrees on both read paths; row count preserved
+    assert(t.read().count() == 400)
+    assert(t.read().filter(col("v") === -1L).count() == 40)
+    assert(t.scan().filter(col("k") % 10 === 0 && col("v") =!= -1L).count() == 0)
+    // time travel still sees the pre-update values
+    assert(t.readVersion(t.currentVersion - 1)
+      .filter(col("v") === -1L).count() == 0)
+    // a NULL/never-true condition commits nothing (SQL UPDATE keeps rows)
+    val v0 = t.currentVersion
+    t.updateWhereMoR(lit(null).cast("boolean"), Map("v" -> lit(0L)))
+    assert(t.currentVersion == v0)
+    // CHECK constraints gate the rewritten delta; a rejected update
+    // leaves no commit, no staged delta, and no orphan sidecar
+    t.addCheck("v_floor", "v >= -1")
+    val vChecked = t.currentVersion
+    val filesBefore = dataFiles(t)
+    val dvBefore = new File(t.path).list((_, n) => n.startsWith("dv-")).toSet
+    intercept[CheckViolationException] {
+      t.updateWhereMoR(col("k") === 7L, Map("v" -> lit(-5L)))
+    }
+    assert(t.currentVersion == vChecked)
+    assert(dataFiles(t) == filesBefore)
+    assert(new File(t.path).list((_, n) => n.startsWith("dv-")).toSet == dvBefore)
+    t.dropCheck("v_floor")
+    // MoR update and MoR delete stack; purgeDeletes then retires every
+    // sidecar with content identical
+    t.deleteWhereMoR(col("v") === -1L)
+    assert(t.read().count() == 360)
+    t.purgeDeletes()
+    assert(t.dvDebt == 0.0)
+    assert(t.read().count() == 360)
+    assert(t.read().filter(col("v") === -1L).count() == 0)
+  }
+
+  test("MoR merge masks matched rows only; source lands as delta files") {
+    val t = table("morm")
+    val physBefore = dataFiles(t)
+    // matched keys confined to the first range file → candidate probing
+    // touches one file; DVs land only there
+    t.mergeMoR(Seq((5L, 500L), (10L, 1000L), (50L, 5000L)).toDF("k", "v")
+      .coalesce(1), "k")
+    assert(physBefore.subsetOf(t.fileNames(t.currentVersion).toSet))
+    assert(t.read().count() == 400)
+    assert(t.read().filter(col("k") === 5L).select("v").as[Long].head() == 500L)
+    assert(t.read().filter(col("k") === 50L).select("v").as[Long].head() == 5000L)
+    assert(graft.lake.LakeTestAccess.dvEntries(t, t.currentVersion)
+      .count(_._2.nonEmpty) == 1,
+      "DVs must land only in the single candidate file")
+    // upsert with inserts: new keys append, nothing new is masked
+    t.mergeMoR(Seq((5L, 501L), (900L, 9000L)).toDF("k", "v").coalesce(1), "k")
+    assert(t.read().count() == 401)
+    assert(t.read().filter(col("k") === 5L).select("v").as[Long].head() == 501L)
+    assert(t.read().filter(col("k") === 900L).select("v").as[Long].head() == 9000L)
+    // pure insert (no key matches): no sidecar written at all
+    val dvCount = new File(t.path).list((_, n) => n.startsWith("dv-")).length
+    t.mergeMoR(Seq((901L, 1L)).toDF("k", "v").coalesce(1), "k")
+    assert(new File(t.path).list((_, n) => n.startsWith("dv-")).length == dvCount)
+    assert(t.read().count() == 402)
+    // changesBetween across a MoR merge: update = delete + insert
+    val ch = t.changesBetween(t.currentVersion - 2, t.currentVersion - 1)
+    assert(ch.filter(col("_change_type") === "delete" && col("k") === 5L)
+      .select("v").as[Long].head() == 500L)
+    assert(ch.filter(col("_change_type") === "insert" && col("k") === 5L)
+      .select("v").as[Long].head() == 501L)
+    // purge retires the merge sidecars too
+    t.purgeDeletes()
+    assert(t.dvDebt == 0.0 && t.read().count() == 402)
+  }
+
   test("vacuum retains sidecars referenced by retained versions") {
     val t = table("morv")
     t.deleteWhereMoR(col("k") % 10 === 0)
