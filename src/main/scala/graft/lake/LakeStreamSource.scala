@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   spark.readStream.format("graft.lake.LakeStreamSource")
   *     .option("startingVersion", "0")      // 0 = initial snapshot + tail (default)
   *     .option("maxVersionsPerTrigger", "1") // admission control per microbatch
+  *     .option("maxBytesPerTrigger", "134217728") // byte-based admission
   *     .option("ignoreChanges", "false")    // fail on rewrites (default)
   *     .load(tablePath)
   * }}}
@@ -34,6 +35,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *  - `maxVersionsPerTrigger` bounds how many commits one microbatch
   *    absorbs — on a table receiving thousands of small commits this is
   *    what keeps batch size O(commit), not O(backlog).
+  *  - `maxBytesPerTrigger` bounds admission by the manifest-recorded
+  *    byte size of the files each commit ADDED: versions are admitted
+  *    until the next one would blow the budget (always at least one —
+  *    progress beats caps, the Delta/FileStreamSource convention).
+  *    Commits vary wildly in size — a 100 TB backfill interleaves
+  *    GB-scale appends with KB-scale upserts, so a version cap alone
+  *    makes batch size unpredictable; the byte cap is what keeps each
+  *    microbatch sized to the cluster. Pure control plane: the sizes
+  *    come from the manifests, no file stats. Composes with
+  *    `maxVersionsPerTrigger` (whichever cap hits first).
   *  - Copy-on-write rewrites (merge/delete/compact) re-list surviving
   *    rows under new file names; tailing across one would re-emit them.
   *    By default that raises an error naming the rewriting commit;
@@ -77,6 +88,8 @@ class LakeStreamSource extends StreamSourceProvider {
       startingVersion = parameters.getOrElse("startingVersion", "0").toInt,
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt)
         .getOrElse(Int.MaxValue),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong)
+        .getOrElse(Long.MaxValue),
       ignoreChanges = parameters.getOrElse("ignoreChanges", "false").toBoolean)
   }
 }
@@ -87,9 +100,11 @@ private[lake] class LakeStreamingSource(
     override val schema: StructType,
     startingVersion: Int,
     maxVersionsPerTrigger: Int,
+    maxBytesPerTrigger: Long,
     ignoreChanges: Boolean) extends Source {
 
   require(maxVersionsPerTrigger >= 1, "maxVersionsPerTrigger must be >= 1")
+  require(maxBytesPerTrigger >= 1L, "maxBytesPerTrigger must be >= 1")
   private val table = LakeTable.forPath(spark, path)
   // logical→physical mapping captured with the stream schema: physical
   // names are stable forever, so this resolves files written after any
@@ -111,8 +126,36 @@ private[lake] class LakeStreamingSource(
     val cur = table.currentVersion
     // Long arithmetic: offered + maxVersionsPerTrigger overflows Int
     // when the trigger cap is unset (Int.MaxValue) and offered > 0.
-    if (offered < cur)
-      offered = math.min(cur.toLong, offered.toLong + maxVersionsPerTrigger).toInt
+    val cap =
+      if (offered >= cur) offered
+      else math.min(cur.toLong, offered.toLong + maxVersionsPerTrigger).toInt
+    if (offered < cap && maxBytesPerTrigger == Long.MaxValue)
+      offered = cap // no byte cap: skip the per-version manifest diffing
+    else if (offered < cap) {
+      // byte-based admission: absorb commits until the NEXT one would
+      // blow the budget, always taking at least one (progress beats
+      // caps — a single oversized commit must still flow through).
+      // Control plane only: added-file byte sizes come straight from
+      // the manifests; a pre-upgrade entry with bytes=0 counts 0,
+      // which errs toward bigger batches, never a stall.
+      var admitted = offered
+      var remaining = maxBytesPerTrigger
+      var prevNames = entriesOf(math.max(admitted, 0)).map(_.name).toSet
+      var full = false
+      while (!full && admitted < cap) {
+        val nextFiles = entriesOf(admitted + 1)
+        val addedBytes = nextFiles.iterator
+          .filterNot(f => prevNames(f.name))
+          .map(f => math.max(f.bytes, 0L)).sum
+        if (addedBytes > remaining && admitted > offered) full = true
+        else {
+          remaining -= math.min(addedBytes, remaining)
+          prevNames = nextFiles.map(_.name).toSet
+          admitted += 1
+        }
+      }
+      offered = admitted
+    }
     if (offered <= 0) None else Some(LongOffset(offered.toLong))
   }
 
@@ -157,5 +200,6 @@ private[lake] class LakeStreamingSource(
   override def stop(): Unit = ()
 
   override def toString: String =
-    s"LakeStreamSource[$path, starting=$startingVersion, maxVersions=$maxVersionsPerTrigger]"
+    s"LakeStreamSource[$path, starting=$startingVersion, " +
+      s"maxVersions=$maxVersionsPerTrigger, maxBytes=$maxBytesPerTrigger]"
 }

@@ -109,6 +109,62 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       (111 to 115).map(k => s"c:$k") ++ (116 to 118).map(k => s"d:$k")).toSet)
   }
 
+  test("maxBytesPerTrigger paces admission by manifest byte sizes") {
+    val path = freshDir("bytes")
+    val t = LakeTable.create(spark, path, df(1 to 10, "a").coalesce(1), Seq("k"))
+    t.append(df(11 to 20, "b").coalesce(1))
+    t.append(df(21 to 5000, "big").coalesce(1)) // one skewed-large commit
+    t.append(df(5001 to 5010, "d").coalesce(1))
+    // added bytes per version, from disk (== the manifest-recorded sizes)
+    def bytesOf(v: Int): Long = {
+      val prev = if (v <= 1) Set.empty[String] else t.fileNames(v - 1).toSet
+      t.fileNames(v).filterNot(prev).map(n => new File(path, n).length).sum
+    }
+    // budget admits v1+v2 together, not the big v3 on top
+    val budget = bytesOf(1) + bytesOf(2) + bytesOf(3) / 2
+    val batches = mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = stream(path, "maxBytesPerTrigger" -> budget.toString)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val n = b.count()
+        batches.synchronized { batches += ((id, n)) }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // batch 0 = v1+v2 (fits the budget), batch 1 = v3 ALONE (oversized
+    // commits still flow — at least one version per trigger), batch 2 = v4
+    assert(batches.synchronized(batches.toSeq) ==
+      Seq((0L, 20L), (1L, 4980L), (2L, 10L)),
+      s"unexpected pacing: ${batches.synchronized(batches.toSeq)}")
+  }
+
+  test("byte pacing keeps a checkpointed restart exactly-once") {
+    val path = freshDir("bytes_ckpt")
+    val out = freshDir("bytes_out")
+    val ckpt = freshDir("bytes_log")
+    val t = LakeTable.create(spark, path, df(1 to 30, "a").coalesce(1), Seq("k"))
+    t.append(df(31 to 60, "b").coalesce(1))
+    t.append(df(61 to 90, "c").coalesce(1))
+    // tiny budget → one version per microbatch (every commit oversized)
+    def run(): Unit = {
+      val q = stream(path, "maxBytesPerTrigger" -> "1")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 90)
+    // commits while down; restart resumes from the checkpointed version
+    t.append(df(91 to 95, "d").coalesce(1))
+    t.append(df(96 to 99, "e").coalesce(1))
+    run()
+    val all = spark.read.parquet(out).select("v").as[String].collect()
+    assert(all.length == all.toSet.size, "restart must not re-emit rows")
+    assert(all.length == 99)
+  }
+
   test("a copy-on-write rewrite mid-stream fails fast; ignoreChanges opts into re-emit") {
     val path = freshDir("rewrite")
     val t = LakeTable.create(spark, path, df(1 to 20, "a").coalesce(1), Seq("k"))
