@@ -37,6 +37,7 @@ object SparkEntry {
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
     (Ext6Queries.queries, Ext6Queries.oracle),
     (Ext7Queries.queries, Ext7Queries.oracle),
+    (Ext8Queries.queries, Ext8Queries.oracle),
     (LakeQueries.queries, LakeQueries.oracle)
   )
 

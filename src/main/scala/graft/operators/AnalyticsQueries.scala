@@ -63,7 +63,7 @@ object AnalyticsQueries {
   }
 
   /** Undirected 1996 co-purchase edges (u < v), staged. */
-  private def edges1996(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[operators] def edges1996(s: org.apache.spark.sql.SparkSession, dir: String) =
     stagedEdges(s, dir, "y1996") {
       val le = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&

@@ -1,0 +1,591 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 operator pack: ML feature-engineering transforms (binning,
+  * scaling, encodings), robust/decomposed time-series estimators
+  * (Theil-Sen, trend/seasonal/residual split), information-theoretic and
+  * two-sample statistics (mutual information, Welch's t), per-node graph
+  * metrics (local clustering coefficient, min-label propagation),
+  * embedding-corpus QC (norm audit, pairwise-similarity histogram),
+  * readability scoring, and systematic sampling.
+  *
+  * Scale notes:
+  * - feat_bucketize / feat_target_encode: two-pass shape — a tiny global
+  *   aggregate broadcast back over the fact scan. The broadcast side is
+  *   O(1) (one row / one row per category), so the fact table never
+  *   shuffles; this is the 100 TB-safe formulation of "normalize by a
+  *   global statistic".
+  * - feat_zscore: per-group moments via hash aggregate (3 groups), then
+  *   a broadcast join back — NOT a window over 3 giant partitions. A
+  *   window PARTITION BY l_returnflag would sort 1/3 of the table per
+  *   partition; the groupBy+broadcast plan is one map-side-combined agg
+  *   plus a codegen projection.
+  * - feat_quantile_bin / sample_systematic: declared semantics need a
+  *   global total order (ntile / row_number). At 100 TB the same result
+  *   comes from range-partitioned rank (Spark's global sort) — here the
+  *   single-window form documents the semantics; the input is one
+  *   global sort either way.
+  * - ts_theil_sen: the pairwise-slope self-join is O(m²) in the number
+  *   of AGGREGATED buckets (months), never in raw rows — the fact scan
+  *   reduces to ~80 rows before the quadratic step. Same discipline as
+  *   ts_acf (aggregate first, then the small dense computation).
+  * - graph_clustering_coef: per-node triangle attribution over the
+  *   degree-oriented edge list — each triangle is generated exactly once
+  *   (at its lowest-(degree,id) corner) and exploded to its 3 member
+  *   nodes, so the shuffle volume is O(#triangles), not O(#wedges).
+  * - graph_label_prop: 3 synchronous min-label rounds; each round is one
+  *   shuffle-join of the label frame with the symmetric edge list — the
+  *   Pregel step expressed as groupBy(min). Label frames stay (node,
+  *   long) pairs, so the per-round shuffle is minimal-width.
+  * - sim_pair_hist: all-pairs cosine via the codegen DotProduct
+  *   expression under a BNLJ self-join — exact-tier diagnostic (the
+  *   distribution audit every embedding corpus needs); at 100 TB the
+  *   same histogram is estimated on a uniform pair sample.
+  * - events_mutual_info: contingency-table MI — one groupBy(x,y) over
+  *   the fact stream, then all probability work happens on the ≤35-cell
+  *   table with broadcast marginals.
+  */
+object Ext8Queries {
+
+  private def dow(c: org.apache.spark.sql.Column) =
+    datediff(c, lit("1970-01-01").cast("date")) % 7
+
+  private def embDouble(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  val queries: Map[String, Q] = Map(
+
+    // equal-width binning of order totals into 10 buckets from the
+    // global [min, max]: the one-row extrema frame broadcasts back over
+    // the scan (no second shuffle), bucket 9 absorbs the right edge
+    "feat_bucketize" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_totalprice").as("x"))
+      val mm = o.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      o.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10)), lit(9L))
+            .cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("lo_p"), max(col("x")).as("hi_p"))
+        .orderBy(col("bucket"))
+    }),
+
+    // equal-frequency quartile binning: ntile(4) over a deterministic
+    // total order (price, then key to break ties identically on every
+    // engine); per-bin counts differ by at most 1 by construction
+    "feat_quantile_bin" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), ntile(4).over(w).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          round(sum(Tables.dec2(col("o_totalprice"))).cast("double") / count(lit(1)), 6)
+            .as("mean_p"))
+        .orderBy(col("bin"))
+    }),
+
+    // per-nation min-max scaling of account balances — a keyed window
+    // (25 nation partitions), constant-range guard keeps 0/0 out
+    "feat_minmax_scale" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          round(when(max(col("c_acctbal")).over(w) > min(col("c_acctbal")).over(w),
+            (col("c_acctbal") - min(col("c_acctbal")).over(w)) /
+              (max(col("c_acctbal")).over(w) - min(col("c_acctbal")).over(w)))
+            .otherwise(0.5), 6).as("scaled"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // per-returnflag standardization: single-pass grouped moments (3
+    // groups) broadcast-joined back over the scan — the scale-safe
+    // z-score shape (see pack Scaladoc)
+    "feat_zscore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val stats = li.groupBy(col("l_returnflag"))
+        .agg(avg(col("l_extendedprice")).as("mu"),
+          stddev_samp(col("l_extendedprice")).as("sd"))
+      li.join(broadcast(stats), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round((col("l_extendedprice") - col("mu")) / col("sd"), 6).as("z"))
+    }),
+
+    // one-hot encoding of the pinned 5-value priority domain — pure
+    // codegen projection, no shuffle
+    "feat_onehot" -> ((s, dir) => {
+      val p = col("o_orderpriority")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), p.as("o_orderpriority"),
+          (p === "1-URGENT").cast("int").as("pri_urgent"),
+          (p === "2-HIGH").cast("int").as("pri_high"),
+          (p === "3-MEDIUM").cast("int").as("pri_medium"),
+          (p === "4-NOT SPECIFIED").cast("int").as("pri_notspec"),
+          (p === "5-LOW").cast("int").as("pri_low"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // smoothed target (mean) encoding of market segment against order
+    // totals: (n·mean_seg + m·mean_global)/(n + m), m = 10 — exact
+    // DECIMAL sums so both engines divide identical numerators
+    "feat_target_encode" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), Tables.dec2(col("o_totalprice")).as("p"))
+      val g = o.agg(sum(col("p")).as("ts"), count(lit(1)).as("tn"))
+      o.groupBy(col("c_mktsegment"))
+        .agg(sum(col("p")).as("ss"), count(lit(1)).as("sn"))
+        .crossJoin(broadcast(g))
+        .select(col("c_mktsegment"), col("sn").as("n"),
+          round(col("ss").cast("double") / col("sn"), 6).as("seg_mean"),
+          round((col("ss").cast("double") +
+            lit(10.0) * (col("ts").cast("double") / col("tn"))) / (col("sn") + 10), 6)
+            .as("encoded"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Welch's unequal-variance t-test of click vs view event values:
+    // conditional single-pass moments, then the closed-form statistic
+    // and Welch–Satterthwaite df
+    "stat_ttest_welch" -> ((s, dir) => {
+      val v = col("value"); val t = col("event_type")
+      val r = Tables.events(s, dir)
+        .filter(t.isin("click", "view"))
+        .agg(
+          count(when(t === "click", 1)).as("n1"),
+          avg(when(t === "click", v)).as("m1"),
+          var_samp(when(t === "click", v)).as("v1"),
+          count(when(t === "view", 1)).as("n2"),
+          avg(when(t === "view", v)).as("m2"),
+          var_samp(when(t === "view", v)).as("v2"))
+      val se2 = col("v1") / col("n1") + col("v2") / col("n2")
+      r.select(col("n1"), col("n2"),
+        round(col("m1"), 6).as("mean_click"),
+        round(col("m2"), 6).as("mean_view"),
+        round((col("m1") - col("m2")) / sqrt(se2), 6).as("t_welch"),
+        round(pow(se2, 2) / (pow(col("v1") / col("n1"), 2) / (col("n1") - 1)
+          + pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 4).as("df"))
+    }),
+
+    // Theil-Sen robust trend of monthly revenue: median of all pairwise
+    // slopes (breakdown point 29%, immune to the outlier months OLS
+    // chases), intercept = median residual at the fitted slope. The
+    // quadratic pair step runs on ~80 monthly aggregates, never raw rows
+    "ts_theil_sen" -> ((s, dir) => {
+      val m = Tables.orders(s, dir)
+        .groupBy(((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .as("mth"))
+        .agg(sum(Tables.dec2(col("o_totalprice"))).cast("double").as("r"))
+      val p = m.as("a").join(m.as("b"), col("a.mth") < col("b.mth"))
+        .select(round((col("b.r") - col("a.r")) / (col("b.mth") - col("a.mth")), 9)
+          .as("slope"))
+      val sl = p.agg(round(expr("percentile(slope, 0.5)"), 9).as("m9"))
+      val np = p.agg(count(lit(1)).as("n_pairs"))
+      m.crossJoin(broadcast(sl))
+        .agg(count(lit(1)).as("n_months"),
+          round(max(col("m9")), 6).as("slope"),
+          round(expr("percentile(r - m9 * mth, 0.5)"), 6).as("intercept"))
+        .crossJoin(broadcast(np))
+        .select(col("n_months"), col("n_pairs"), col("slope"), col("intercept"))
+    }),
+
+    // classical decomposition of the daily event-value series: centered
+    // 7-tap moving-average trend, day-of-week seasonal means of the
+    // detrended series, residual = detrended − seasonal. The window runs
+    // over the ~30-row DAILY aggregate, not the fact stream
+    "ts_decompose" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 9).as("v"))
+      val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("trend", round(avg(col("v")).over(w), 6))
+        .withColumn("dw", dow(col("day")))
+        .withColumn("det", col("v") - col("trend"))
+      val seas = t.groupBy(col("dw")).agg(round(avg(col("det")), 6).as("seasonal"))
+      t.join(broadcast(seas), "dw")
+        .select(col("day"), col("v"), col("trend"), col("seasonal"),
+          round(col("det") - col("seasonal"), 6).as("resid"))
+        .orderBy(col("day"))
+    }),
+
+    // mutual information between event type and day-of-week from the
+    // exact contingency table, with both marginal entropies and the
+    // normalized coefficient — one fact-stream groupBy, then broadcast
+    // marginals over ≤35 cells
+    "events_mutual_info" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type").as("x"), dow(to_date(col("ts"))).as("y"))
+      val xy = e.groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      val xs = xy.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+      val ys = xy.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+      val tot = xy.agg(sum(col("nxy")).as("n"))
+      val cells = xy.join(broadcast(xs), "x").join(broadcast(ys), "y")
+        .crossJoin(broadcast(tot))
+      val mi = cells.agg(
+        max(col("n")).as("n"),
+        round(sum((col("nxy") / col("n")) *
+          log(col("nxy") * col("n") / (col("nx") * col("ny")))), 6).as("mi"))
+      val hx = xs.crossJoin(broadcast(tot))
+        .agg(round(-sum((col("nx") / col("n")) * log(col("nx") / col("n"))), 6).as("h_x"))
+      val hy = ys.crossJoin(broadcast(tot))
+        .agg(round(-sum((col("ny") / col("n")) * log(col("ny") / col("n"))), 6).as("h_y"))
+      mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select(col("n"), col("mi"), col("h_x"), col("h_y"),
+          round(col("mi") / least(col("h_x"), col("h_y")), 6).as("mi_norm"))
+    }),
+
+    // per-node local clustering coefficient on the 1996 co-purchase
+    // graph: degree-oriented triangle enumeration (each triangle once,
+    // at its lowest-(degree,id) corner) exploded to its 3 member nodes;
+    // coef = 2T / d(d−1)
+    "graph_clustering_coef" -> ((s, dir) => {
+      val e = AnalyticsQueries.edges1996(s, dir).cache()
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .cache()
+      val ordU = struct(col("du").as("d"), col("u").as("id"))
+      val ordV = struct(col("dv").as("d"), col("v").as("id"))
+      val oriented = e
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .select(
+          when(ordU < ordV, col("u")).otherwise(col("v")).as("src"),
+          when(ordU < ordV, col("v")).otherwise(col("u")).as("dst"))
+      val adj = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+        .cache()
+      val triNodes = oriented
+        .join(adj.select(col("src").as("u2"), col("nbrs").as("nu")), col("src") === col("u2"))
+        .join(adj.select(col("src").as("v2"), col("nbrs").as("nv")), col("dst") === col("v2"))
+        .select(col("src"), col("dst"),
+          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+        .select(explode(array(col("src"), col("dst"), col("w"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("t"))
+      deg.join(triNodes, Seq("n"), "left")
+        .select(col("n").as("node"), col("d"),
+          coalesce(col("t"), lit(0L)).as("n_triangles"),
+          round(when(col("d") >= 2,
+            lit(2.0) * coalesce(col("t"), lit(0L)) / (col("d") * (col("d") - 1)))
+            .otherwise(lit(0.0)), 6).as("coef"))
+        .orderBy(col("node"))
+    }),
+
+    // 3 synchronous rounds of min-label propagation on the 1996 graph —
+    // the Pregel superstep as join+groupBy(min); after k rounds every
+    // node holds the minimum id within distance k (the first k steps of
+    // connected components)
+    "graph_label_prop" -> ((s, dir) => {
+      val e = AnalyticsQueries.edges1996(s, dir)
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+        .cache()
+      val l0 = sym.select(col("a").as("node")).distinct()
+        .withColumn("lab", col("node"))
+      def step(l: org.apache.spark.sql.DataFrame) = {
+        val nb = sym.join(l.select(col("node").as("b"), col("lab").as("nlab")), "b")
+          .groupBy(col("a")).agg(min(col("nlab")).as("nb"))
+        l.join(nb.select(col("a").as("node"), col("nb")), Seq("node"), "left")
+          .select(col("node"), least(col("lab"), coalesce(col("nb"), col("lab"))).as("lab"))
+      }
+      step(step(step(l0))).orderBy(col("node"))
+    }),
+
+    // embedding-corpus norm audit per label: mean/min/max L2 norm and
+    // the worst deviation from unit length — the QC gate before any
+    // cosine-based pipeline stage (unnormalized vectors silently break
+    // dot-as-cosine)
+    "emb_norm_qc" -> ((s, dir) => {
+      val norm = sqrt(graft.functions.DotProduct.dot(col("e"), col("e")))
+      embDouble(s, dir)
+        .select(col("label"), norm.as("nm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("nm")), 6).as("avg_norm"),
+          round(min(col("nm")), 6).as("min_norm"),
+          round(max(col("nm")), 6).as("max_norm"),
+          round(max(abs(col("nm") - 1)), 6).as("max_unit_dev"))
+        .orderBy(col("label"))
+    }),
+
+    // pairwise-cosine histogram over all vector pairs (0.1-wide bins):
+    // the embedding-space collapse diagnostic — exact codegen dot under
+    // a BNLJ self-join, O(n²) by declared semantics (sampled at scale)
+    "sim_pair_hist" -> ((s, dir) => {
+      val a = embDouble(s, dir).select(col("vec_id").as("ia"), col("e").as("ea"))
+      val b = embDouble(s, dir).select(col("vec_id").as("ib"), col("e").as("eb"))
+      a.join(b, col("ia") < col("ib"))
+        .select(round(graft.functions.DotProduct.dot(col("ea"), col("eb")), 6).as("cos"))
+        .withColumn("bucket",
+          least(greatest(floor(col("cos") * 10), lit(-10L)), lit(9L)).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), round(avg(col("cos")), 6).as("avg_cos"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Flesch reading-ease / FK grade per language from exact token and
+    // vowel-group-syllable counts (each doc = one sentence in this
+    // corpus); all inputs are exact integers so the score is one
+    // deterministic double expression
+    "text_readability" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = d.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("lang"),
+          size(regexp_extract_all(col("w"), lit("[aeiouy]+"), lit(0))).as("syl"))
+      val byLang = toks.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("syl")).as("n_syll"))
+      val docs = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      byLang.join(docs, "lang")
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          round(col("n_words") / col("n_docs"), 6).as("words_per_doc"),
+          round(col("n_syll") / col("n_words"), 6).as("syll_per_word"),
+          round(lit(206.835) - lit(1.015) * (col("n_words") / col("n_docs"))
+            - lit(84.6) * (col("n_syll") / col("n_words")), 6).as("flesch"),
+          round(lit(0.39) * (col("n_words") / col("n_docs"))
+            + lit(11.8) * (col("n_syll") / col("n_words")) - lit(15.59), 6).as("fk_grade"))
+        .orderBy(col("lang"))
+    }),
+
+    // systematic 1-in-97 sample along the key order: rank once, keep
+    // every 97th — the deterministic "every k-th record" audit sample
+    // (range-partitioned rank at scale; dense-key modulo when keys are
+    // dense)
+    "sample_systematic" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter((col("rn") - 1) % 97 === 0)
+        .select(col("o_orderkey"), col("rn"), col("o_totalprice"))
+        .orderBy(col("rn"))
+    })
+  )
+
+  private val edges1996Sql =
+    """le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |         AND l_shipdate < TIMESTAMP '1997-01-01'),
+      |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |      FROM le a JOIN le b ON a.ok = b.ok AND a.pk < b.pk)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "feat_bucketize" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        |SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS lo_p, max(o_totalprice) AS hi_p
+        |FROM orders, mm
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "feat_quantile_bin" ->
+      """WITH t AS (
+        |  SELECT o_totalprice,
+        |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        |  FROM orders)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+        |    AS mean_p
+        |FROM t GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "feat_minmax_scale" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  round(CASE WHEN max(c_acctbal) OVER w > min(c_acctbal) OVER w
+        |    THEN (c_acctbal - min(c_acctbal) OVER w)
+        |         / (max(c_acctbal) OVER w - min(c_acctbal) OVER w)
+        |    ELSE 0.5 END, 6) AS scaled
+        |FROM customer WINDOW w AS (PARTITION BY c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "feat_zscore" ->
+      """WITH st AS (
+        |  SELECT l_returnflag, avg(l_extendedprice) AS mu,
+        |    stddev_samp(l_extendedprice) AS sd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        |  round((l_extendedprice - mu) / sd, 6) AS z
+        |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag""".stripMargin,
+
+    "feat_onehot" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(o_orderpriority = '1-URGENT' AS INT) AS pri_urgent,
+        |  CAST(o_orderpriority = '2-HIGH' AS INT) AS pri_high,
+        |  CAST(o_orderpriority = '3-MEDIUM' AS INT) AS pri_medium,
+        |  CAST(o_orderpriority = '4-NOT SPECIFIED' AS INT) AS pri_notspec,
+        |  CAST(o_orderpriority = '5-LOW' AS INT) AS pri_low
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "feat_target_encode" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT sum(p) AS ts, CAST(count(*) AS BIGINT) AS tn FROM o)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS seg_mean,
+        |  round((CAST(sum(p) AS DOUBLE) + 10.0 * (CAST(ts AS DOUBLE) / tn))
+        |        / (count(*) + 10), 6) AS encoded
+        |FROM o, g GROUP BY c_mktsegment, ts, tn
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "stat_ttest_welch" ->
+      """WITH r AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n1,
+        |    avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
+        |    var_samp(CASE WHEN event_type = 'click' THEN value END) AS v1,
+        |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n2,
+        |    avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+        |    var_samp(CASE WHEN event_type = 'view' THEN value END) AS v2
+        |  FROM events WHERE event_type IN ('click', 'view'))
+        |SELECT n1, n2, round(m1, 6) AS mean_click, round(m2, 6) AS mean_view,
+        |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_welch,
+        |  round(pow(v1 / n1 + v2 / n2, 2)
+        |        / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 4) AS df
+        |FROM r""".stripMargin,
+
+    "ts_theil_sen" ->
+      """WITH m AS (
+        |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mth,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT round((b.r - a.r) / (b.mth - a.mth), 9) AS slope
+        |      FROM m a JOIN m b ON a.mth < b.mth),
+        |sl AS (SELECT round(quantile_cont(slope, 0.5), 9) AS m9 FROM p),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_months, n_pairs,
+        |  round(m9, 6) AS slope,
+        |  round(quantile_cont(r - m9 * mth, 0.5), 6) AS intercept
+        |FROM m, sl, np GROUP BY n_pairs, m9""".stripMargin,
+
+    "ts_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 9) AS v
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, v,
+        |    round(avg(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)
+        |      AS trend,
+        |    (day - DATE '1970-01-01') % 7 AS dw
+        |  FROM daily),
+        |seas AS (SELECT dw, round(avg(v - trend), 6) AS seasonal FROM t GROUP BY dw)
+        |SELECT day, v, trend, seasonal,
+        |  round((v - trend) - seasonal, 6) AS resid
+        |FROM t JOIN seas USING (dw) ORDER BY day""".stripMargin,
+
+    "events_mutual_info" ->
+      """WITH e AS (
+        |  SELECT event_type AS x, (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS y
+        |  FROM events),
+        |xy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nxy FROM e GROUP BY x, y),
+        |xs AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM xy GROUP BY x),
+        |ys AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM xy GROUP BY y),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM xy),
+        |mi AS (
+        |  SELECT max(n) AS n,
+        |    round(sum((nxy / CAST(n AS DOUBLE)) * ln(nxy * CAST(n AS DOUBLE) / (nx * CAST(ny AS DOUBLE)))), 6) AS mi
+        |  FROM xy JOIN xs USING (x) JOIN ys USING (y), tot),
+        |hx AS (SELECT round(-sum((nx / CAST(n AS DOUBLE)) * ln(nx / CAST(n AS DOUBLE))), 6) AS h_x
+        |       FROM xs, tot),
+        |hy AS (SELECT round(-sum((ny / CAST(n AS DOUBLE)) * ln(ny / CAST(n AS DOUBLE))), 6) AS h_y
+        |       FROM ys, tot)
+        |SELECT n, mi, h_x, h_y, round(mi / least(h_x, h_y), 6) AS mi_norm
+        |FROM mi, hx, hy""".stripMargin,
+
+    "graph_clustering_coef" ->
+      s"""WITH $edges1996Sql,
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY n),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1
+        |        JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |pn AS (SELECT n, CAST(count(*) AS BIGINT) AS t
+        |       FROM (SELECT a AS n FROM tri UNION ALL
+        |             SELECT b FROM tri UNION ALL
+        |             SELECT c FROM tri)
+        |       GROUP BY n)
+        |SELECT deg.n AS node, deg.d,
+        |  coalesce(pn.t, 0) AS n_triangles,
+        |  round(CASE WHEN deg.d >= 2
+        |    THEN 2.0 * coalesce(pn.t, 0) / (deg.d * (deg.d - 1))
+        |    ELSE 0.0 END, 6) AS coef
+        |FROM deg LEFT JOIN pn ON deg.n = pn.n
+        |ORDER BY node""".stripMargin,
+
+    "graph_label_prop" ->
+      s"""WITH $edges1996Sql,
+        |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+        |l1 AS (SELECT l.node, least(l.lab, min(n.lab)) AS lab
+        |       FROM l0 l JOIN sym s ON s.a = l.node JOIN l0 n ON n.node = s.b
+        |       GROUP BY l.node, l.lab),
+        |l2 AS (SELECT l.node, least(l.lab, min(n.lab)) AS lab
+        |       FROM l1 l JOIN sym s ON s.a = l.node JOIN l1 n ON n.node = s.b
+        |       GROUP BY l.node, l.lab),
+        |l3 AS (SELECT l.node, least(l.lab, min(n.lab)) AS lab
+        |       FROM l2 l JOIN sym s ON s.a = l.node JOIN l2 n ON n.node = s.b
+        |       GROUP BY l.node, l.lab)
+        |SELECT node, lab FROM l3 ORDER BY node""".stripMargin,
+
+    "emb_norm_qc" ->
+      """WITH nm AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(nm), 6) AS avg_norm,
+        |  round(min(nm), 6) AS min_norm,
+        |  round(max(nm), 6) AS max_norm,
+        |  round(max(abs(nm - 1)), 6) AS max_unit_dev
+        |FROM nm GROUP BY label ORDER BY label""".stripMargin,
+
+    "sim_pair_hist" ->
+      """WITH p AS (
+        |  SELECT round(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT CAST(least(greatest(floor(cos * 10), -10), 9) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(cos), 6) AS avg_cos
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "text_readability" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |s AS (
+        |  SELECT lang, len(regexp_extract_all(w, '[aeiouy]+')) AS syl
+        |  FROM toks WHERE w <> ''),
+        |bylang AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(syl) AS BIGINT) AS n_syll
+        |  FROM s GROUP BY lang),
+        |docs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |         FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, n_words,
+        |  round(n_words / CAST(n_docs AS DOUBLE), 6) AS words_per_doc,
+        |  round(n_syll / CAST(n_words AS DOUBLE), 6) AS syll_per_word,
+        |  round(206.835 - 1.015 * (n_words / CAST(n_docs AS DOUBLE))
+        |        - 84.6 * (n_syll / CAST(n_words AS DOUBLE)), 6) AS flesch,
+        |  round(0.39 * (n_words / CAST(n_docs AS DOUBLE))
+        |        + 11.8 * (n_syll / CAST(n_words AS DOUBLE)) - 15.59, 6) AS fk_grade
+        |FROM bylang JOIN docs USING (lang) ORDER BY lang""".stripMargin,
+
+    "sample_systematic" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, rn, o_totalprice
+        |FROM t WHERE (rn - 1) % 97 = 0 ORDER BY rn""".stripMargin
+  )
+}
