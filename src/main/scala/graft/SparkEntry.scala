@@ -38,6 +38,7 @@ object SparkEntry {
     (Ext6Queries.queries, Ext6Queries.oracle),
     (Ext7Queries.queries, Ext7Queries.oracle),
     (Ext8Queries.queries, Ext8Queries.oracle),
+    (Ext9Queries.queries, Ext9Queries.oracle),
     (LakeQueries.queries, LakeQueries.oracle)
   )
 

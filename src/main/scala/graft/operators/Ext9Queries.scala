@@ -1,0 +1,407 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 operator pack, second batch: cohort lifetime value, embedding
+  * per-dimension drift stats, nearest-centroid classification, 2-hop
+  * graph reach, referential-integrity audit, log-log price elasticity,
+  * Ljung-Box autocorrelation test, Theil/Atkinson inequality indices,
+  * rolling correlation, and local-peak detection.
+  *
+  * Scale notes:
+  * - orders_cohort_ltv: two keyed aggregations (first-touch, then
+  *   cohort×age cells) + a cumulative window over the ~80×age CELL
+  *   table — the raw fact stream shuffles twice on narrow keys, all
+  *   money stays exact DECIMAL until the final division.
+  * - emb_dim_stats / sim_centroid_classify: the dim-pivot rides ONE
+  *   posexplode (row count × 64, all narrow), then hash-aggregates to
+  *   |labels|×64; centroids broadcast back so classification is a
+  *   map-side codegen dot per (vector, label) — no shuffle of the
+  *   embedding corpus beyond the first agg.
+  * - graph_two_hop: wedge join is Σd² — the same cost envelope as
+  *   graph_common_neighbors; the distinct collapses before the count so
+  *   the shuffle carries (node, reached) pairs once.
+  * - etl_fk_orphans: each FK edge is a LEFT ANTI join (broadcast when
+  *   the parent is dim-sized) aggregated to ONE row — the audit output
+  *   is O(#edges), never row-level.
+  * - ts_ljung_box / ts_rolling_corr / ts_peaks: all window/corr work
+  *   happens on the DAILY aggregate (~30 rows), never the fact stream.
+  */
+object Ext9Queries {
+
+  private def dayIdx(c: org.apache.spark.sql.Column) =
+    datediff(c, lit("1990-01-01").cast("date"))
+
+  private def embDouble(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  val queries: Map[String, Q] = Map(
+
+    // cohort lifetime-value matrix: customers grouped by first-order
+    // month, revenue accumulated by months-since-first — the canonical
+    // retention-economics report. Exact DECIMAL revenue; LTV = cohort
+    // cumulative revenue / cohort size
+    "orders_cohort_ltv" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("m"),
+        Tables.dec2(col("o_totalprice")).as("p"))
+      val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort"))
+      val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_customers"))
+      val cells = o.join(first, "o_custkey")
+        .groupBy(col("cohort"), (col("m") - col("cohort")).as("age"))
+        .agg(sum(col("p")).as("rev"))
+      val wc = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      cells.join(sizes, "cohort")
+        .withColumn("cum", sum(col("rev")).over(wc))
+        .select(col("cohort"), col("age"), col("n_customers"),
+          col("rev").cast("double").as("revenue"),
+          round(col("cum").cast("double") / col("n_customers"), 6).as("ltv"))
+        .orderBy(col("cohort"), col("age"))
+    }),
+
+    // per-dimension embedding distribution audit (the drift monitor for
+    // a vector corpus): one posexplode to (dim, x), hash-agg to 64 rows
+    "emb_dim_stats" -> ((s, dir) => {
+      embDouble(s, dir)
+        .select(posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("x")), 6).as("mean"),
+          round(stddev_samp(col("x")), 6).as("sd"),
+          round(min(col("x")), 6).as("min_x"),
+          round(max(col("x")), 6).as("max_x"))
+        .orderBy(col("dim"))
+    }),
+
+    // nearest-centroid classification accuracy per label: centroids are
+    // per-(label, dim) means rounded to 6dp (so both engines dot the
+    // SAME centroid), broadcast back for a map-side argmax; ties break
+    // toward the lower centroid label
+    "sim_centroid_classify" -> ((s, dir) => {
+      val e = embDouble(s, dir)
+      val cent = e.select(col("label").as("clabel"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy(col("clabel"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("cx"))
+        .groupBy(col("clabel"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+        .select(col("clabel"),
+          transform(col("pairs"), p => p.getField("cx")).as("cvec"))
+      val scored = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          round(graft.functions.DotProduct.dot(col("e"), col("cvec")), 6).as("dot"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("dot"), col("clabel"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clabel") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("label"), col("n"), col("n_correct"),
+          round(col("n_correct") / col("n"), 6).as("accuracy"))
+        .orderBy(col("label"))
+    }),
+
+    // 2-hop reach per node on the 1996 co-purchase graph: distinct
+    // nodes within distance ≤ 2 (friend-of-friend audience size) — the
+    // wedge join collapses through DISTINCT before counting
+    "graph_two_hop" -> ((s, dir) => {
+      val e = AnalyticsQueries.edges1996(s, dir)
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+        .cache()
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      val two = sym.as("e1")
+        .join(sym.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e2.b").as("r"))
+        .filter(col("a") =!= col("r"))
+      val reach = sym.select(col("a"), col("b").as("r")).unionAll(two)
+        .distinct()
+        .groupBy(col("a")).agg(count(lit(1)).as("reach2"))
+      deg.join(reach, "a")
+        .select(col("a").as("node"), col("d"), col("reach2"))
+        .orderBy(col("node"))
+    }),
+
+    // referential-integrity audit across every FK edge of the schema:
+    // per edge, child row count + orphan count + pass flag — each edge
+    // is one anti-join aggregated to a single row
+    "etl_fk_orphans" -> ((s, dir) => {
+      def edge(name: String, child: org.apache.spark.sql.DataFrame, key: String,
+          parent: org.apache.spark.sql.DataFrame, pkey: String) = {
+        val n = child.agg(count(lit(1)).as("n_rows"))
+        val orph = child.select(col(key))
+          .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        n.crossJoin(orph).select(lit(name).as("fk"), col("n_rows"), col("n_orphans"),
+          (col("n_orphans") === 0).as("ok"))
+      }
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
+      val na = Tables.nation(s, dir); val re = Tables.region(s, dir)
+      Seq(
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", Tables.part(s, dir), "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+        edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer.c_nationkey->nation", c, "c_nationkey", na, "n_nationkey"),
+        edge("supplier.s_nationkey->nation", su, "s_nationkey", na, "n_nationkey"),
+        edge("nation.n_regionkey->region", na, "n_regionkey", re, "r_regionkey"))
+        .reduce(_ unionByName _)
+        .orderBy(col("fk"))
+    }),
+
+    // log-log price elasticity of demand per brand: OLS slope of
+    // ln(quantity) on ln(unit price) — single-pass co-moment regression
+    // per group, same mergeable shape as agg_regression
+    "orders_price_elasticity" -> ((s, dir) => {
+      val x = log(col("l_extendedprice") / col("l_quantity"))
+      val y = log(col("l_quantity"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(regr_slope(y, x), 6).as("elasticity"),
+          round(regr_r2(y, x), 6).as("r2"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Ljung-Box portmanteau test on the daily event-count series:
+    // pairwise-corr autocorrelations at lags 1..10 (9dp-pinned), then
+    // the cumulative Q statistic Q(k) = n(n+2)·Σ_{j≤k} r_j²/(n−j) — the
+    // "is this series white noise" gate before any forecasting op
+    "ts_ljung_box" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(dayIdx(to_date(col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val nd = daily.agg(count(lit(1)).as("nd"))
+      val rs = (1 to 10).map { k =>
+        val lagged = daily.select((col("day") + k).as("day"), col("n").as("n_lag"))
+        daily.join(lagged, "day")
+          .agg(round(corr(col("n"), col("n_lag")), 9).as("r9"))
+          .select(lit(k).as("lag"), col("r9"))
+      }.reduce(_ unionByName _)
+      val w = Window.orderBy(col("lag"))
+      rs.crossJoin(broadcast(nd))
+        .withColumn("q_stat",
+          round(col("nd") * (col("nd") + lit(2.0)) *
+            sum(col("r9") * col("r9") / (col("nd") - col("lag"))).over(w), 4))
+        .select(col("lag"), round(col("r9"), 6).as("acf"), col("q_stat"))
+        .orderBy(col("lag"))
+    }),
+
+    // Theil T and Atkinson(ε=1) inequality indices of customer spend —
+    // the concentration diagnostics that decompose (unlike Gini); mean
+    // from the exact DECIMAL total so both engines normalize identically
+    "orders_theil_index" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(Tables.dec2(col("o_totalprice"))).as("sd"))
+      val tot = spend.agg(sum(col("sd")).as("t"), count(lit(1)).as("n"))
+      val mu = col("t").cast("double") / col("n")
+      spend.crossJoin(broadcast(tot))
+        .select(col("sd").cast("double").as("sp"), mu.as("mu"), col("n"))
+        .agg(max(col("n")).as("n_customers"),
+          round(max(col("mu")), 2).as("mean_spend"),
+          round(avg((col("sp") / col("mu")) * log(col("sp") / col("mu"))), 6).as("theil"),
+          round(lit(1) - exp(avg(log(col("sp")))) / max(col("mu")), 6).as("atkinson"))
+    }),
+
+    // trailing-14-day rolling correlation between daily click counts
+    // and purchase value — the co-movement monitor between a leading
+    // and a lagging metric; the corr frames run over the ~30-row daily
+    // aggregate
+    "ts_rolling_corr" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))), 9).as("purch"))
+      val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+      daily.select(col("day"), col("clicks"), col("purch"),
+        round(corr(col("clicks"), col("purch")).over(w), 6).as("r14"))
+        .orderBy(col("day"))
+    }),
+
+    // local-peak detection on the daily value series: strict local
+    // maxima vs both neighbors, with prominence over the higher
+    // shoulder — lag/lead over the daily aggregate
+    "ts_peaks" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 9).as("v"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("prev", lag(col("v"), 1).over(w))
+        .withColumn("nxt", lead(col("v"), 1).over(w))
+        .filter(col("prev").isNotNull && col("nxt").isNotNull &&
+          col("v") > col("prev") && col("v") > col("nxt"))
+        .select(col("day"), col("v"),
+          round(col("v") - greatest(col("prev"), col("nxt")), 6).as("prominence"))
+        .orderBy(col("day"))
+    })
+  )
+
+  private val edges1996Sql =
+    """le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |         AND l_shipdate < TIMESTAMP '1997-01-01'),
+      |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |      FROM le a JOIN le b ON a.ok = b.ok AND a.pk < b.pk)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "orders_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY o_custkey),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers FROM f GROUP BY cohort),
+        |cells AS (
+        |  SELECT cohort, o.m - cohort AS age, sum(p) AS rev
+        |  FROM o JOIN f USING (o_custkey) GROUP BY cohort, o.m - cohort)
+        |SELECT cohort, age, n_customers,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age) AS DOUBLE)
+        |        / n_customers, 6) AS ltv
+        |FROM cells JOIN sz USING (cohort)
+        |ORDER BY cohort, age""".stripMargin,
+
+    "emb_dim_stats" ->
+      """WITH idx AS (SELECT CAST(range AS INT) AS i FROM range(1, 65)),
+        |x AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM embeddings, idx)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(x), 6) AS mean,
+        |  round(stddev_samp(x), 6) AS sd,
+        |  round(min(x), 6) AS min_x,
+        |  round(max(x), 6) AS max_x
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "sim_centroid_classify" ->
+      """WITH idx AS (SELECT CAST(range AS INT) AS i FROM range(1, 65)),
+        |x AS (SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM embeddings, idx),
+        |cent AS (SELECT label AS clabel, dim, round(avg(x), 6) AS cx
+        |         FROM x GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT x.vec_id, x.label, c.clabel, round(sum(x.x * c.cx), 6) AS dot
+        |  FROM x JOIN cent c USING (dim)
+        |  GROUP BY x.vec_id, x.label, c.clabel),
+        |best AS (
+        |  SELECT vec_id, label, clabel,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, clabel) AS rk
+        |  FROM dots)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        |FROM best WHERE rk = 1
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "graph_two_hop" ->
+      s"""WITH $edges1996Sql,
+        |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a),
+        |reach AS (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS reach2 FROM (
+        |    SELECT DISTINCT a, r FROM (
+        |      SELECT a, b AS r FROM sym
+        |      UNION ALL
+        |      SELECT e1.a, e2.b AS r FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+        |      WHERE e1.a <> e2.b))
+        |  GROUP BY a)
+        |SELECT deg.a AS node, deg.d, reach.reach2
+        |FROM deg JOIN reach USING (a)
+        |ORDER BY node""".stripMargin,
+
+    "etl_fk_orphans" -> {
+      val edges = Seq(
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      val arms = edges.map { case (name, child, key, parent, pkey) =>
+        s"""  SELECT '$name' AS fk,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM $child
+           |     WHERE $key NOT IN (SELECT $pkey FROM $parent)) AS n_orphans""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH audit AS (
+         |$arms)
+         |SELECT fk, n_rows, n_orphans, n_orphans = 0 AS ok
+         |FROM audit ORDER BY fk""".stripMargin
+    },
+
+    "orders_price_elasticity" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  round(regr_slope(ln(l_quantity), ln(l_extendedprice / l_quantity)), 6)
+        |    AS elasticity,
+        |  round(regr_r2(ln(l_quantity), ln(l_extendedprice / l_quantity)), 6) AS r2
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "ts_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS INTEGER)
+        |    AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |ks AS (SELECT CAST(range AS INT) AS lag FROM range(1, 11)),
+        |rs AS (
+        |  SELECT k.lag, round(corr(d.n, f.n), 9) AS r9
+        |  FROM ks k JOIN daily d ON true JOIN daily f ON d.day = f.day + k.lag
+        |  GROUP BY k.lag)
+        |SELECT lag, round(r9, 6) AS acf,
+        |  round(nd * (nd + 2.0) *
+        |    sum(r9 * r9 / (nd - lag)) OVER (ORDER BY lag), 4) AS q_stat
+        |FROM rs, nd ORDER BY lag""".stripMargin,
+
+    "orders_theil_index" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sd
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (SELECT sum(sd) AS t, CAST(count(*) AS BIGINT) AS n FROM spend)
+        |SELECT n AS n_customers,
+        |  round(CAST(t AS DOUBLE) / n, 2) AS mean_spend,
+        |  round(avg((CAST(sd AS DOUBLE) / (CAST(t AS DOUBLE) / n))
+        |        * ln(CAST(sd AS DOUBLE) / (CAST(t AS DOUBLE) / n))), 6) AS theil,
+        |  round(1 - exp(avg(ln(CAST(sd AS DOUBLE)))) / (CAST(t AS DOUBLE) / n), 6)
+        |    AS atkinson
+        |FROM spend, tot GROUP BY n, t""".stripMargin,
+
+    "ts_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS clicks,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 9)
+        |      AS purch
+        |  FROM events GROUP BY 1)
+        |SELECT day, clicks, purch,
+        |  round(corr(clicks, purch) OVER
+        |    (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS r14
+        |FROM daily ORDER BY day""".stripMargin,
+
+    "ts_peaks" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 9) AS v
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, v,
+        |    lag(v, 1) OVER (ORDER BY day) AS prev,
+        |    lead(v, 1) OVER (ORDER BY day) AS nxt
+        |  FROM daily)
+        |SELECT day, v, round(v - greatest(prev, nxt), 6) AS prominence
+        |FROM t
+        |WHERE prev IS NOT NULL AND nxt IS NOT NULL AND v > prev AND v > nxt
+        |ORDER BY day""".stripMargin
+  )
+}

@@ -79,7 +79,28 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
-    "mm_decode_partitionwise" -> ((s, dir) => decodePartitionwise(s, dir))
+    "mm_decode_partitionwise" -> ((s, dir) => decodePartitionwise(s, dir)),
+
+    // frame sampling over a binary media payload: the video pipeline's
+    // "every k-th frame" extraction expressed on the byte plane — fixed
+    // 16-byte "frames", keep every 4th, per-frame features via dynamic
+    // byte-offset substr. The explode(sequence(...)) is the scale shape:
+    // frame rows are generated partition-locally (no shuffle, no driver
+    // loop), payload bytes are sliced once per KEPT frame only
+    "mm_frame_sample" -> ((s, dir) => {
+      val frame = 16
+      mediaTable(s, dir)
+        .select(col("media_id"), col("payload"), octet_length(col("payload")).as("nb"))
+        .withColumn("n_frames", ceil(col("nb") / lit(frame.toDouble)).cast("int"))
+        .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
+        .filter(col("frame_idx") % 4 === 0)
+        .select(col("media_id"), col("frame_idx"), col("n_frames"),
+          decode(substr(col("payload"), col("frame_idx") * frame + 1, lit(frame)), "UTF-8")
+            .as("frame_text"),
+          ascii(decode(substr(col("payload"), col("frame_idx") * frame + 1, lit(1)), "UTF-8"))
+            .as("frame_first_byte"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    })
   )
 
   /** Typed per-partition decode record. */
@@ -131,6 +152,23 @@ object MultimodalQueries {
         |  octet_length(encode(text)) AS n_bytes,
         |  substring(text, 1, 10) AS head_text,
         |  ascii(substring(text, 1, 1)) AS first_byte
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // corpus is ASCII (FIXTURES.md), so byte offsets == char offsets and
+    // the oracle frames the text directly
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(ceil(octet_length(encode(text)) / 16.0) AS INT) AS n_frames
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id, text, n_frames,
+        |    CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx
+        |  FROM m)
+        |SELECT media_id, frame_idx, n_frames,
+        |  substring(text, frame_idx * 16 + 1, 16) AS frame_text,
+        |  ascii(substring(text, frame_idx * 16 + 1, 1)) AS frame_first_byte
+        |FROM fr WHERE frame_idx % 4 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

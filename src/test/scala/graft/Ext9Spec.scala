@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior specs for the round-11 second batch (Ext9Queries). */
+class Ext9Spec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def q(name: String) =
+    operators.Ext9Queries.queries(name)(spark, sf)
+
+  test("orders_cohort_ltv: ltv is nondecreasing within each cohort") {
+    val rows = q("orders_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Int]("cohort"))
+    for ((_, rs) <- byCohort) {
+      val ltv = rs.sortBy(_.getAs[Int]("age")).map(_.getAs[Double]("ltv"))
+      ltv.sliding(2).foreach {
+        case Array(a, b) => assert(b >= a - 1e-9)
+        case _ =>
+      }
+    }
+    // age-0 cell exists for every cohort (a cohort is born with an order)
+    assert(byCohort.values.forall(_.exists(_.getAs[Int]("age") == 0)))
+  }
+
+  test("emb_dim_stats covers all 64 dimensions with full counts") {
+    val rows = q("emb_dim_stats").collect()
+    assert(rows.length === 64)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.forall(_.getAs[Long]("n") === n))
+    assert(rows.forall(r => r.getAs[Double]("min_x") <= r.getAs[Double]("max_x")))
+  }
+
+  test("sim_centroid_classify classifies every vector, accuracy well above chance") {
+    val rows = q("sim_centroid_classify").collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.embeddings(spark, sf).count())
+    val correct = rows.map(_.getAs[Long]("n_correct")).sum
+    // 10 labels → chance is 0.1; centroid classification must beat it
+    assert(correct.toDouble / total > 0.3, s"accuracy ${correct.toDouble / total}")
+  }
+
+  test("graph_two_hop reach is at least the direct degree") {
+    val rows = q("graph_two_hop").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("reach2") >= r.getAs[Long]("d")))
+  }
+
+  test("etl_fk_orphans audits all 7 edges and the synthetic schema is clean") {
+    val rows = q("etl_fk_orphans").collect()
+    assert(rows.length === 7)
+    assert(rows.forall(_.getAs[Boolean]("ok")), rows.mkString(", "))
+  }
+
+  test("orders_price_elasticity emits one finite slope per brand") {
+    val rows = q("orders_price_elasticity").collect()
+    assert(rows.length === 25)
+    assert(rows.forall(r => !r.getAs[Double]("elasticity").isNaN))
+    assert(rows.forall { r =>
+      val r2 = r.getAs[Double]("r2"); r2 >= -1e-9 && r2 <= 1.0 + 1e-9 })
+  }
+
+  test("ts_ljung_box Q statistic is positive and strictly increasing in lag") {
+    val rows = q("ts_ljung_box").collect().sortBy(_.getAs[Int]("lag"))
+    assert(rows.length === 10)
+    val qs = rows.map(_.getAs[Double]("q_stat"))
+    assert(qs.head > 0.0 || qs.head === 0.0)
+    qs.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-9, s"Q not monotone: $a -> $b")
+      case _ =>
+    }
+  }
+
+  test("orders_theil_index: indices are nonnegative and Atkinson < 1") {
+    val r = q("orders_theil_index").collect()(0)
+    assert(r.getAs[Double]("theil") >= -1e-9)
+    val atk = r.getAs[Double]("atkinson")
+    assert(atk >= -1e-9 && atk < 1.0)
+  }
+
+  test("ts_rolling_corr stays within [-1, 1]") {
+    val rows = q("ts_rolling_corr").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; v = r.getAs[Any]("r14") if v != null) {
+      val d = v.asInstanceOf[Double]
+      assert(d >= -1.0 - 1e-9 && d <= 1.0 + 1e-9)
+    }
+  }
+
+  test("ts_peaks: every peak beats both neighbors with positive prominence") {
+    val rows = q("ts_peaks").collect()
+    assert(rows.forall(_.getAs[Double]("prominence") > 0.0))
+    // peaks are a strict subset of days
+    val nDays = Tables.events(spark, sf).select(to_date(col("ts"))).distinct().count()
+    assert(rows.length < nDays)
+  }
+}
