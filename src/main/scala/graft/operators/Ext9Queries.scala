@@ -225,6 +225,164 @@ object Ext9Queries {
         .orderBy(col("day"))
     }),
 
+    // Bollinger bands on the daily value series: trailing-14 moving
+    // average ± 2 rolling standard deviations, with breach flags
+    // computed FROM THE ROUNDED bands so both engines compare identical
+    // doubles — frames run over the ~30-row daily aggregate
+    "ts_bollinger" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 9).as("v"))
+      val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+      val ma = round(avg(col("v")).over(w), 6)
+      val sd = stddev_samp(col("v")).over(w)
+      daily
+        .withColumn("ma", ma)
+        .withColumn("upper", round(ma + lit(2) * sd, 6))
+        .withColumn("lower", round(ma - lit(2) * sd, 6))
+        .select(col("day"), col("v"), col("ma"), col("upper"), col("lower"),
+          (col("upper").isNotNull &&
+            (col("v") > col("upper") || col("v") < col("lower"))).as("breach"))
+        .orderBy(col("day"))
+    }),
+
+    // 14-day RSI (simple-average form) on the daily value series:
+    // up/down moves from lag-1 diffs, framed averages, RSI=100 when no
+    // losses in the frame
+    "ts_rsi" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 9).as("v"))
+      val wl = Window.orderBy(col("day"))
+      val diffed = daily
+        .withColumn("diff", round(col("v") - lag(col("v"), 1).over(wl), 9))
+        .filter(col("diff").isNotNull)
+      val wf = Window.orderBy(col("day")).rowsBetween(-13, 0)
+      diffed
+        .withColumn("avg_gain", avg(greatest(col("diff"), lit(0.0))).over(wf))
+        .withColumn("avg_loss", avg(greatest(-col("diff"), lit(0.0))).over(wf))
+        .select(col("day"), col("v"),
+          round(when(col("avg_loss") === 0, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0) /
+              (lit(1.0) + col("avg_gain") / col("avg_loss"))), 6).as("rsi"))
+        .orderBy(col("day"))
+    }),
+
+    // 7-day-ahead forecast = seasonal naive (same weekday last week)
+    // plus linear drift — the baseline every forecasting system must
+    // beat; closed-form from 3 point lookups on the daily aggregate
+    "ts_forecast_snaive_drift" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 9).as("v"))
+      val stats = daily.agg(max(col("day")).as("dmax"), min(col("day")).as("dmin"),
+        count(lit(1)).as("nd"))
+      val base = stats
+        .join(daily.select(col("day").as("dmin"), col("v").as("v_first")), "dmin")
+        .join(daily.select(col("day").as("dmax"), col("v").as("v_last")), "dmax")
+        .withColumn("drift", (col("v_last") - col("v_first")) / (col("nd") - 1))
+      base.select(col("dmax"), col("drift"), explode(sequence(lit(1), lit(7))).as("h"))
+        .withColumn("ref_day", date_add(col("dmax"), col("h") - 7))
+        .join(daily.select(col("day").as("ref_day"), col("v").as("v_ref")), "ref_day")
+        .select(col("h"), date_add(col("dmax"), col("h")).as("forecast_day"),
+          round(col("v_ref") + col("drift") * col("h"), 6).as("forecast"))
+        .orderBy(col("h"))
+    }),
+
+    // token burstiness: variance-to-mean ratio of per-document counts
+    // (zeros included via the moment identity) for the top-20 corpus
+    // tokens — bursty tokens concentrate in few docs (content words),
+    // uniform tokens spread (function words). All-integer inputs
+    "text_burstiness" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nDocs = d.agg(count(lit(1)).as("n"))
+      val cnt = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val perTok = cnt.groupBy(col("w"))
+        .agg(count(lit(1)).as("k"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      perTok.crossJoin(broadcast(nDocs))
+        .withColumn("mean_c", col("s1") / col("n"))
+        .withColumn("var_c",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        .select(col("w").as("token"), col("k").as("n_docs_with"), col("s1").as("n_occ"),
+          round(col("mean_c"), 6).as("mean_count"),
+          round(col("var_c") / col("mean_c"), 6).as("burstiness"))
+        .orderBy(desc("n_occ"), col("token"))
+        .limit(20)
+    }),
+
+    // delta-method CI for a RATIO metric (purchase value per event,
+    // clustered by user): var(R) ≈ (σx² + R²σy² − 2R·cov)/(n·ȳ²) — the
+    // correct CI when the unit of analysis (user) differs from the
+    // unit of the metric (event); naive per-event CIs understate
+    // variance under clustering
+    "stat_delta_method_ci" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))), 9).as("x"),
+          count(lit(1)).cast("double").as("y"))
+      val m = perUser.agg(count(lit(1)).as("n"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"),
+        var_samp(col("x")).as("vx"), var_samp(col("y")).as("vy"),
+        covar_samp(col("x"), col("y")).as("cxy"))
+      val r = col("mx") / col("my")
+      val se = sqrt((col("vx") + r * r * col("vy") - lit(2.0) * r * col("cxy")) /
+        (col("n") * col("my") * col("my")))
+      m.select(col("n").as("n_users"),
+        round(r, 6).as("ratio"),
+        round(se, 6).as("se"),
+        round(r - lit(1.96) * se, 6).as("ci_lo"),
+        round(r + lit(1.96) * se, 6).as("ci_hi"))
+    }),
+
+    // two-sample size calculator: per-group n required to detect the
+    // OBSERVED click-vs-view mean gap at α=0.05 / power=0.8 —
+    // n = (z_{α/2}+z_β)²(σ₁²+σ₂²)/Δ², the experiment-design companion
+    // to stat_ttest_welch
+    "stat_sample_size" -> ((s, dir) => {
+      val v = col("value"); val t = col("event_type")
+      val m = Tables.events(s, dir)
+        .filter(t.isin("click", "view"))
+        .agg(avg(when(t === "click", v)).as("m1"),
+          var_samp(when(t === "click", v)).as("v1"),
+          avg(when(t === "view", v)).as("m2"),
+          var_samp(when(t === "view", v)).as("v2"))
+      val delta = col("m1") - col("m2")
+      // 6dp-round BEFORE ceil: both engines then ceil the identical
+      // double, so an integer-boundary value can't flip
+      val n = ceil(round(pow(lit(1.96) + lit(0.8416), 2) * (col("v1") + col("v2")) /
+        (delta * delta), 6))
+      m.select(round(delta, 6).as("observed_delta"),
+        round(col("v1") + col("v2"), 6).as("var_sum"),
+        n.cast("long").as("n_per_group"))
+    }),
+
+    // temperature-flattened domain mixture (T=2): sampling weights
+    // ∝ share^(1/T), renormalized — the standard upweighting of small
+    // domains in a training mix; expected tokens for a 1M-token budget
+    // derive from the 6dp-pinned weights so both engines multiply the
+    // same numbers
+    "domain_mix_temperature" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("tot"))
+      val shared = per.crossJoin(broadcast(tot))
+        .withColumn("share", col("n_tokens") / col("tot").cast("double"))
+        .withColumn("tempered", pow(col("share"), lit(0.5)))
+      val z = shared.agg(sum(col("tempered")).as("z"))
+      shared.crossJoin(broadcast(z))
+        .withColumn("w", round(col("tempered") / col("z"), 6))
+        .select(col("source"), col("n_tokens"),
+          round(col("share"), 6).as("share"), col("w"),
+          round(col("w") * 1000000, 2).as("expected_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // local-peak detection on the daily value series: strict local
     // maxima vs both neighbors, with prominence over the higher
     // shoulder — lag/lead over the daily aggregate
@@ -389,6 +547,126 @@ object Ext9Queries {
         |  round(corr(clicks, purch) OVER
         |    (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS r14
         |FROM daily ORDER BY day""".stripMargin,
+
+    "ts_bollinger" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 9) AS v
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, v,
+        |    round(avg(v) OVER w, 6) AS ma,
+        |    round(round(avg(v) OVER w, 6) + 2 * stddev_samp(v) OVER w, 6) AS upper,
+        |    round(round(avg(v) OVER w, 6) - 2 * stddev_samp(v) OVER w, 6) AS lower
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT day, v, ma, upper, lower,
+        |  coalesce(upper IS NOT NULL AND (v > upper OR v < lower), false) AS breach
+        |FROM t ORDER BY day""".stripMargin,
+
+    "ts_rsi" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 9) AS v
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT day, v, round(v - lag(v, 1) OVER (ORDER BY day), 9) AS diff
+        |  FROM daily),
+        |f AS (
+        |  SELECT day, v,
+        |    avg(greatest(diff, 0.0)) OVER w AS avg_gain,
+        |    avg(greatest(-diff, 0.0)) OVER w AS avg_loss
+        |  FROM d WHERE diff IS NOT NULL
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT day, v,
+        |  round(CASE WHEN avg_loss = 0 THEN 100.0
+        |    ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END, 6) AS rsi
+        |FROM f ORDER BY day""".stripMargin,
+
+    "ts_forecast_snaive_drift" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 9) AS v
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT max(day) AS dmax, min(day) AS dmin,
+        |         CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |base AS (
+        |  SELECT st.dmax, (l.v - f.v) / (st.nd - 1) AS drift
+        |  FROM st JOIN daily f ON f.day = st.dmin
+        |          JOIN daily l ON l.day = st.dmax),
+        |hs AS (SELECT CAST(range AS INT) AS h FROM range(1, 8))
+        |SELECT h, base.dmax + h AS forecast_day,
+        |  round(r.v + base.drift * h, 6) AS forecast
+        |FROM base CROSS JOIN hs
+        |JOIN daily r ON r.day = base.dmax + (h - 7)
+        |ORDER BY h""".stripMargin,
+
+    "text_burstiness" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |pt AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM cnt GROUP BY w)
+        |SELECT w AS token, k AS n_docs_with, s1 AS n_occ,
+        |  round(s1 / CAST(n AS DOUBLE), 6) AS mean_count,
+        |  round(((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (n - 1))
+        |        / (s1 / CAST(n AS DOUBLE)), 6) AS burstiness
+        |FROM pt, nd
+        |ORDER BY n_occ DESC, token LIMIT 20""".stripMargin,
+
+    "stat_delta_method_ci" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 9)
+        |      AS x,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    avg(x) AS mx, avg(y) AS my,
+        |    var_samp(x) AS vx, var_samp(y) AS vy,
+        |    covar_samp(x, y) AS cxy
+        |  FROM pu)
+        |SELECT n AS n_users,
+        |  round(mx / my, 6) AS ratio,
+        |  round(sqrt((vx + (mx / my) * (mx / my) * vy
+        |        - 2.0 * (mx / my) * cxy) / (n * my * my)), 6) AS se,
+        |  round(mx / my - 1.96 * sqrt((vx + (mx / my) * (mx / my) * vy
+        |        - 2.0 * (mx / my) * cxy) / (n * my * my)), 6) AS ci_lo,
+        |  round(mx / my + 1.96 * sqrt((vx + (mx / my) * (mx / my) * vy
+        |        - 2.0 * (mx / my) * cxy) / (n * my * my)), 6) AS ci_hi
+        |FROM m""".stripMargin,
+
+    "stat_sample_size" ->
+      """WITH m AS (
+        |  SELECT avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
+        |    var_samp(CASE WHEN event_type = 'click' THEN value END) AS v1,
+        |    avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+        |    var_samp(CASE WHEN event_type = 'view' THEN value END) AS v2
+        |  FROM events WHERE event_type IN ('click', 'view'))
+        |SELECT round(m1 - m2, 6) AS observed_delta,
+        |  round(v1 + v2, 6) AS var_sum,
+        |  CAST(ceil(round(pow(1.96 + 0.8416, 2) * (v1 + v2)
+        |    / ((m1 - m2) * (m1 - m2)), 6)) AS BIGINT) AS n_per_group
+        |FROM m""".stripMargin,
+
+    "domain_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+        |sh AS (SELECT source, n_tokens,
+        |         n_tokens / CAST(tot AS DOUBLE) AS share,
+        |         pow(n_tokens / CAST(tot AS DOUBLE), 0.5) AS tempered
+        |       FROM per, tot),
+        |z AS (SELECT sum(tempered) AS z FROM sh)
+        |SELECT source, n_tokens,
+        |  round(share, 6) AS share,
+        |  round(tempered / z, 6) AS w,
+        |  round(round(tempered / z, 6) * 1000000, 2) AS expected_tokens
+        |FROM sh, z ORDER BY source""".stripMargin,
 
     "ts_peaks" ->
       """WITH daily AS (

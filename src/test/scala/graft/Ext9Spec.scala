@@ -89,6 +89,69 @@ class Ext9Spec extends AnyFunSuite {
     }
   }
 
+  test("ts_bollinger: v stays inside bands except on breach rows, ma between bands") {
+    val rows = q("ts_bollinger").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows if r.getAs[Any]("upper") != null) {
+      val v = r.getAs[Double]("v"); val up = r.getAs[Double]("upper")
+      val lo = r.getAs[Double]("lower"); val breach = r.getAs[Boolean]("breach")
+      assert(breach === (v > up || v < lo), s"flag mismatch: $r")
+      assert(r.getAs[Double]("ma") >= lo && r.getAs[Double]("ma") <= up)
+    }
+  }
+
+  test("ts_rsi stays within [0, 100]") {
+    val rows = q("ts_rsi").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val x = r.getAs[Double]("rsi"); x >= 0.0 && x <= 100.0 })
+  }
+
+  test("ts_forecast_snaive_drift emits 7 strictly future horizons") {
+    val rows = q("ts_forecast_snaive_drift").collect()
+    assert(rows.length === 7)
+    assert(rows.map(_.getAs[Int]("h")).sorted.sameElements(1 to 7))
+    val lastDay = Tables.events(spark, sf)
+      .select(max(to_date(col("ts")))).collect()(0).getDate(0)
+    assert(rows.forall(_.getAs[java.sql.Date]("forecast_day").after(lastDay)))
+  }
+
+  test("text_burstiness: top-20 by occurrences, burstiness positive") {
+    val rows = q("text_burstiness").collect()
+    assert(rows.length === 20)
+    val occ = rows.map(_.getAs[Long]("n_occ"))
+    occ.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+    assert(rows.forall(_.getAs[Double]("burstiness") > 0.0))
+  }
+
+  test("stat_delta_method_ci: CI brackets the ratio and se > 0") {
+    val r = q("stat_delta_method_ci").collect()(0)
+    assert(r.getAs[Double]("se") > 0.0)
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ratio"))
+    assert(r.getAs[Double]("ci_hi") > r.getAs[Double]("ratio"))
+  }
+
+  test("stat_sample_size: n is positive and grows as delta shrinks (sanity)") {
+    val r = q("stat_sample_size").collect()(0)
+    assert(r.getAs[Long]("n_per_group") > 0L)
+    assert(r.getAs[Double]("var_sum") > 0.0)
+  }
+
+  test("domain_mix_temperature: weights sum to ~1 and flatten the mix") {
+    val rows = q("domain_mix_temperature").collect()
+    assert(rows.length === 20)
+    val wsum = rows.map(_.getAs[Double]("w")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3)
+    // temperature flattening: max weight below max raw share, min above
+    val shares = rows.map(_.getAs[Double]("share"))
+    val ws = rows.map(_.getAs[Double]("w"))
+    assert(ws.max <= shares.max + 1e-9)
+    assert(ws.min >= shares.min - 1e-9)
+  }
+
   test("ts_peaks: every peak beats both neighbors with positive prominence") {
     val rows = q("ts_peaks").collect()
     assert(rows.forall(_.getAs[Double]("prominence") > 0.0))
