@@ -144,7 +144,21 @@ object ScaleBench {
     "graph_assortativity", "ts_cusum", "orders_interarrival",
     "events_dau_wau", "orders_price_frontier", "sim_ann_trunc",
     "orders_pareto", "typed_dataset_ops", "fn_array_setops",
-    "doc_filter_waterfall")
+    "doc_filter_waterfall",
+    // round-11 additions: broadcast-normalized feature transforms
+    // (grouped moments / one-row extrema back over the scan), daily-
+    // aggregate time-series estimators (quadratic only in calendar
+    // buckets), oriented per-node triangle/label-prop/2-hop graph
+    // passes (shuffle O(triangles) / O(edges) / Σd²-with-distinct),
+    // posexplode embedding audits, and the two-shuffle cohort LTV.
+    // orders_price_elasticity is excluded only because part is not
+    // synthesized (offset partkeys would empty its join).
+    "feat_zscore", "feat_bucketize", "feat_target_encode",
+    "feat_quantile_bin", "graph_clustering_coef", "graph_label_prop",
+    "graph_two_hop", "emb_dim_stats", "sim_centroid_classify",
+    "emb_norm_qc", "events_mutual_info", "text_burstiness",
+    "orders_cohort_ltv", "domain_mix_temperature", "ts_theil_sen",
+    "sample_systematic")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/
@@ -164,7 +178,10 @@ object ScaleBench {
     "dedup_containment",
     // contains the exact n^2 pair scan as its in-band baseline BY DESIGN
     // (clusterBlockedPairs alone is the linear scale path)
-    "dedup_semantic")
+    "dedup_semantic",
+    // round-11: all-pairs cosine histogram — the declared exact-tier
+    // diagnostic (pair sampling is its 100 TB form)
+    "sim_pair_hist")
 
   // lake-format family: each declared query BUILDS its table from the
   // scaled orders/documents inside the timed region (the documented
