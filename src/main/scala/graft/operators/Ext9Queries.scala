@@ -177,12 +177,15 @@ object Ext9Queries {
         .groupBy(dayIdx(to_date(col("ts"))).as("day"))
         .agg(count(lit(1)).as("n"))
       val nd = daily.agg(count(lit(1)).as("nd"))
-      val rs = (1 to 10).map { k =>
-        val lagged = daily.select((col("day") + k).as("day"), col("n").as("n_lag"))
-        daily.join(lagged, "day")
-          .agg(round(corr(col("n"), col("n_lag")), 9).as("r9"))
-          .select(lit(k).as("lag"), col("r9"))
-      }.reduce(_ unionByName _)
+      // ALL 10 lags in one lag-replicated join + one grouped corr pass
+      // (10 sequential per-lag jobs cost ~1.5 s of pure scheduling at
+      // sf0.1; this is the same single-shuffle shape as the oracle)
+      val ks = s.range(1, 11).select(col("id").cast("int").as("lag"))
+      val lagged = daily.crossJoin(broadcast(ks))
+        .select(col("lag"), (col("day") + col("lag")).as("day"), col("n").as("n_lag"))
+      val rs = daily.join(lagged, "day")
+        .groupBy(col("lag"))
+        .agg(round(corr(col("n"), col("n_lag")), 9).as("r9"))
       val w = Window.orderBy(col("lag"))
       rs.crossJoin(broadcast(nd))
         .withColumn("q_stat",

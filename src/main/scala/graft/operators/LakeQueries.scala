@@ -486,6 +486,33 @@ object LakeQueries {
           lit(sidecars == 1).as("one_dv_sidecar"))
     }),
 
+    // PURGE the deletion-vector debt: after a MoR delete, purgeDeletes
+    // rewrites ONLY the indebted file to its live rows (the clean hi
+    // file is carried by reference), retiring its sidecar; vacuum then
+    // physically reclaims the unreferenced DV — the full
+    // cheap-write/taxed-read/repay lifecycle in one declared op. At
+    // 100 TB this is the background maintenance job that keeps scan
+    // plans mask-free without ever rewriting clean files.
+    "lake_dv_purge" -> ((s, dir) => {
+      val (t, half) = twoFileTable(s, dir, "lake_dv_purge")
+      t.deleteWhereMoR(col("k") % 10 === 0 && col("k") <= half)
+      val before = t.fileNames(3).toSet
+      val v4 = t.purgeDeletes()
+      val after = t.fileNames(v4).toSet
+      val hiCarried = after.intersect(before).size == 1
+      val lowRewritten = (after -- before).size == 1
+      t.vacuum(1)
+      val dvOnDisk = Option(new java.io.File(t.path)
+        .list((_, n) => n.startsWith("dv-"))).map(_.length).getOrElse(0)
+      t.scan().agg(
+          count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          lit(hiCarried).as("clean_file_carried"),
+          lit(lowRewritten).as("indebted_file_rewritten"),
+          lit(dvOnDisk == 0).as("dv_sidecars_vacuumed"))
+    }),
+
     // merge-on-read UPDATE via deletion vectors: the matching rows are
     // DV-masked in place and their rewritten versions appended as a
     // delta file — ONE atomic commit, ZERO data files rewritten
@@ -1102,6 +1129,18 @@ object LakeQueries {
         |SELECT CAST(3 AS INTEGER), 'merge', count(*)
         |FROM base WHERE k % 13 <> 0
         |ORDER BY version""".stripMargin,
+
+    "lake_dv_purge" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS clean_file_carried,
+        |  true AS indebted_file_rewritten,
+        |  true AS dv_sidecars_vacuumed
+        |FROM base
+        |WHERE NOT (k % 10 = 0 AND k <= (SELECT max(k) // 2 FROM base))""".stripMargin,
 
     "lake_delete_dv" ->
       """WITH base AS (
