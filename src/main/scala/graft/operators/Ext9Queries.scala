@@ -386,6 +386,72 @@ object Ext9Queries {
         .orderBy(col("source"))
     }),
 
+    // add-one-smoothed bigram language model scored over its own
+    // corpus: per-language mean bigram log-probability and perplexity —
+    // the fluency/quality signal one tier above unigram logprob. The
+    // bigram and conditioning-count tables are vocabulary-bounded
+    // (~|V|²) so they BROADCAST; the fact-side explode is linear and
+    // the join is map-side at any corpus size
+    "text_bigram_logprob" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bi = d.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val vocab = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val perDoc = bi
+        .join(broadcast(c12), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(avg(log((col("c12") + 1) / (col("c1") + col("v")).cast("double"))), 9)
+          .as("lp"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("lp")), 6).as("mean_logprob"),
+          round(exp(-avg(col("lp"))), 6).as("perplexity"))
+        .orderBy(col("lang"))
+    }),
+
+    // deterministic temperature-weighted corpus sampling: per-source
+    // keep rates from the T=2 tempered mixture (scaled so the largest
+    // rate is 0.9), applied as an md5 hash threshold — the reproducible,
+    // join-stable way to materialize a training mix (same docs kept on
+    // every engine and every run, unlike rand() sampling). The rate
+    // table is O(|sources|) and broadcasts; the keep decision is one
+    // codegen hash per row
+    "sample_temperature" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("tot"))
+      val shared = per.crossJoin(broadcast(tot))
+        .withColumn("tempered", pow(col("n_tokens") / col("tot").cast("double"), lit(0.5)))
+      val z = shared.agg(sum(col("tempered")).as("z"), max(col("tempered")).as("mx"))
+      val rates = shared.crossJoin(broadcast(z))
+        .select(col("source"),
+          round(col("tempered") / col("mx") * lit(0.9), 6).as("rate"))
+        .withColumn("thr",
+          format_string("%04x", floor(col("rate") * 65536).cast("int")))
+      Tables.documents(s, dir)
+        .join(broadcast(rates), "source")
+        .withColumn("keep",
+          substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("rate")).as("rate"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // local-peak detection on the daily value series: strict local
     // maxima vs both neighbors, with prominence over the higher
     // shoulder — lag/lead over the daily aggregate
@@ -670,6 +736,50 @@ object Ext9Queries {
         |  round(tempered / z, 6) AS w,
         |  round(round(tempered / z, 6) * 1000000, 2) AS expected_tokens
         |FROM sh, z ORDER BY source""".stripMargin,
+
+    "text_bigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bb AS (
+        |  SELECT doc_id, lang,
+        |    unnest(toks[1:len(toks) - 1]) AS w1,
+        |    unnest(toks[2:len(toks)]) AS w2
+        |  FROM d),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bb GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |pd AS (
+        |  SELECT doc_id, lang,
+        |    round(avg(ln((c12 + 1) / CAST(c1 + v AS DOUBLE))), 9) AS lp
+        |  FROM bb JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id, lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(lp), 6) AS mean_logprob,
+        |  round(exp(-avg(lp)), 6) AS perplexity
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+        |sh AS (SELECT source, pow(n_tokens / CAST(tot AS DOUBLE), 0.5) AS tempered
+        |       FROM per, tot),
+        |z AS (SELECT max(tempered) AS mx FROM sh),
+        |rates AS (
+        |  SELECT source, round(tempered / mx * 0.9, 6) AS rate,
+        |    printf('%04x', CAST(floor(round(tempered / mx * 0.9, 6) * 65536) AS INT))
+        |      AS thr
+        |  FROM sh, z)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(rate) AS rate,
+        |  CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents JOIN rates USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "ts_peaks" ->
       """WITH daily AS (

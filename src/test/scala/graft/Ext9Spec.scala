@@ -152,6 +152,34 @@ class Ext9Spec extends AnyFunSuite {
     assert(ws.min >= shares.min - 1e-9)
   }
 
+  test("text_bigram_logprob: logprobs negative, perplexity consistent and above 1") {
+    val rows = q("text_bigram_logprob").collect()
+    assert(rows.length === 5)
+    for (r <- rows) {
+      val lp = r.getAs[Double]("mean_logprob")
+      val ppl = r.getAs[Double]("perplexity")
+      assert(lp < 0.0)
+      assert(ppl > 1.0)
+      assert(math.abs(ppl - math.exp(-lp)) < 0.01, s"ppl inconsistent: $r")
+    }
+  }
+
+  test("sample_temperature: kept fraction tracks the declared rate per source") {
+    val rows = q("sample_temperature").collect()
+    assert(rows.length === 20)
+    // md5 is uniform: observed keep fraction within a loose binomial
+    // band of the declared rate (25 docs/source at sf0.001 → wide band)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_docs"); val kept = r.getAs[Long]("n_kept")
+      val rate = r.getAs[Double]("rate")
+      val se = math.sqrt(rate * (1 - rate) / n)
+      assert(math.abs(kept.toDouble / n - rate) < 4 * se + 0.05,
+        s"keep fraction off: $r")
+    }
+    // the largest source is sampled at the 0.9 cap
+    assert(rows.map(_.getAs[Double]("rate")).max === 0.9)
+  }
+
   test("ts_peaks: every peak beats both neighbors with positive prominence") {
     val rows = q("ts_peaks").collect()
     assert(rows.forall(_.getAs[Double]("prominence") > 0.0))
