@@ -401,6 +401,9 @@ object Ext9Queries {
           "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
           .as("b"))
         .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        // consumed three times (count table, conditioning table, scoring
+        // join) — cache the one explode instead of recomputing it
+        .cache()
       val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val vocab = Tables.documents(s, dir)
