@@ -532,4 +532,50 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"candidate fetch must be a top-k:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"greedy steps must broadcast:\n$p")
   }
+
+  test("feat_zscore broadcasts the 3-row moment table — the fact side never shuffles") {
+    val p = plan("feat_zscore")
+    assert(p.contains("BroadcastHashJoin"), s"moments must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fact side must not shuffle for the join:\n$p")
+    // no window operator: the groupBy+join shape replaced the
+    // 3-giant-partition window
+    assert(!p.contains("Window"), s"z-score must not use a window:\n$p")
+  }
+
+  test("feat_bucketize and feat_target_encode broadcast their global statistics") {
+    for (q <- Seq("feat_bucketize", "feat_target_encode")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the one-row statistic must broadcast:\n$p")
+    }
+  }
+
+  test("sim_centroid_classify broadcasts the 10-row centroid table") {
+    val p = plan("sim_centroid_classify")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$p")
+  }
+
+  test("text_bigram_logprob broadcasts both vocabulary-bounded count tables") {
+    val p = plan("text_bigram_logprob")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"c12 and c1 joins must both be map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact-side shuffle join:\n$p")
+  }
+
+  test("sample_temperature: the per-source rate table broadcasts, keep is one hash") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+    assert(p.contains("md5"), s"keep decision must be the codegen md5 threshold:\n$p")
+  }
+
+  test("mm_frame_sample generates frame rows partition-locally (Generate, no extra shuffle)") {
+    val qe = SparkEntry.queries("mm_frame_sample")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("Generate"), s"frame expansion must be a Generate:\n$p")
+    // the only Exchange allowed is the final orderBy's range partitioning
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"frame sampling must not shuffle payloads:\n$p")
+  }
 }
