@@ -455,6 +455,58 @@ object Ext9Queries {
         .orderBy(col("source"))
     }),
 
+    // hierarchical ratio-to-parent report: nation revenue share within
+    // its region, region share of total — the drill-down report every
+    // BI layer ships. Revenue stays exact DECIMAL through both window
+    // sums (order-independent at any parallelism); the windows run over
+    // the 25-row aggregate, never facts
+    "agg_ratio_to_parent" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(Tables.dec2(col("o_totalprice"))).as("rev"))
+      val wr = Window.partitionBy(col("r_name"))
+      val wt = Window.partitionBy()
+      rev.select(col("r_name"), col("n_name"),
+          col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double") /
+            sum(col("rev")).over(wr).cast("double"), 6).as("share_of_region"),
+          round(sum(col("rev")).over(wr).cast("double") /
+            sum(col("rev")).over(wt).cast("double"), 6).as("region_share_of_total"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // bot-detection heuristics per user: burst rate (max events in any
+    // minute) and inter-arrival regularity (CV of gaps — machines are
+    // metronomic, humans are bursty-but-irregular); the flag compares
+    // 6dp-pinned values so both engines decide identically. The
+    // training-data cleaning gate before any engagement-based sampling
+    "events_bot_detect" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val perMin = e.groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id")).agg(max(col("c")).as("max_per_min"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = e.select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          avg(col("gap_us")).as("mean_gap"),
+          stddev_samp(col("gap_us")).as("sd_gap"))
+      val tot = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      tot.join(perMin, "user_id").join(gaps, "user_id")
+        .select(col("user_id"), col("n_events"), col("max_per_min"),
+          round(col("mean_gap") / 1000000, 3).as("mean_gap_s"),
+          round(col("sd_gap") / col("mean_gap"), 6).as("gap_cv"))
+        .withColumn("bot_flag",
+          col("max_per_min") >= 5 || col("gap_cv") < lit(0.1))
+        .orderBy(col("user_id"))
+    }),
+
     // local-peak detection on the daily value series: strict local
     // maxima vs both neighbors, with prominence over the higher
     // shoulder — lag/lead over the daily aggregate
@@ -783,6 +835,48 @@ object Ext9Queries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents JOIN rates USING (source)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "agg_ratio_to_parent" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE)
+        |    / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+        |    AS share_of_region,
+        |  round(CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    / CAST(sum(rev) OVER () AS DOUBLE), 6) AS region_share_of_total
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+
+    "events_bot_detect" ->
+      """WITH pm AS (
+        |  SELECT user_id, max(c) AS max_per_min FROM (
+        |    SELECT user_id, date_trunc('minute', ts) AS m,
+        |      CAST(count(*) AS BIGINT) AS c
+        |    FROM events GROUP BY user_id, m)
+        |  GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |gs AS (
+        |  SELECT user_id, avg(gap_us) AS mean_gap, stddev_samp(gap_us) AS sd_gap
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY user_id),
+        |tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |        FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, max_per_min,
+        |  round(mean_gap / 1000000, 3) AS mean_gap_s,
+        |  round(sd_gap / mean_gap, 6) AS gap_cv,
+        |  max_per_min >= 5 OR round(sd_gap / mean_gap, 6) < 0.1 AS bot_flag
+        |FROM tot JOIN pm USING (user_id) JOIN gs USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "ts_peaks" ->
       """WITH daily AS (

@@ -180,6 +180,30 @@ class Ext9Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Double]("rate")).max === 0.9)
   }
 
+  test("agg_ratio_to_parent: shares sum to 1 within each region and overall") {
+    val rows = q("agg_ratio_to_parent").collect()
+    assert(rows.length === 25)
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("r_name"))) {
+      assert(math.abs(rs.map(_.getAs[Double]("share_of_region")).sum - 1.0) < 1e-3)
+      // region share is constant within the region
+      assert(rs.map(_.getAs[Double]("region_share_of_total")).distinct.length === 1)
+    }
+    val regionShares = rows.groupBy(_.getAs[String]("r_name"))
+      .map(_._2.head.getAs[Double]("region_share_of_total")).sum
+    assert(math.abs(regionShares - 1.0) < 1e-3)
+  }
+
+  test("events_bot_detect covers every multi-event user with sane metrics") {
+    val rows = q("events_bot_detect").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("gap_cv") >= 0.0))
+    assert(rows.forall(_.getAs[Long]("max_per_min") >= 1L))
+    // flag definition holds row-wise
+    assert(rows.forall { r =>
+      r.getAs[Boolean]("bot_flag") ===
+        (r.getAs[Long]("max_per_min") >= 5 || r.getAs[Double]("gap_cv") < 0.1) })
+  }
+
   test("ts_peaks: every peak beats both neighbors with positive prominence") {
     val rows = q("ts_peaks").collect()
     assert(rows.forall(_.getAs[Double]("prominence") > 0.0))

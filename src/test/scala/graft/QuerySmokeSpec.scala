@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (423 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 423)
-    assert(SparkEntry.oracleSql.size >= 423)
+  test("declared inventory is complete (425 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 425)
+    assert(SparkEntry.oracleSql.size >= 425)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
