@@ -24,10 +24,16 @@ import org.apache.spark.sql.functions._
   *   partition; the groupBy+broadcast plan is one map-side-combined agg
   *   plus a codegen projection.
   * - feat_quantile_bin / sample_systematic: declared semantics need a
-  *   global total order (ntile / row_number). At 100 TB the same result
-  *   comes from range-partitioned rank (Spark's global sort) — here the
-  *   single-window form documents the semantics; the input is one
-  *   global sort either way.
+  *   global total order (ntile / row_number). A Window with no
+  *   PARTITION BY physically plans as Exchange SinglePartition — every
+  *   row funnels through one task (the measured 3.9x/3.2x at 10x data
+  *   reflects exactly that). The 100 TB path is NOT this plan: it is
+  *   an explicit rewrite — range-partition on the sort key (Spark's
+  *   global-sort exchange), compute per-partition local ranks, then add
+  *   broadcast per-partition offset counts to get the global rank — or
+  *   skip exact ranks entirely and bucketize on approx_percentile
+  *   cutpoints. The single-window form here documents the exact
+  *   semantics at test scale; at scale use the rewrite.
   * - ts_theil_sen: the pairwise-slope self-join is O(m²) in the number
   *   of AGGREGATED buckets (months), never in raw rows — the fact scan
   *   reduces to ~80 rows before the quadratic step. Same discipline as

@@ -389,9 +389,12 @@ object Ext9Queries {
     // add-one-smoothed bigram language model scored over its own
     // corpus: per-language mean bigram log-probability and perplexity —
     // the fluency/quality signal one tier above unigram logprob. The
-    // bigram and conditioning-count tables are vocabulary-bounded
-    // (~|V|²) so they BROADCAST; the fact-side explode is linear and
-    // the join is map-side at any corpus size
+    // count tables are capped by |V|² but in practice distinct bigrams
+    // grow roughly linearly with corpus size long before that
+    // saturates, so the broadcast is valid only while the distinct-
+    // bigram table fits the broadcast threshold; past it, drop the
+    // broadcast() hints and let the same plan run as a shuffle join on
+    // (w1, w2) / (w1) — the fact-side explode stays linear either way
     "text_bigram_logprob" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
