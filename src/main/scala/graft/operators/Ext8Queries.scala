@@ -283,6 +283,62 @@ object Ext8Queries {
         .orderBy(col("node"))
     }),
 
+    // degree-capped clustering coefficient — the 100 TB twin of
+    // graph_clustering_coef: mutual degree cap (each node keeps its 4
+    // lowest-id neighbors; an edge survives only if both endpoints keep
+    // it) bounds the capped graph's max degree at exactly cap, so
+    // triangle enumeration is ≤ n·cap² regardless of hub skew. Exact on
+    // nodes whose whole neighborhood is under the cap; truncated nodes
+    // carry capped = true plus their true degree so downstream knows
+    // the coefficient is computed on a subgraph. Deterministic — the
+    // oracle replays the identical capped subgraph
+    "graph_clustering_coef_capped" -> ((s, dir) => {
+      val cap = 4
+      val e = AnalyticsQueries.edges1996(s, dir)
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+        .cache()
+      val wA = Window.partitionBy(col("a")).orderBy(col("b"))
+      val keep = sym.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= cap).select(col("a"), col("b"))
+      val csym = keep
+        .join(keep.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+        .cache()
+      val degTrue = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      val degCap = csym.groupBy(col("a")).agg(count(lit(1)).as("dc"))
+      val ce = csym.filter(col("a") < col("b"))
+        .select(col("a").as("u"), col("b").as("v"))
+      val ordU = struct(col("du").as("d"), col("u").as("id"))
+      val ordV = struct(col("dv").as("d"), col("v").as("id"))
+      val oriented = ce
+        .join(degCap.select(col("a").as("u"), col("dc").as("du")), "u")
+        .join(degCap.select(col("a").as("v"), col("dc").as("dv")), "v")
+        .select(
+          when(ordU < ordV, col("u")).otherwise(col("v")).as("src"),
+          when(ordU < ordV, col("v")).otherwise(col("u")).as("dst"))
+      val adj = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val triNodes = oriented
+        .join(adj.select(col("src").as("u2"), col("nbrs").as("nu")), col("src") === col("u2"))
+        .join(adj.select(col("src").as("v2"), col("nbrs").as("nv")), col("dst") === col("v2"))
+        .select(col("src"), col("dst"),
+          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+        .select(explode(array(col("src"), col("dst"), col("w"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("t"))
+      degTrue
+        .join(degCap, Seq("a"), "left")
+        .join(triNodes.select(col("n").as("a"), col("t")), Seq("a"), "left")
+        .select(col("a").as("node"), col("d"),
+          (col("d") > cap).as("capped"),
+          coalesce(col("dc"), lit(0L)).as("d_capped"),
+          coalesce(col("t"), lit(0L)).as("n_triangles_capped"),
+          round(when(coalesce(col("dc"), lit(0L)) >= 2,
+            lit(2.0) * coalesce(col("t"), lit(0L))
+              / (col("dc") * (col("dc") - 1)))
+            .otherwise(lit(0.0)), 6).as("coef_capped"))
+        .orderBy(col("node"))
+    }),
+
     // 3 synchronous rounds of min-label propagation on the 1996 graph —
     // the Pregel superstep as join+groupBy(min); after k rounds every
     // node holds the minimum id within distance k (the first k steps of
@@ -327,6 +383,31 @@ object Ext8Queries {
       val a = embDouble(s, dir).select(col("vec_id").as("ia"), col("e").as("ea"))
       val b = embDouble(s, dir).select(col("vec_id").as("ib"), col("e").as("eb"))
       a.join(b, col("ia") < col("ib"))
+        .select(round(graft.functions.DotProduct.dot(col("ea"), col("eb")), 6).as("cos"))
+        .withColumn("bucket",
+          least(greatest(floor(col("cos") * 10), lit(-10L)), lit(9L)).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), round(avg(col("cos")), 6).as("avg_cos"))
+        .orderBy(col("bucket"))
+    }),
+
+    // the 100 TB form of sim_pair_hist: a deterministic hash-derived
+    // pair SAMPLE. Vectors are split into 16 groups by the first hex
+    // char of md5(vec_id) — the same content-hash discipline as
+    // sample_hash, so the oracle replays the identical sample — and
+    // only intra-group pairs are scored: n²/16 pairs here, and at scale
+    // the group count g grows with n (g ∝ n keeps pairs ~linear) while
+    // each group's pair scan is an independent, perfectly parallel
+    // bucket-local join (shuffle on the group key, never a global BNLJ).
+    // Same histogram schema as the exact tier plus the sampled-pair
+    // count; estimates converge at 1/√pairs
+    "sim_pair_hist_sampled" -> ((s, dir) => {
+      val g = substring(md5(col("vec_id").cast("string")), 1, 1)
+      val a = embDouble(s, dir)
+        .select(col("vec_id").as("ia"), col("e").as("ea"), g.as("grp"))
+      val b = embDouble(s, dir)
+        .select(col("vec_id").as("ib"), col("e").as("eb"), g.as("grp"))
+      a.join(b, Seq("grp")).filter(col("ia") < col("ib"))
         .select(round(graft.functions.DotProduct.dot(col("ea"), col("eb")), 6).as("cos"))
         .withColumn("bucket",
           least(greatest(floor(col("cos") * 10), lit(-10L)), lit(9L)).cast("int"))
@@ -527,6 +608,36 @@ object Ext8Queries {
         |FROM deg LEFT JOIN pn ON deg.n = pn.n
         |ORDER BY node""".stripMargin,
 
+    "graph_clustering_coef_capped" ->
+      s"""WITH $edges1996Sql,
+        |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |rk AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn
+        |       FROM sym),
+        |keep AS (SELECT a, b FROM rk WHERE rn <= 4),
+        |csym AS (SELECT k1.a, k1.b FROM keep k1
+        |         JOIN keep k2 ON k1.a = k2.b AND k1.b = k2.a),
+        |degt AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a),
+        |degc AS (SELECT a, CAST(count(*) AS BIGINT) AS dc FROM csym GROUP BY a),
+        |ce AS (SELECT a AS u, b AS v FROM csym WHERE a < b),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |        FROM ce e1
+        |        JOIN ce e2 ON e1.v = e2.u
+        |        JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT n, CAST(count(*) AS BIGINT) AS t
+        |       FROM (SELECT x AS n FROM tri UNION ALL
+        |             SELECT y FROM tri UNION ALL
+        |             SELECT z FROM tri)
+        |       GROUP BY n)
+        |SELECT degt.a AS node, degt.d, degt.d > 4 AS capped,
+        |  coalesce(degc.dc, 0) AS d_capped,
+        |  coalesce(pn.t, 0) AS n_triangles_capped,
+        |  round(CASE WHEN coalesce(degc.dc, 0) >= 2
+        |    THEN 2.0 * coalesce(pn.t, 0) / (degc.dc * (degc.dc - 1))
+        |    ELSE 0.0 END, 6) AS coef_capped
+        |FROM degt LEFT JOIN degc ON degt.a = degc.a
+        |  LEFT JOIN pn ON degt.a = pn.n
+        |ORDER BY node""".stripMargin,
+
     "graph_label_prop" ->
       s"""WITH $edges1996Sql,
         |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
@@ -560,6 +671,20 @@ object Ext8Queries {
         |  SELECT round(list_sum(list_transform(range(1, 65),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT CAST(least(greatest(floor(cos * 10), -10), 9) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(cos), 6) AS avg_cos
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "sim_pair_hist_sampled" ->
+      """WITH g AS (
+        |  SELECT vec_id, embedding,
+        |    substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS grp
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT round(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) AS cos
+        |  FROM g a JOIN g b ON a.grp = b.grp AND a.vec_id < b.vec_id)
         |SELECT CAST(least(greatest(floor(cos * 10), -10), 9) AS INT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_pairs,
         |  round(avg(cos), 6) AS avg_cos

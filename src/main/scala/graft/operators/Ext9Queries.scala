@@ -124,6 +124,43 @@ object Ext9Queries {
         .orderBy(col("node"))
     }),
 
+    // degree-capped 2-hop reach — the 100 TB form SCALE.md prescribes
+    // for the wedge join: each node keeps only its cap lowest-id
+    // neighbors, and an edge survives only if BOTH endpoints keep it
+    // (mutual cap), so the capped graph's max degree is exactly cap and
+    // the wedge join is bounded by n·cap² instead of Σd² (hub nodes no
+    // longer explode the join). Exact when no node exceeds the cap;
+    // truncated nodes are flagged in-band (capped = true) with the true
+    // degree reported, so a consumer knows which reach values are
+    // lower bounds. Deterministic (lowest-id neighbors, no sampling) —
+    // the oracle replays the identical subgraph
+    "graph_two_hop_capped" -> ((s, dir) => {
+      val cap = 4
+      val e = AnalyticsQueries.edges1996(s, dir)
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+        .cache()
+      val wA = Window.partitionBy(col("a")).orderBy(col("b"))
+      val keep = sym.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= cap).select(col("a"), col("b"))
+      val csym = keep
+        .join(keep.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+        .cache()
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      val two = csym.as("e1")
+        .join(csym.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e2.b").as("r"))
+        .filter(col("a") =!= col("r"))
+      val reach = csym.select(col("a"), col("b").as("r")).unionAll(two)
+        .distinct()
+        .groupBy(col("a")).agg(count(lit(1)).as("r2"))
+      deg.join(reach, Seq("a"), "left")
+        .select(col("a").as("node"), col("d"),
+          (col("d") > cap).as("capped"),
+          coalesce(col("r2"), lit(0L)).as("reach2_capped"))
+        .orderBy(col("node"))
+    }),
+
     // referential-integrity audit across every FK edge of the schema:
     // per edge, child row count + orphan count + pass flag — each edge
     // is one anti-join aggregated to a single row
@@ -587,6 +624,28 @@ object Ext9Queries {
         |        / CAST(count(*) AS DOUBLE), 6) AS accuracy
         |FROM best WHERE rk = 1
         |GROUP BY label ORDER BY label""".stripMargin,
+
+    "graph_two_hop_capped" ->
+      s"""WITH $edges1996Sql,
+        |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |rk AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn
+        |       FROM sym),
+        |keep AS (SELECT a, b FROM rk WHERE rn <= 4),
+        |csym AS (SELECT k1.a, k1.b FROM keep k1
+        |         JOIN keep k2 ON k1.a = k2.b AND k1.b = k2.a),
+        |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a),
+        |reach AS (
+        |  SELECT a, CAST(count(*) AS BIGINT) AS r2 FROM (
+        |    SELECT DISTINCT a, r FROM (
+        |      SELECT a, b AS r FROM csym
+        |      UNION ALL
+        |      SELECT e1.a, e2.b AS r FROM csym e1 JOIN csym e2 ON e1.b = e2.a
+        |      WHERE e1.a <> e2.b))
+        |  GROUP BY a)
+        |SELECT deg.a AS node, deg.d, deg.d > 4 AS capped,
+        |  coalesce(reach.r2, 0) AS reach2_capped
+        |FROM deg LEFT JOIN reach ON deg.a = reach.a
+        |ORDER BY node""".stripMargin,
 
     "graph_two_hop" ->
       s"""WITH $edges1996Sql,

@@ -185,6 +185,20 @@ object LlmQueries {
       graft.api.DedupOps.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // containment at scale: prefix-filtered candidates (ppjoin
+    // discipline — rarest-token prefixes against the inverted index)
+    // then exact verify. Chosen over a minhash composition because
+    // P[band collision] tracks JACCARD, which is low exactly for the
+    // size-asymmetric high-containment pairs this operator exists to
+    // catch — LSH can't bound recall here; the prefix filter's recall
+    // is provably 1, so the output is bit-identical to dedup_containment
+    // (same oracle) with candidate volume linear in rare-token
+    // co-occurrence instead of n². See DedupOps.containmentPairsFiltered.
+    "dedup_containment_filtered" -> ((s, dir) =>
+      graft.api.DedupOps.containmentPairsFiltered(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
     // incremental dedup — the nightly-crawl shape: a "new batch"
     // (doc_id % 10 == 0) is scored against the existing corpus, and
     // ONLY new×corpus pairs are produced. At 100 TB this is the
@@ -895,6 +909,23 @@ object LlmQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_containment" ->
+      s"""WITH $tokenBitmaskCte,
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(a.bm & b.bm) AS inter
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |FROM cand
+        |  JOIN s sa ON sa.doc_id = cand.id_a
+        |  JOIN s sb ON sb.doc_id = cand.id_b
+        |WHERE inter * 10 >= least(sa.n, sb.n) * 9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the prefix filter has recall 1 by construction, so the scale
+    // composition's output must equal the exact tier's, pair for pair —
+    // the oracle is the same full-pair containment SQL
+    "dedup_containment_filtered" ->
       s"""WITH $tokenBitmaskCte,
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

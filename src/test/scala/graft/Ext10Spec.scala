@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior specs for the round-12 scale-twin batch: prefix-filtered
+  * containment, sampled pair histogram, degree-capped graph variants.
+  */
+class Ext10Spec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("dedup_containment_filtered equals the exact tier pair-for-pair (recall 1)") {
+    val exact = operators.LlmQueries.queries("dedup_containment")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val filt = operators.LlmQueries.queries("dedup_containment_filtered")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(filt === exact)
+  }
+
+  test("containmentPairsFiltered prefix completeness holds on an adversarial subset") {
+    // quote/subset shape: doc A is a strict subset of doc B with very
+    // different sizes (low Jaccard — the pairs minhash banding misses)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma " + (1 to 60).map(i => s"w$i").mkString(" ")),
+      (3L, "zeta eta theta iota"),
+      (4L, (1 to 50).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = api.DedupOps.containmentPairsFiltered(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // C(1,2) = 3/3 = 1.0 ≥ 0.9 even though J = 3/63 ≈ 0.05
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("sim_pair_hist_sampled buckets are a subset consistent with the exact tier") {
+    val exact = operators.Ext8Queries.queries("sim_pair_hist")(spark, sf)
+      .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("n_pairs")).toMap
+    val sampled = operators.Ext8Queries.queries("sim_pair_hist_sampled")(spark, sf)
+      .collect()
+    assert(sampled.nonEmpty)
+    for (r <- sampled) {
+      val b = r.getAs[Int]("bucket")
+      assert(exact.contains(b), s"sampled bucket $b absent from exact histogram")
+      assert(r.getAs[Long]("n_pairs") <= exact(b),
+        s"sampled count exceeds exact in bucket $b")
+    }
+    // the sample is a real subsample, not the full pair set
+    assert(sampled.map(_.getAs[Long]("n_pairs")).sum <
+      exact.values.sum)
+  }
+
+  test("graph_two_hop_capped: capped reach never exceeds uncapped, exact under cap") {
+    val un = operators.Ext9Queries.queries("graph_two_hop")(spark, sf)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("reach2")).toMap
+    val cp = operators.Ext9Queries.queries("graph_two_hop_capped")(spark, sf).collect()
+    assert(cp.nonEmpty)
+    assert(cp.exists(_.getAs[Boolean]("capped")),
+      "test graph should have at least one node over the cap")
+    for (r <- cp) {
+      val node = r.getAs[Long]("node")
+      assert(r.getAs[Long]("reach2_capped") <= un(node),
+        s"capped reach exceeds uncapped at node $node")
+    }
+  }
+
+  test("graph_clustering_coef_capped: d_capped <= min(d, cap); coef in [0,1]") {
+    val rows = operators.Ext8Queries.queries("graph_clustering_coef_capped")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val d = r.getAs[Long]("d")
+      val dc = r.getAs[Long]("d_capped")
+      assert(dc <= math.min(d, 4L))
+      assert(r.getAs[Boolean]("capped") === (d > 4))
+      val c = r.getAs[Double]("coef_capped")
+      assert(c >= 0.0 && c <= 1.0 + 1e-9)
+    }
+    // a node under the cap in a fully-kept neighborhood matches the
+    // uncapped coefficient: verify on nodes where d == d_capped and all
+    // neighbors also uncapped is subtle — instead pin triangle symmetry:
+    // total corner count is divisible by 3
+    val totalCorners = rows.map(_.getAs[Long]("n_triangles_capped")).sum
+    assert(totalCorners % 3 === 0)
+  }
+}
