@@ -119,20 +119,5 @@ private[lake] class DvMaskedRelation(ctx: SQLContext, t: LakeTable,
     projected.rdd
   }
 
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
-    case GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
-    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
-    case LessThan(a, v) => Some(F.col(a) < F.lit(v))
-    case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
-    case In(a, vs) => Some(F.col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(F.col(a).isNull)
-    case IsNotNull(a) => Some(F.col(a).isNotNull)
-    case And(l, r) =>
-      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
-    case Or(l, r) =>
-      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
-    case Not(c) => toColumn(c).map(!_)
-    case _ => None
-  }
+  private def toColumn(f: Filter): Option[Column] = LakeFilters.toColumn(f)
 }

@@ -208,6 +208,12 @@ object LakeDmlRule {
           case d: DvMaskedRelation => Some(LakeDmlTarget(d.tablePath, ident))
           case _ => None
         }
+      // UPDATE / MERGE over a GraftCatalog-resolved v2 table: same
+      // rewrite, no v1 relation cache to refresh (v2 idents re-resolve
+      // through loadTable on every query, so reads see the new snapshot)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[LakeDsv2Table] =>
+        Some(LakeDmlTarget(r.table.asInstanceOf[LakeDsv2Table].tablePath, None))
     }.flatten
 
   /** Unbind resolved attribute references to by-name lookups and wrap

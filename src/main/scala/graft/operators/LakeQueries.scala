@@ -804,6 +804,49 @@ object LakeQueries {
           lit(ledgerOk).as("ledger_ok"))
     }),
 
+    // DSv2 TableCatalog lifecycle (graft.lake.GraftCatalog): CREATE
+    // TABLE / INSERT INTO / native SupportsDelete DELETE / UPDATE and
+    // 3-arm MERGE (v2-rule fallback) / native VERSION AS OF time travel
+    // — all through catalog identifiers, no paths in the SQL. The final
+    // read must plan as a v2 BatchScan (vectorized parquet over the
+    // manifest index), pinned in-band; the commit ledger proves each
+    // statement landed as exactly one lake commit.
+    "lake_catalog_sql" -> ((s, dir) => {
+      val wh = tablePath("catalog_wh")
+      wipe(wh)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh))
+      s.conf.set("spark.sql.catalog.graft_rt_cat", "graft.lake.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_rt_cat.warehouse", wh)
+      s.sql("CREATE TABLE graft_rt_cat.t (k BIGINT, status STRING, price DECIMAL(15,2))")
+      base(s, dir).createOrReplaceTempView("lake_cat_base")
+      s.sql("INSERT INTO graft_rt_cat.t SELECT k, status, price FROM lake_cat_base")
+      val vFull = LakeTable.forPath(s, s"$wh/t").currentVersion
+      s.sql("DELETE FROM graft_rt_cat.t WHERE k % 13 = 0")
+      s.sql("UPDATE graft_rt_cat.t SET price = price + 10.0 WHERE k % 7 = 0")
+      base(s, dir).filter(col("k") % 10 === 0)
+        .select(col("k"), lit("U").as("status"),
+          (col("price") + 100.0).as("price"))
+        .createOrReplaceTempView("lake_cat_src")
+      s.sql("""MERGE INTO graft_rt_cat.t t USING lake_cat_src sb ON t.k = sb.k
+        WHEN MATCHED AND sb.k % 20 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET k = sb.k, status = sb.status, price = sb.price
+        WHEN NOT MATCHED THEN INSERT (k, status, price) VALUES (sb.k, sb.status, sb.price)""")
+      val nAtFull = s.sql(
+        s"SELECT count(*) FROM graft_rt_cat.t VERSION AS OF $vFull").head().getLong(0)
+      val ops = LakeTable.forPath(s, s"$wh/t").history().map(_.operation)
+      val ledgerOk = ops == Seq("create", "append", "delete", "update", "merge")
+      val finalRead = s.table("graft_rt_cat.t")
+      val v2ScanOk = finalRead.queryExecution.executedPlan.toString.contains("BatchScan")
+      finalRead.agg(
+          count(lit(1)).as("n_rows"),
+          count_if(col("status") === "U").as("n_updated"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("n_updated"), col("total_price"),
+          lit(nAtFull).as("n_at_insert_version"),
+          lit(ledgerOk).as("ledger_ok"),
+          lit(v2ScanOk).as("v2_scan_ok"))
+    }),
+
     // PARTITIONED lake table: every write splits its files by the
     // partition column's values (partition columns stay stored in the
     // data files; the manifest — not a directory scheme — is the
@@ -1279,6 +1322,32 @@ object LakeQueries {
         |  count(*) FILTER (WHERE status = 'U') AS n_updated,
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  true AS ledger_ok
+        |FROM final""".stripMargin,
+
+    "lake_catalog_sql" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |s2 AS (
+        |  SELECT k, status,
+        |    CASE WHEN k % 7 = 0 THEN price + 10.0 ELSE price END AS price
+        |  FROM base WHERE k % 13 <> 0),
+        |src AS (
+        |  SELECT k, 'U' AS status, price + 100.0 AS price
+        |  FROM base WHERE k % 10 = 0),
+        |final AS (
+        |  SELECT * FROM s2 WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT * FROM src WHERE k % 13 <> 0 AND k % 20 <> 0
+        |  UNION ALL
+        |  SELECT * FROM src WHERE k % 13 = 0)
+        |SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE status = 'U') AS n_updated,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  (SELECT count(*) FROM base) AS n_at_insert_version,
+        |  true AS ledger_ok,
+        |  true AS v2_scan_ok
         |FROM final""".stripMargin,
 
     "lake_partition_prune" ->

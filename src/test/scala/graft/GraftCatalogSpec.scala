@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.LakeTable
+
+/** DSv2 TableCatalog over graft.lake (graft.lake.GraftCatalog): SQL DDL,
+  * DataFrameWriterV2, native DELETE via SupportsDelete, UPDATE/MERGE via
+  * the extended rule fallback, native VERSION AS OF via
+  * loadTable(ident, version), and both read tiers (vectorized v2
+  * ParquetScan with manifest pruning; V1Scan fallback under deletion
+  * vectors).
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+  private val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val d = Files.createTempDirectory("graft_cat_wh").toFile
+    d.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.graft_test", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_test.warehouse", d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  private def kv(r: Range) = r.toDF("k")
+    .select(col("k").cast("long").as("k"), (col("k") % 7).cast("long").as("v"))
+
+  test("CREATE TABLE + INSERT INTO + SELECT through the catalog") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_test.ns1")
+    spark.sql("CREATE TABLE graft_test.ns1.t1 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft_test.ns1.t1 SELECT id AS k, id % 7 AS v FROM range(1, 101)")
+    assert(spark.sql("SELECT count(*) FROM graft_test.ns1.t1").head().getLong(0) === 100)
+    spark.sql("INSERT INTO graft_test.ns1.t1 VALUES (1000, 3)")
+    assert(spark.sql("SELECT count(*) FROM graft_test.ns1.t1").head().getLong(0) === 101)
+    // INSERT OVERWRITE truncates then writes
+    spark.sql("INSERT OVERWRITE graft_test.ns1.t1 SELECT id, id % 3 FROM range(1, 11)")
+    assert(spark.sql("SELECT count(*) FROM graft_test.ns1.t1").head().getLong(0) === 10)
+  }
+
+  test("catalog read plans a v2 BatchScan with pushed filters and manifest pruning") {
+    warehouse
+    val path = s"$warehouse/ns2/pruned"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_test.ns2")
+    LakeTable.create(spark, path,
+      kv(1 to 400).repartitionByRange(4, col("k")), Seq("k"))
+    val q = spark.sql("SELECT k, v FROM graft_test.ns2.pruned WHERE k <= 50")
+    assert(q.count() === 50)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("BatchScan"), s"expected a v2 BatchScan:\n$physical")
+    assert(physical.contains("PushedFilters") || physical.contains("LessThanOrEqual"),
+      s"filter must reach the parquet scan:\n$physical")
+    // manifest-stats pruning: only 1 of the 4 range-clustered files read
+    val files = q.queryExecution.executedPlan.collectLeaves().head
+      .metrics.get("numFiles").map(_.value)
+    files.foreach(n => assert(n <= 1, s"manifest pruning should keep 1 file, read $n"))
+  }
+
+  test("DataFrameWriterV2 create / append / overwrite") {
+    warehouse
+    kv(1 to 50).writeTo("graft_test.w2t").create()
+    assert(spark.table("graft_test.w2t").count() === 50)
+    kv(51 to 60).writeTo("graft_test.w2t").append()
+    assert(spark.table("graft_test.w2t").count() === 60)
+    // CTAS via SQL as well
+    spark.sql("CREATE TABLE graft_test.w2ctas AS SELECT * FROM graft_test.w2t WHERE k <= 10")
+    assert(spark.table("graft_test.w2ctas").count() === 10)
+  }
+
+  test("DELETE FROM resolves natively through SupportsDelete") {
+    warehouse
+    kv(1 to 100).writeTo("graft_test.delt").create()
+    spark.sql("DELETE FROM graft_test.delt WHERE k <= 40")
+    assert(spark.table("graft_test.delt").count() === 60)
+    // the lake history carries the copy-on-write delete commit
+    val t = LakeTable.forPath(spark, s"$warehouse/delt")
+    assert(t.history().exists(_.operation == "delete"))
+  }
+
+  test("UPDATE and MERGE run through the v2-extended rule fallback") {
+    warehouse
+    kv(1 to 100).writeTo("graft_test.dmlt").create()
+    spark.sql("UPDATE graft_test.dmlt SET v = v + 100 WHERE k <= 10")
+    assert(spark.table("graft_test.dmlt").filter(col("v") >= 100).count() === 10)
+    kv(90 to 110).createOrReplaceTempView("dml_src")
+    spark.sql(
+      """MERGE INTO graft_test.dmlt t USING dml_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(spark.table("graft_test.dmlt").count() === 110)
+    // matched rows took the source value back (v = k % 7)
+    assert(spark.table("graft_test.dmlt")
+      .filter(col("k") === 95 && col("v") === 95 % 7).count() === 1)
+  }
+
+  test("VERSION AS OF resolves natively via loadTable(ident, version)") {
+    warehouse
+    kv(1 to 30).writeTo("graft_test.ttt").create()
+    val t = LakeTable.forPath(spark, s"$warehouse/ttt")
+    val v1 = t.currentVersion
+    kv(31 to 60).writeTo("graft_test.ttt").append()
+    assert(spark.sql(s"SELECT count(*) FROM graft_test.ttt VERSION AS OF $v1")
+      .head().getLong(0) === 30)
+    assert(spark.table("graft_test.ttt").count() === 60)
+  }
+
+  test("deletion-vector snapshots read through the V1Scan fallback") {
+    warehouse
+    kv(1 to 100).writeTo("graft_test.dvt").create()
+    val t = LakeTable.forPath(spark, s"$warehouse/dvt")
+    t.deleteWhereMoR(col("k") <= 20) // merge-on-read: DV sidecar, files untouched
+    val df = spark.table("graft_test.dvt").filter(col("k") <= 50)
+    assert(df.count() === 30)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("BatchScanExec(ParquetScan"),
+      s"DV snapshot must not serve the raw parquet tier:\n$physical")
+  }
+
+  test("table lifecycle: exists, list, rename, drop") {
+    warehouse
+    kv(1 to 5).writeTo("graft_test.lc1").create()
+    assert(spark.sql("SHOW TABLES IN graft_test").collect()
+      .exists(_.getString(1) == "lc1"))
+    // the RENAME TO target resolves inside the table's catalog — an
+    // unqualified name stays in the same (root) namespace
+    spark.sql("ALTER TABLE graft_test.lc1 RENAME TO lc2")
+    assert(spark.table("graft_test.lc2").count() === 5)
+    spark.sql("DROP TABLE graft_test.lc2")
+    assert(!spark.sql("SHOW TABLES IN graft_test").collect()
+      .exists(_.getString(1) == "lc2"))
+  }
+}
