@@ -38,6 +38,11 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType,
 class LakeFileIndex private[lake] (sparkSession: SparkSession,
     private[lake] val tablePath: String, m: Manifest) extends FileIndex {
 
+  /** The planned snapshot's manifest — read by [[LakeCboStatsRule]] to
+    * surface rowCount and per-column bounds to the optimizer.
+    */
+  private[lake] def manifestSnapshot: Manifest = m
+
   // the index plans what the FILES store: PHYSICAL field names (stable
   // across renames under column mapping); [[LakeTable.scanVersion]]
   // aliases the logical names on top. Stats are keyed physically too,

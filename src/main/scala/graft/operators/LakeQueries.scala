@@ -847,6 +847,56 @@ object LakeQueries {
           lit(v2ScanOk).as("v2_scan_ok"))
     }),
 
+    // manifest statistics → CBO (graft.lake.LakeCboStatsRule): the lake
+    // relation carries exact rowCount + per-column bounds folded from
+    // the manifest, so under spark.sql.cbo.enabled a RANGE-FILTERED fact
+    // gets a realistically small estimate and BROADCASTS UNHINTED in a
+    // lake×lake join — while the same-shaped filter on a column without
+    // manifest stats cannot shrink and stays a sort-merge join. Both
+    // plan shapes are pinned in-band; the data result is the join the
+    // oracle replays over plain parquet. Zero I/O for the estimate: the
+    // manifest already holds the numbers.
+    "lake_cbo_broadcast" -> ((s, dir) => {
+      val pathA = tablePath("lake_cbo_a"); wipe(pathA)
+      val pathB = tablePath("lake_cbo_b"); wipe(pathB)
+      val b = base(s, dir)
+      LakeTable.create(s, pathA, b, Seq("k"))
+      LakeTable.create(s, pathB, b, Seq("k"))
+      s.sql("DROP TABLE IF EXISTS lake_cbo_a")
+      s.sql("DROP TABLE IF EXISTS lake_cbo_b")
+      s.sql(s"CREATE TABLE lake_cbo_a USING graft.lake OPTIONS (path '$pathA')")
+      s.sql(s"CREATE TABLE lake_cbo_b USING graft.lake OPTIONS (path '$pathB')")
+      val oldThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val oldCbo = s.conf.get("spark.sql.cbo.enabled")
+      try {
+        // the threshold must sit BETWEEN the ~1% slice estimate and the
+        // full-fact estimate at every scale factor — a tenth of the
+        // CBO's full-table estimate (rowCount × ~48B width) does that
+        val nFact = b.count()
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          math.max(4096L, nFact * 48 / 10).toString)
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        val maxK = b.agg(max(col("k"))).head().getLong(0)
+        val cut = maxK / 100 // ~1% slice: small estimate from the bounds
+        val q = s.table("lake_cbo_a").filter(col("k") <= cut).select(col("k"))
+          .join(s.table("lake_cbo_b"), "k")
+        val bhjOk = q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+        val control = s.table("lake_cbo_a").filter(col("status") =!= "?")
+          .select(col("k"))
+          .join(s.table("lake_cbo_b"), "k")
+        val smjControl = control.queryExecution.executedPlan.toString
+          .contains("SortMergeJoin")
+        q.agg(count(lit(1)).as("n_rows"),
+            sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+          .select(col("n_rows"), col("total_price"),
+            lit(bhjOk).as("bhj_from_stats"),
+            lit(smjControl).as("smj_without_stats"))
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+        s.conf.set("spark.sql.cbo.enabled", oldCbo)
+      }
+    }),
+
     // PARTITIONED lake table: every write splits its files by the
     // partition column's values (partition columns stay stored in the
     // data files; the manifest — not a directory scheme — is the
@@ -1323,6 +1373,17 @@ object LakeQueries {
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  true AS ledger_ok
         |FROM final""".stripMargin,
+
+    "lake_cbo_broadcast" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS bhj_from_stats,
+        |  true AS smj_without_stats
+        |FROM base WHERE k <= (SELECT max(k) // 100 FROM base)""".stripMargin,
 
     "lake_catalog_sql" ->
       """WITH base AS (

@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // BEFORE the main resolution (ResolveRelations rejects v1 time
     // travel outright), so it rides the hint-resolution batch
     e.injectHintResolutionRule(s => graft.lake.LakeTimeTravelRule(s))
+    // manifest statistics (exact rowCount + per-column bounds) into the
+    // CBO: lake relations stop being size-only black boxes, so filtered
+    // facts broadcast unhinted when the estimated slice is small
+    e.injectOptimizerRule(s => graft.lake.LakeCboStatsRule(s))
   }
 }
 
