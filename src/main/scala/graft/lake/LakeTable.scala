@@ -1007,15 +1007,48 @@ class LakeTable private (spark: SparkSession, val path: String) {
     * data file no retained manifest references (including orphans from
     * crashed/lost-race writers). Returns the deleted file names.
     */
-  def vacuum(retainVersions: Int): Seq[String] = {
+  def vacuum(retainVersions: Int): Seq[String] =
+    vacuum(retainVersions, OrphanGraceMs)
+
+  /** [[vacuum]] with an explicit orphan grace window. Two deletion
+    * categories with different safety proofs:
+    *
+    *  1. Files referenced by a DROPPED manifest and by no retained one
+    *     — always safe to delete immediately: a committing writer only
+    *     references its own freshly staged files plus files carried
+    *     from the manifest it (re)based on, and both the clean-win and
+    *     the rebase path base on the current head, which `retain >= 1`
+    *     always keeps. A time-travel reader of a dropped version gets a
+    *     clear missing-file/missing-version error, never partial rows
+    *     (see LakeGcSpec).
+    *  2. Files referenced by NO manifest at all. These are either
+    *     crash orphans (safe to delete) or — the race this grace window
+    *     exists for — a concurrent writer's staged-but-not-yet-committed
+    *     files, which [[stage]] moves into the table root BEFORE the
+    *     manifest commit. Deleting those would corrupt the table the
+    *     moment the writer commits, so unreferenced files are reclaimed
+    *     only once older than `orphanGraceMs` (default 10 min, the
+    *     Delta-style retention discipline scaled to staging latency; a
+    *     staging pass that outlives the grace window should raise it).
+    */
+  def vacuum(retainVersions: Int, orphanGraceMs: Long): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the current version")
     val vs = listVersions.sorted
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainVersions))
     val referenced = keep.flatMap { v =>
       manifest(v).files.flatMap(f => f.name +: f.dv)
     }.toSet
+    val droppedRefs = drop.flatMap { v =>
+      manifest(v).files.flatMap(f => f.name +: f.dv)
+    }.toSet
+    val now = System.currentTimeMillis()
     val dataDead = Option(new File(path).list((_, n) => n.endsWith(".parquet")))
-      .getOrElse(Array.empty[String]).toSeq.filterNot(referenced)
+      .getOrElse(Array.empty[String]).toSeq
+      .filterNot(referenced)
+      .filter { n =>
+        droppedRefs(n) ||
+          now - new File(path, n).lastModified() >= orphanGraceMs
+      }
     dataDead.foreach(n => Files.deleteIfExists(Paths.get(path, n)))
     drop.foreach(v => Files.deleteIfExists(logDir.resolve(f"v$v%08d.manifest")))
     Option(logDir.toFile.list((_, n) => n.startsWith(".tmp_")))
@@ -1462,6 +1495,11 @@ class CheckViolationException(name: String, exprSql: String, where: String)
 
 object LakeTable {
   private[lake] val LogDir = "_graft_log"
+
+  /** Default vacuum grace for never-referenced files — long enough that
+    * any in-flight staging pass has committed its manifest.
+    */
+  val OrphanGraceMs: Long = 10L * 60 * 1000
 
   private[lake] def isIntegral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true

@@ -170,7 +170,15 @@ class LakeSpec extends AnyFunSuite {
       .find(_.getName.endsWith(".parquet")).get
     Files.move(part.toPath, Paths.get(path, "part-deadbeef0000-00000.parquet"))
     assert(contents(LakeTable.forPath(spark, path)) == before)
-    // vacuum collects the orphan
+    // a FRESH unreferenced file is indistinguishable from a concurrent
+    // writer's staged-not-yet-committed output — vacuum must leave it
+    val spared = t.vacuum(retainVersions = 1)
+    assert(!spared.contains("part-deadbeef0000-00000.parquet"))
+    assert(Files.exists(Paths.get(path, "part-deadbeef0000-00000.parquet")))
+    // once older than the orphan grace window it is a true crash orphan
+    // and vacuum collects it
+    new File(path, "part-deadbeef0000-00000.parquet")
+      .setLastModified(System.currentTimeMillis() - LakeTable.OrphanGraceMs - 1000)
     val deleted = t.vacuum(retainVersions = 1)
     assert(deleted.contains("part-deadbeef0000-00000.parquet"))
     assert(contents(t) == before)
