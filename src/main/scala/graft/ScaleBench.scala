@@ -158,7 +158,12 @@ object ScaleBench {
     "graph_two_hop", "emb_dim_stats", "sim_centroid_classify",
     "emb_norm_qc", "events_mutual_info", "text_burstiness",
     "orders_cohort_ltv", "domain_mix_temperature", "ts_theil_sen",
-    "sample_systematic")
+    "sample_systematic",
+    // round-12 scale twins: adaptive-group pair sampling (~125 vectors
+    // per md5-prefix group, so sampled pairs stay ~n·62 — linear) and
+    // the mutually degree-capped graph variants (work ≤ n·cap²)
+    "sim_pair_hist_sampled", "graph_two_hop_capped",
+    "graph_clustering_coef_capped")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/
@@ -181,7 +186,13 @@ object ScaleBench {
     "dedup_semantic",
     // round-11: all-pairs cosine histogram — the declared exact-tier
     // diagnostic (pair sampling is its 100 TB form)
-    "sim_pair_hist")
+    "sim_pair_hist",
+    // round-12: prefix-filtered containment — candidates are lower-
+    // bounded by the TRUE qualifying-pair count, which this synthesis
+    // scales LINEARLY (within-copy structure repeats), so expect ~2x at
+    // 2x data where the exact dedup_containment scan shows ~4x — the
+    // measured contrast that motivates the twin
+    "dedup_containment_filtered")
 
   // lake-format family: each declared query BUILDS its table from the
   // scaled orders/documents inside the timed region (the documented

@@ -392,17 +392,22 @@ object Ext8Queries {
     }),
 
     // the 100 TB form of sim_pair_hist: a deterministic hash-derived
-    // pair SAMPLE. Vectors are split into 16 groups by the first hex
-    // char of md5(vec_id) — the same content-hash discipline as
-    // sample_hash, so the oracle replays the identical sample — and
-    // only intra-group pairs are scored: n²/16 pairs here, and at scale
-    // the group count g grows with n (g ∝ n keeps pairs ~linear) while
-    // each group's pair scan is an independent, perfectly parallel
-    // bucket-local join (shuffle on the group key, never a global BNLJ).
-    // Same histogram schema as the exact tier plus the sampled-pair
-    // count; estimates converge at 1/√pairs
+    // pair SAMPLE. Vectors split into md5-prefix groups (the same
+    // content-hash discipline as sample_hash, so the oracle replays the
+    // identical sample) and only intra-group pairs are scored. The
+    // group count GROWS WITH n on an exact integer ladder (prefix
+    // length p = min p with 16^p ≥ n/125, i.e. ~125 vectors per group —
+    // integer thresholds, not a float log, so both engines always pick
+    // the same p), which keeps sampled pairs ~n·62 — LINEAR — while
+    // each group's pair scan is an independent bucket-local join
+    // (shuffle on the group key, never a global BNLJ). Same histogram
+    // schema as the exact tier; estimates converge at 1/√pairs
     "sim_pair_hist_sampled" -> ((s, dir) => {
-      val g = substring(md5(col("vec_id").cast("string")), 1, 1)
+      val n = Tables.embeddings(s, dir).count()
+      val prefLen =
+        if (n <= 2000L) 1 else if (n <= 32000L) 2
+        else if (n <= 512000L) 3 else 4
+      val g = substring(md5(col("vec_id").cast("string")), 1, prefLen)
       val a = embDouble(s, dir)
         .select(col("vec_id").as("ia"), col("e").as("ea"), g.as("grp"))
       val b = embDouble(s, dir)
@@ -677,9 +682,14 @@ object Ext8Queries {
         |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "sim_pair_hist_sampled" ->
-      """WITH g AS (
+      """WITH pl AS (
+        |  SELECT CASE WHEN count(*) <= 2000 THEN 1
+        |              WHEN count(*) <= 32000 THEN 2
+        |              WHEN count(*) <= 512000 THEN 3 ELSE 4 END AS p
+        |  FROM embeddings),
+        |g AS (
         |  SELECT vec_id, embedding,
-        |    substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS grp
+        |    substr(md5(CAST(vec_id AS VARCHAR)), 1, (SELECT p FROM pl)) AS grp
         |  FROM embeddings),
         |p AS (
         |  SELECT round(list_sum(list_transform(range(1, 65),

@@ -575,6 +575,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("md5"), s"keep decision must be the codegen md5 threshold:\n$p")
   }
 
+  test("sim_pair_hist_sampled pairs form inside hash groups — never a global BNLJ") {
+    val p = plan("sim_pair_hist_sampled")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"sampled pair join must be an equi-join on the group key:\n$p")
+  }
+
+  test("dedup_containment_filtered candidates come from equi-joins, not a pair scan") {
+    val p = plan("dedup_containment_filtered")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix-filter candidates must be token-equality joins:\n$p")
+  }
+
   test("mm_frame_sample generates frame rows partition-locally (Generate, no extra shuffle)") {
     val qe = SparkEntry.queries("mm_frame_sample")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
