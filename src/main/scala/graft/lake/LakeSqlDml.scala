@@ -62,7 +62,54 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => u
       }
     case m: MergeIntoTable if m.resolved && lakeTarget(m.targetTable).isDefined =>
-      toMergeCommand(m, lakeTarget(m.targetTable).get)
+      // the key-equality upsert shape keeps its specialized command
+      // (key-range file pruning + range-disjoint concurrent rebase);
+      // every other legal MERGE shape routes to the general CoW merge
+      try toMergeCommand(m, lakeTarget(m.targetTable).get)
+      catch {
+        case _: IllegalArgumentException =>
+          toGeneralMergeCommand(m, lakeTarget(m.targetTable).get)
+      }
+  }
+
+  /** Translate ANY resolved MergeIntoTable into the general CoW merge:
+    * arbitrary ON, conditioned multi-arm WHEN MATCHED (UPDATE/DELETE),
+    * conditioned WHEN NOT MATCHED inserts, WHEN NOT MATCHED BY SOURCE
+    * arms. Resolved references unbind to by-name lookups — target
+    * columns keep their names, source columns take the `_src_` prefix
+    * the joined evaluation frame uses.
+    */
+  private def toGeneralMergeCommand(m: MergeIntoTable,
+      target: LakeDmlTarget): LogicalPlan = {
+    def fail(why: String): Nothing = throw new UnsupportedOperationException(
+      s"MERGE INTO a graft.lake table: $why")
+    if (m.schemaEvolutionEnabled)
+      fail("WITH SCHEMA EVOLUTION is not supported")
+    val targetAttrs = m.targetTable.outputSet
+    val sourceAttrs = m.sourceTable.outputSet
+    def rewrite(e: Expression): Column =
+      unbindColWith(e, a =>
+        if (sourceAttrs.contains(a)) "_src_" + a.name
+        else a.name)
+    def asgMap(asgs: Seq[Assignment]): Map[String, Column] = asgs.map {
+      case Assignment(key: Attribute, value) if targetAttrs.contains(key) =>
+        key.name -> rewrite(value)
+      case a => fail(s"unsupported assignment $a")
+    }.toMap
+    def toArm(a: MergeAction): (Option[Column], MergeArm) = a match {
+      case u: UpdateAction =>
+        (u.condition.map(rewrite), MergeArm.Update(asgMap(u.assignments)))
+      case DeleteAction(cond) => (cond.map(rewrite), MergeArm.Delete)
+      case other => fail(s"unsupported WHEN MATCHED action $other")
+    }
+    val matchedArms = m.matchedActions.map(toArm)
+    val insertArms = m.notMatchedActions.map {
+      case i: InsertAction => (i.condition.map(rewrite), asgMap(i.assignments))
+      case other => fail(s"unsupported WHEN NOT MATCHED action $other")
+    }
+    val nmbsArms = m.notMatchedBySourceActions.map(toArm)
+    LakeGeneralMergeCommand(target, m.sourceTable, rewrite(m.mergeCondition),
+      matchedArms, insertArms, nmbsArms)
   }
 
   /** Translate a resolved MergeIntoTable into [[LakeMergeCommand]], or
@@ -225,8 +272,15 @@ object LakeDmlRule {
     * children, and the re-analysis re-derives the sharing anyway.
     */
   private[lake] def unbindCol(e: Expression): Column =
+    unbindColWith(e, _.name)
+
+  /** [[unbindCol]] with a caller-chosen attribute→name mapping (the
+    * general merge prefixes source-side attributes).
+    */
+  private[lake] def unbindColWith(e: Expression,
+      name: AttributeReference => String): Column =
     Bridge.column(inlineWith(e).transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      case a: AttributeReference => UnresolvedAttribute.quoted(name(a))
     })
 
   private def inlineWith(e: Expression): Expression = e.transformUp {
@@ -266,6 +320,24 @@ private[lake] case class LakeUpdateCommand(target: LakeDmlTarget, cond: Column,
     set: Map[String, Column]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] =
     target.mutate(spark)(_.updateWhere(cond, set))
+}
+
+/** Any legal MERGE shape → [[LakeTable.mergeGeneral]]: the source plan
+  * executes with `_src_`-prefixed columns so arm conditions and
+  * assignments can reference both sides of the joined frame by name.
+  */
+private[lake] case class LakeGeneralMergeCommand(target: LakeDmlTarget,
+    source: LogicalPlan, on: Column,
+    matched: Seq[(Option[Column], MergeArm)],
+    notMatched: Seq[(Option[Column], Map[String, Column])],
+    notMatchedBySource: Seq[(Option[Column], MergeArm)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    target.mutate(spark) { t =>
+      val src = Bridge.dataFrame(spark, source)
+      val prefixed = src.toDF(src.columns.map("_src_" + _).toIndexedSeq: _*)
+      t.mergeGeneral(prefixed, on, matched, notMatched, notMatchedBySource)
+    }
 }
 
 /** `MERGE INTO lake_t USING src ON ... WHEN ...` → the lake upsert with

@@ -499,6 +499,135 @@ class LakeTable private (spark: SparkSession, val path: String) {
     commitMutation(v, base, "merge", candidates, staged, inKeyRange)
   }
 
+  /** Fully general SQL MERGE semantics over the lake table — the shape
+    * the key-based [[merge]] cannot express: arbitrary ON conditions,
+    * multiple conditioned WHEN MATCHED arms (UPDATE with per-column
+    * assignments referencing both sides, or DELETE), conditioned WHEN
+    * NOT MATCHED inserts, and WHEN NOT MATCHED BY SOURCE arms. Clause
+    * order is significant (first matching arm wins), NULL conditions
+    * do not match, and a target row matched by MORE THAN ONE source row
+    * raises the SQL cardinality violation instead of duplicating output
+    * (detected exactly: each target row carries its immutable
+    * (file, row-position) identity from the parquet metadata columns).
+    *
+    * Copy-on-write bounded to AFFECTED FILES: a file is rewritten only
+    * if some row in it actually takes a clause action (matched arm
+    * fires, or a not-matched-by-source arm fires); everything else
+    * carries by reference. `source` must arrive with its columns
+    * prefixed `_src_` (the SQL rule does this) so both sides are
+    * addressable in one joined frame. Conservative concurrency: any
+    * concurrently added file conflicts (the ON condition is arbitrary,
+    * so no stats range can prove disjointness).
+    */
+  def mergeGeneral(source: DataFrame, on: Column,
+      matched: Seq[(Option[Column], MergeArm)],
+      notMatched: Seq[(Option[Column], Map[String, Column])],
+      notMatchedBySource: Seq[(Option[Column], MergeArm)]): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    val schema = base.schema
+    val cols = schema.fieldNames.toSeq
+    require(source.columns.forall(_.startsWith("_src_")),
+      "mergeGeneral source columns must be prefixed _src_")
+    val src = source.withColumn("_src_exists", lit(1))
+    val tgt = scanVersionWithId(v)
+
+    /** First-arm-wins predicates: one Column per arm, mutually
+      * exclusive by construction, all scoped by `within`. A NULL arm
+      * condition does not match (coalesce to false), per SQL.
+      */
+    def firesSeq(conds: Seq[Option[Column]], within: Column): Seq[Column] = {
+      var prior: Column = lit(false)
+      conds.map { cond =>
+        val c = cond.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+        val fires = within && !prior && c
+        prior = prior || c
+        fires
+      }
+    }
+
+    val j = tgt.join(src, on, "left")
+    val isMatched = col("_src_exists").isNotNull
+    // SQL cardinality rule: each target row matches at most one source
+    // row — the (file, position) identity makes the check exact
+    val dup = j.filter(isMatched)
+      .groupBy(col("_gfile"), col("_gpos"))
+      .agg(count(lit(1)).as("_m"))
+      .filter(col("_m") > 1)
+    if (dup.limit(1).count() > 0)
+      throw new IllegalStateException(
+        "MERGE cardinality violation: a target row matches more than one source row")
+
+    val mFires = firesSeq(matched.map(_._1), isMatched)
+    val nmbsFires = firesSeq(notMatchedBySource.map(_._1), !isMatched)
+    val allArms: Seq[(Column, MergeArm)] =
+      mFires.zip(matched.map(_._2)) ++ nmbsFires.zip(notMatchedBySource.map(_._2))
+    val takesAction = allArms.map(_._1).reduceOption(_ || _).getOrElse(lit(false))
+
+    // affected files: only where some arm actually fires — the
+    // copy-on-write bound. File names are control plane (manifest-sized).
+    val affected = j.filter(takesAction)
+      .select(col("_gfile")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (consumed, _) = base.files.partition(f => affected(f.name))
+
+    // replacement rows for the affected files: drop DELETE-arm rows,
+    // then per column take the first firing UPDATE arm's assignment
+    // (arms' fire predicates are mutually exclusive, so a flat chain
+    // is order-correct)
+    val deleteCond = allArms.collect { case (fires, MergeArm.Delete) => fires }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val replaced = j.filter(col("_gfile").isin(affected.toSeq: _*))
+      .filter(!deleteCond)
+      .select(cols.map { c =>
+        val field = schema(c)
+        allArms.foldRight(col(c).cast(field.dataType)) {
+          case ((fires, MergeArm.Update(set)), v0) if set.contains(c) =>
+            when(fires, set(c).cast(field.dataType)).otherwise(v0)
+          case (_, v0) => v0
+        }.as(c)
+      }: _*)
+
+    // inserts: source rows with NO match anywhere in the target; first
+    // firing NOT MATCHED arm wins, rows firing no arm are not inserted
+    val unmatchedSrc = src.join(tgt, on, "left_anti")
+    val insFires = firesSeq(notMatched.map(_._1), lit(true))
+    val inserts = unmatchedSrc
+      .filter(insFires.reduceOption(_ || _).getOrElse(lit(false)))
+      .select(cols.map { c =>
+        val field = schema(c)
+        insFires.zip(notMatched.map(_._2)).foldRight(
+            lit(null).cast(field.dataType)) {
+          case ((fires, set), v0) if set.contains(c) =>
+            when(fires, set(c).cast(field.dataType)).otherwise(v0)
+          case (_, v0) => v0
+        }.as(c)
+      }: _*)
+
+    val staged = stageFiles(replaced.unionByName(inserts), base)
+    enforceChecks(staged, base)
+    commitMutation(v, base, "merge", consumed, staged, _ => true)
+  }
+
+  /** [[scanVersion]] keeping each row's immutable identity: `_gfile`
+    * (file name) and `_gpos` (row position) from the parquet metadata
+    * columns — the provenance [[mergeGeneral]] needs for exact
+    * cardinality checks and affected-file discovery.
+    */
+  private[lake] def scanVersionWithId(version: Int): DataFrame = {
+    val m = manifest(version)
+    val planned = withProvenance(
+      new LakeFileIndex(spark, path, m).toDataFrame)
+    val sidecars = m.files.flatMap(_.dv).distinct
+    val masked =
+      if (sidecars.isEmpty) planned
+      else maskDeleted(planned, sidecars)
+    val renamed = masked.withColumnRenamed("_gf_file", "_gfile")
+      .withColumnRenamed("_gf_pos", "_gpos")
+    if (m.physNames.isEmpty) renamed
+    else renamed.toDF((m.schema.fieldNames :+ "_gfile" :+ "_gpos").toIndexedSeq: _*)
+  }
+
   /** Delete the rows matching `cond`, rewriting ONLY the files that
     * contain at least one matching row. The match probe (a single
     * `input_file_name()` aggregation) scans only CANDIDATE files —
@@ -1473,6 +1602,16 @@ private[lake] case class FileEntry(name: String, rows: Long,
 }
 
 case class LakeCommit(version: Int, operation: String, numFiles: Int, totalRows: Long)
+
+/** One `WHEN ... THEN` arm of [[LakeTable.mergeGeneral]]: update the
+  * listed columns (unlisted columns keep their target value), or delete
+  * the row.
+  */
+sealed trait MergeArm
+object MergeArm {
+  final case class Update(set: Map[String, org.apache.spark.sql.Column]) extends MergeArm
+  case object Delete extends MergeArm
+}
 
 /** A racing writer already published this version. */
 class ConcurrentCommitException(version: Int)

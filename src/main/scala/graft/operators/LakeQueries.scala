@@ -804,6 +804,44 @@ object LakeQueries {
           lit(ledgerOk).as("ledger_ok"))
     }),
 
+    // GENERAL-shape SQL MERGE (LakeTable.mergeGeneral via the extended
+    // rule): conditioned multi-arm WHEN MATCHED (first arm wins: DELETE
+    // above UPDATE above fallback), assignments referencing BOTH sides
+    // (t.price + s.price), a conditioned INSERT arm, and WHEN NOT
+    // MATCHED BY SOURCE — the shapes the key-based fast path rejects.
+    // One atomic CoW commit; the oracle replays the clause semantics
+    // with CTEs (DuckDB has no MERGE), so the engines must agree row
+    // for row.
+    "lake_merge_general" -> ((s, dir) => {
+      val path = tablePath("lake_merge_general")
+      wipe(path)
+      val b = base(s, dir)
+      LakeTable.create(s, path, b.repartitionByRange(4, col("k")), Seq("k"))
+      s.sql("DROP TABLE IF EXISTS gm_rt")
+      s.sql(s"CREATE TABLE gm_rt USING graft.lake OPTIONS (path '$path')")
+      val mx = b.agg(max(col("k"))).head().getLong(0)
+      b.filter(col("k") % 10 === 0).select(col("k"), col("price"))
+        .unionByName(b.filter(col("k") % 15 === 0)
+          .select((col("k") + mx).as("k"), col("price")))
+        .createOrReplaceTempView("gm_rt_src")
+      s.sql("""MERGE INTO gm_rt t USING gm_rt_src s ON t.k = s.k
+        WHEN MATCHED AND s.price > 300000.0 THEN DELETE
+        WHEN MATCHED AND t.k % 20 = 0 THEN UPDATE SET price = t.price + s.price
+        WHEN MATCHED THEN UPDATE SET status = 'M'
+        WHEN NOT MATCHED AND s.k % 3 = 0 THEN INSERT (k, status, price) VALUES (s.k, 'N', s.price)
+        WHEN NOT MATCHED BY SOURCE AND t.k % 97 = 0 THEN UPDATE SET status = 'L'""")
+      val ops = LakeTable.forPath(s, path).history().map(_.operation)
+      s.table("gm_rt").agg(
+          count(lit(1)).as("n_rows"),
+          count_if(col("status") === "M").as("n_marked"),
+          count_if(col("status") === "L").as("n_leftover"),
+          count_if(col("status") === "N").as("n_inserted"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("n_marked"), col("n_leftover"),
+          col("n_inserted"), col("total_price"),
+          lit(ops == Seq("create", "merge")).as("ledger_ok"))
+    }),
+
     // DSv2 TableCatalog lifecycle (graft.lake.GraftCatalog): CREATE
     // TABLE / INSERT INTO / native SupportsDelete DELETE / UPDATE and
     // 3-arm MERGE (v2-rule fallback) / native VERSION AS OF time travel
@@ -1370,6 +1408,46 @@ object LakeQueries {
         |  SELECT * FROM src WHERE k % 13 = 0)
         |SELECT count(*) AS n_rows,
         |  count(*) FILTER (WHERE status = 'U') AS n_updated,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS ledger_ok
+        |FROM final""".stripMargin,
+
+    "lake_merge_general" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |mx AS (SELECT max(k) AS m FROM base),
+        |src AS (
+        |  SELECT k, price FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k + (SELECT m FROM mx), price FROM base WHERE k % 15 = 0),
+        |matched AS (
+        |  SELECT t.k, t.status, t.price, s.price AS sprice
+        |  FROM base t JOIN src s ON t.k = s.k),
+        |kept_matched AS (
+        |  SELECT k,
+        |    CASE WHEN k % 20 = 0 THEN status ELSE 'M' END AS status,
+        |    CASE WHEN k % 20 = 0 THEN price + sprice ELSE price END AS price
+        |  FROM matched WHERE NOT (sprice > 300000.0)),
+        |unmatched_t AS (
+        |  SELECT k,
+        |    CASE WHEN k % 97 = 0 THEN 'L' ELSE status END AS status,
+        |    price
+        |  FROM base t WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.k = t.k)),
+        |inserted AS (
+        |  SELECT s.k, 'N' AS status, s.price
+        |  FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM base t WHERE t.k = s.k)
+        |    AND s.k % 3 = 0),
+        |final AS (
+        |  SELECT * FROM kept_matched
+        |  UNION ALL SELECT * FROM unmatched_t
+        |  UNION ALL SELECT * FROM inserted)
+        |SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE status = 'M') AS n_marked,
+        |  count(*) FILTER (WHERE status = 'L') AS n_leftover,
+        |  count(*) FILTER (WHERE status = 'N') AS n_inserted,
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  true AS ledger_ok
         |FROM final""".stripMargin,

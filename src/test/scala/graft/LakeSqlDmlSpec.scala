@@ -102,35 +102,51 @@ class LakeSqlDmlSpec extends AnyFunSuite {
       assert(spark.sql(
         "SELECT count(*) FROM dml_mrgdel WHERE k BETWEEN 395 AND 400")
         .head().getLong(0) == 0)
-      // delete-only WITH a condition cannot map (non-deleted matched
-      // rows must stay untouched, not be source-updated) — clear error
-      val e = intercept[Exception] {
-        spark.sql("""MERGE INTO dml_mrgdel t USING dml_del_src s ON t.k = s.k
-          WHEN MATCHED AND s.v < 0 THEN DELETE
-          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
-      }
-      assert(e.getMessage.contains("stay untouched"))
+      // delete-only WITH a condition now routes to the GENERAL merge
+      // (the key-based fast path could not express it): the source's
+      // v = -1 fires the delete on every matched row (401..410), while
+      // the unmatched 395..400 go through the INSERT arm
+      spark.sql("""MERGE INTO dml_mrgdel t USING dml_del_src s ON t.k = s.k
+        WHEN MATCHED AND s.v < 0 THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      assert(spark.sql("SELECT count(*) FROM dml_mrgdel")
+        .head().getLong(0) == 400)
+      assert(spark.sql(
+        "SELECT count(*) FROM dml_mrgdel WHERE k BETWEEN 401 AND 410")
+        .head().getLong(0) == 0)
+      assert(spark.sql(
+        "SELECT count(*) FROM dml_mrgdel WHERE k BETWEEN 395 AND 400 AND v = -1")
+        .head().getLong(0) == 6)
+      // a matched row whose condition does NOT fire stays untouched:
+      // re-merge with a condition no source row meets
+      spark.sql("""MERGE INTO dml_mrgdel t USING dml_del_src s ON t.k = s.k
+        WHEN MATCHED AND s.v > 0 THEN DELETE
+        WHEN NOT MATCHED AND s.v > 0 THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      assert(spark.sql("SELECT count(*) FROM dml_mrgdel")
+        .head().getLong(0) == 400)
     } finally spark.sql("DROP TABLE IF EXISTS dml_mrgdel")
   }
 
-  test("unsupported MERGE shapes fail with a clear error, not a misplan") {
+  test("formerly-unsupported MERGE shapes run on the general path") {
     sqlTable("bad", "dml_bad")
     try {
       kv(1 to 5).createOrReplaceTempView("dml_bad_src")
+      // conditioned UPDATE arm (the old rule rejected it): only s.v > 3
+      spark.sql("""MERGE INTO dml_bad t USING dml_bad_src s ON t.k = s.k
+        WHEN MATCHED AND s.v > 3 THEN UPDATE SET v = s.v + 100
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      // k=4 (v=4) and k=5 (v=5) fire; k=1..3 (v<=3) stay untouched
+      assert(spark.sql("SELECT v FROM dml_bad WHERE k = 4").head().getLong(0) == 104)
+      assert(spark.sql("SELECT v FROM dml_bad WHERE k = 3").head().getLong(0) == 3)
+      // non-equi ON with multi-matching rows hits the SQL cardinality
+      // rule (clear error, not a silent row duplication)
       val e = intercept[Exception] {
-        spark.sql("""MERGE INTO dml_bad t USING dml_bad_src s ON t.k = s.k
-          WHEN MATCHED AND s.v > 3 THEN UPDATE SET k = s.k, v = s.v
-          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
-      }
-      assert(e.getMessage.contains("supported shape"),
-        s"want the supported-shape explanation, got: ${e.getMessage}")
-      // non-equi ON
-      val e2 = intercept[Exception] {
         spark.sql("""MERGE INTO dml_bad t USING dml_bad_src s ON t.k > s.k
-          WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v
-          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+          WHEN MATCHED THEN UPDATE SET v = s.v""")
       }
-      assert(e2.getMessage.contains("key equality"))
+      val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+      assert(msg.toLowerCase.contains("cardinality"), s"got: $msg")
     } finally spark.sql("DROP TABLE IF EXISTS dml_bad")
   }
 
