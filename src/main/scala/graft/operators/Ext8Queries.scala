@@ -59,6 +59,50 @@ object Ext8Queries {
   private def dow(c: org.apache.spark.sql.Column) =
     datediff(c, lit("1970-01-01").cast("date")) % 7
 
+  /** Distributed EXACT global rank — the explicit rewrite of a
+    * non-partitioned Window (which physically plans Exchange
+    * SinglePartition, funnelling every row through one task): range-
+    * partition on the total-order key, sort locally in parallel, take
+    * the local position from monotonically_increasing_id (partition
+    * index in the upper bits, in-partition offset in the lower 33), and
+    * add broadcast per-partition count offsets. One range exchange +
+    * parallel local sorts + a P-row broadcast — the shape that carries
+    * ntile/row_number at 100 TB. Ties must be broken by the caller's
+    * sort columns (a unique key last) so the rank is deterministic.
+    * Returns the frame with `_rn` plus the total row count.
+    */
+  private def globalRank(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column])
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    import s.implicits._
+    val parts = s.sparkContext.defaultParallelism
+    // cached BEFORE the count job: the counts pass and the rank pass
+    // must see the SAME physical layout (RangePartitioner re-samples
+    // its bounds per execution, so an uncached lineage could place rows
+    // differently in the two jobs and shift every offset). At 100 TB
+    // this pin is a disk-level persist of the shuffled run — the price
+    // of exact global ranks; the approx_percentile bucketize alternative
+    // skips it when approximate bins are acceptable.
+    val local = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .select(col("*"), spark_partition_id().as("_pid"),
+        monotonically_increasing_id().as("_mid"))
+      .withColumn("_local_rn",
+        col("_mid") - col("_pid").cast("long") * lit(8589934592L) + 1)
+      .cache()
+    // per-partition counts: control plane, ≤ parallelism rows
+    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offRows = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toSeq
+    val offDf = offRows.toDF("_pid", "_off")
+    (local.join(broadcast(offDf), "_pid")
+      .withColumn("_rn", col("_off") + col("_local_rn"))
+      .drop("_pid", "_mid", "_local_rn", "_off"), total)
+  }
+
   private def embDouble(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
@@ -457,6 +501,46 @@ object Ext8Queries {
         .filter((col("rn") - 1) % 97 === 0)
         .select(col("o_orderkey"), col("rn"), col("o_totalprice"))
         .orderBy(col("rn"))
+    }),
+
+    // feat_quantile_bin's 100 TB form: the same exact ntile(4) result
+    // from the range-partitioned-rank rewrite (globalRank) instead of
+    // the single-partition window — one parallel range exchange, local
+    // sorts, broadcast offsets, then the exact ntile allocation (first
+    // n%4 bins take the extra row) computed arithmetically from the
+    // global rank. Bit-identical to feat_quantile_bin (same oracle)
+    "feat_quantile_bin_scaled" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val (ranked, total) = globalRank(s, o,
+        Seq(col("o_totalprice"), col("o_orderkey")))
+      val q = total / 4
+      val r = total % 4
+      val bin =
+        if (q == 0) col("_rn").cast("int")
+        else expr(s"CAST(CASE WHEN _rn <= ${(q + 1) * r} " +
+          s"THEN (_rn - 1) DIV ${q + 1} " +
+          s"ELSE $r + (_rn - ${(q + 1) * r} - 1) DIV $q END AS INT) + 1")
+      ranked.withColumn("bin", bin)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          round(sum(Tables.dec2(col("o_totalprice"))).cast("double") / count(lit(1)), 6)
+            .as("mean_p"))
+        .orderBy(col("bin"))
+    }),
+
+    // sample_systematic's 100 TB form: every-97th-row sampling from the
+    // distributed global rank — same output as the single-partition
+    // row_number form, without the funnel (same oracle)
+    "sample_systematic_scaled" -> ((s, dir) => {
+      val (ranked, _) = globalRank(s,
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_orderkey")))
+      ranked.filter((col("_rn") - 1) % 97 === 0)
+        .select(col("o_orderkey"), col("_rn").cast("int").as("rn"),
+          col("o_totalprice"))
+        .orderBy(col("rn"))
     })
   )
 
@@ -722,6 +806,26 @@ object Ext8Queries {
         |FROM bylang JOIN docs USING (lang) ORDER BY lang""".stripMargin,
 
     "sample_systematic" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, rn, o_totalprice
+        |FROM t WHERE (rn - 1) % 97 = 0 ORDER BY rn""".stripMargin,
+
+    // the scaled rewrites are exact: same oracle as their window forms
+    "feat_quantile_bin_scaled" ->
+      """WITH t AS (
+        |  SELECT o_totalprice,
+        |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        |  FROM orders)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+        |    AS mean_p
+        |FROM t GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "sample_systematic_scaled" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_totalprice,
         |    row_number() OVER (ORDER BY o_orderkey) AS rn
