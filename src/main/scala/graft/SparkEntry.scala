@@ -39,6 +39,7 @@ object SparkEntry {
     (Ext7Queries.queries, Ext7Queries.oracle),
     (Ext8Queries.queries, Ext8Queries.oracle),
     (Ext9Queries.queries, Ext9Queries.oracle),
+    (Ext10Queries.queries, Ext10Queries.oracle),
     (LakeQueries.queries, LakeQueries.oracle)
   )
 

@@ -1,0 +1,281 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-12 operator pack, second batch: URL-canonicalization dedup,
+  * binary-payload dedup, deterministic reservoir-equivalent sampling,
+  * embedding Mahalanobis QC, catalog CTAS with partitioning, and the
+  * perplexity quality gate.
+  *
+  * Scale notes:
+  * - dedup_url / mm_payload_dedup: one hash groupBy each (canonical
+  *   string / payload md5) with map-side combine — the cheap first rung
+  *   of media/web dedup, shuffle linear in rows.
+  * - sample_reservoir_hash: per-stratum k-smallest-by-content-hash — a
+  *   reservoir-equivalent sample that is reproducible and join-stable
+  *   (same rows on every engine/run, unlike an actual reservoir). One
+  *   keyed window; at extreme per-stratum cardinality swap the window
+  *   rank for the bounded-heap top-k operator (agg_topk_heap machinery).
+  * - emb_outlier_mahal: the per-dim moments are |labels|×64 rows
+  *   (broadcast back); the distance is one posexplode + grouped sum —
+  *   never a covariance matrix, never pairs.
+  * - text_perplexity_filter: corpus unigram counts are
+  *   vocabulary-bounded (broadcast); the gate is a per-LANG window
+  *   (partitioned — not global); at 100 TB swap percent_rank for an
+  *   approx_percentile cutoff per language, same schema.
+  */
+object Ext10Queries {
+
+  private def media(s: org.apache.spark.sql.SparkSession, dir: String) =
+    MultimodalQueries.mediaTable(s, dir)
+
+  val queries: Map[String, Q] = Map(
+
+    // web-dedup rung 0: URL canonicalization. Synthetic per-doc URLs
+    // (deterministic from doc_id/source, so both engines build the same
+    // ones) carry the classic noise — uppercase WWW hosts, utm tracking
+    // queries, fragments — and collapse after lowercasing, dropping the
+    // fragment, stripping the tracking query, and stripping "www.".
+    // Path ids collide across docs of one source by construction, so
+    // canonical groups are real. One groupBy on the canonical string.
+    "dedup_url" -> ((s, dir) => {
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 7 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".example.com/p/"),
+        (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          lit("?utm_source=feed&utm_campaign=x")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      val canon = regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "#.*$", ""),
+          "\\?utm[^#]*", ""),
+        "^https://www\\.", "https://")
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), canon.as("canon"))
+      val groups = d.groupBy(col("source"), col("canon"))
+        .agg(count(lit(1)).as("g"))
+      groups.groupBy(col("source"))
+        .agg(sum(col("g")).as("n_docs"),
+          count(lit(1)).as("n_canonical"),
+          sum(when(col("g") >= 2, col("g")).otherwise(0L)).as("n_dup_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // multimodal dedup rung 0: exact binary-payload dedup by md5 of the
+    // bytes (identical bytes ⇒ identical digest on every engine; the
+    // oracle hashes the same UTF-8 bytes through md5(text)). Per media
+    // format: payload count, distinct payloads, and how many sit in
+    // duplicate groups — the removal ledger of an asset-dedup pass.
+    "mm_payload_dedup" -> ((s, dir) => {
+      val m = media(s, dir)
+        .select(col("meta.format").as("format"), md5(col("payload")).as("h"))
+      val groups = m.groupBy(col("format"), col("h"))
+        .agg(count(lit(1)).as("g"))
+      groups.groupBy(col("format"))
+        .agg(sum(col("g")).as("n_media"),
+          count(lit(1)).as("n_distinct_payload"),
+          sum(when(col("g") >= 2, col("g")).otherwise(0L)).as("n_dup_media"))
+        .orderBy(col("format"))
+    }),
+
+    // deterministic reservoir-equivalent sampling: the k=10 docs with
+    // the smallest md5(doc_id) per source — statistically a uniform
+    // without-replacement sample per stratum, but reproducible and
+    // join-stable (the property an actual reservoir lacks)
+    "sample_reservoir_hash" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .orderBy(col("source"), col("rn"))
+    }),
+
+    // embedding QC: diagonal-Mahalanobis outliers per label. Per-dim
+    // moments from one posexplode aggregate (|labels|×64 rows,
+    // broadcast back); d² = Σ (x−μ)²/σ² per vector; χ²₆₄ has mean 64,
+    // so d² > 128 flags the far tail. Everything rounds at 6dp before
+    // the threshold compare so both engines agree bit-for-bit.
+    "emb_outlier_mahal" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          col("xf").cast("double").as("x"))
+      val stats = e.groupBy(col("label"), col("dim"))
+        .agg(avg(col("x")).as("mu"), var_samp(col("x")).as("s2"))
+      val d2 = e.join(broadcast(stats), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(round(sum(
+          when(col("s2") > 1e-12, pow(col("x") - col("mu"), 2) / col("s2"))
+            .otherwise(0.0)), 6).as("d2"))
+      d2.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("d2")), 6).as("mean_d2"),
+          round(max(col("d2")), 6).as("max_d2"),
+          sum(when(col("d2") > 128.0, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("label"))
+    }),
+
+    // DSv2 catalog CTAS with PARTITIONED BY: the identity-transform
+    // createTable path through SQL — partition-pruned reads proven
+    // in-band (a lang filter opens strictly fewer files than the full
+    // scan), appended partitions keep the layout
+    "lake_catalog_ctas_partitioned" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_rt/catalog_wh2"
+      val p = java.nio.file.Paths.get(wh)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally walk.close()
+      }
+      java.nio.file.Files.createDirectories(p)
+      s.conf.set("spark.sql.catalog.graft_rt_cat2", "graft.lake.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_rt_cat2.warehouse", wh)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("cat_ctas_docs")
+      s.sql("""CREATE TABLE graft_rt_cat2.tp PARTITIONED BY (lang)
+        AS SELECT * FROM cat_ctas_docs WHERE lang <> 'zh'""")
+      s.sql("INSERT INTO graft_rt_cat2.tp SELECT * FROM cat_ctas_docs WHERE lang = 'zh'")
+      def opened(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(input_file_name()).distinct().count()
+      val all = opened(s.table("graft_rt_cat2.tp"))
+      val en = s.table("graft_rt_cat2.tp").filter(col("lang") === "en")
+      val zh = s.table("graft_rt_cat2.tp").filter(col("lang") === "zh")
+      val enPruned = opened(en) < all
+      val zhPruned = opened(zh) < all && zh.count() > 0
+      s.table("graft_rt_cat2.tp").filter(col("lang") === "en")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(col("lang"), col("n"), col("sum_chars"),
+          lit(enPruned).as("partition_pruned"),
+          lit(zhPruned).as("appended_partition_pruned"))
+    }),
+
+    // quality gate: drop each language's worst 10% of documents by
+    // average unigram log-probability (the text_unigram_logprob signal
+    // turned into a retention decision). lp rounds to 6dp before the
+    // rank so both engines order identically; the window partitions by
+    // LANG (never global)
+    "text_perplexity_filter" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("total"))
+      val lp = tok.join(broadcast(counts), "tok")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg((sum(round(log(col("c").cast("double") / col("total")), 9))
+          / count(lit(1))).as("lp0"))
+        .select(col("doc_id"), col("lang"), round(col("lp0"), 6).as("lp"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("lp"))
+      lp.withColumn("pr", percent_rank().over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pr") < 0.1, 1L).otherwise(0L)).as("n_dropped"),
+          round(avg(when(col("pr") >= 0.1, col("lp"))), 6).as("avg_kept_lp"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source || '.example.com/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(lower(url), '#.*$', ''),
+        |        '\?utm[^#]*', ''),
+        |      '^https://www\.', 'https://') AS canon
+        |  FROM u),
+        |g AS (SELECT source, canon, count(*) AS g FROM c GROUP BY 1, 2)
+        |SELECT source, CAST(sum(g) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_canonical,
+        |  CAST(sum(CASE WHEN g >= 2 THEN g ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    // md5(text) hashes the same UTF-8 bytes Spark's md5(payload) sees
+    "mm_payload_dedup" ->
+      """WITH m AS (SELECT lang AS format, md5(text) AS h FROM documents),
+        |g AS (SELECT format, h, count(*) AS g FROM m GROUP BY 1, 2)
+        |SELECT format, CAST(sum(g) AS BIGINT) AS n_media,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_payload,
+        |  CAST(sum(CASE WHEN g >= 2 THEN g ELSE 0 END) AS BIGINT) AS n_dup_media
+        |FROM g GROUP BY format ORDER BY format""".stripMargin,
+
+    "sample_reservoir_hash" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(rn AS INT) AS rn
+        |FROM t WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+
+    "emb_outlier_mahal" ->
+      """WITH idx AS (SELECT CAST(range AS INT) AS i FROM range(1, 65)),
+        |x AS (SELECT vec_id, label, i - 1 AS dim,
+        |        CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM embeddings, idx),
+        |st AS (SELECT label, dim, avg(x) AS mu, var_samp(x) AS s2
+        |       FROM x GROUP BY label, dim),
+        |d AS (SELECT x.vec_id, x.label,
+        |        round(sum(CASE WHEN st.s2 > 1e-12
+        |          THEN pow(x.x - st.mu, 2) / st.s2 ELSE 0.0 END), 6) AS d2
+        |      FROM x JOIN st ON x.label = st.label AND x.dim = st.dim
+        |      GROUP BY x.vec_id, x.label)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(d2), 6) AS mean_d2,
+        |  round(max(d2), 6) AS max_d2,
+        |  CAST(sum(CASE WHEN d2 > 128.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d GROUP BY label ORDER BY label""".stripMargin,
+
+    "lake_catalog_ctas_partitioned" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  true AS partition_pruned,
+        |  true AS appended_partition_pruned
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY lang""".stripMargin,
+
+    "text_perplexity_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE tok <> ''),
+        |c AS (SELECT tok, count(*) AS c FROM t2 GROUP BY tok),
+        |tot AS (SELECT sum(c) AS total FROM c),
+        |lp AS (
+        |  SELECT doc_id, lang,
+        |    round(sum(round(ln(c.c / CAST(tot.total AS DOUBLE)), 9))
+        |      / count(*), 6) AS lp
+        |  FROM t2 JOIN c USING (tok) CROSS JOIN tot
+        |  GROUP BY doc_id, lang),
+        |r AS (
+        |  SELECT lang, lp,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY lp) AS pr
+        |  FROM lp)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN pr < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  round(avg(CASE WHEN pr >= 0.1 THEN lp END), 6) AS avg_kept_lp
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

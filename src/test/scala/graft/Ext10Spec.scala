@@ -65,6 +65,56 @@ class Ext10Spec extends AnyFunSuite {
     }
   }
 
+  test("dedup_url: canonical groups are never larger than raw URL groups") {
+    val rows = operators.Ext10Queries.queries("dedup_url")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_canonical") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_dup_docs") <= r.getAs[Long]("n_docs"))
+    }
+    // canonicalization must actually collapse something on this corpus
+    assert(rows.exists(r => r.getAs[Long]("n_canonical") < r.getAs[Long]("n_docs")))
+  }
+
+  test("mm_payload_dedup matches text-level exact dedup counts") {
+    val rows = operators.Ext10Queries.queries("mm_payload_dedup")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_media")).sum
+    assert(total === Tables.documents(spark, sf).count())
+    // payload dedup must agree with the corpus's known duplicate texts
+    val distinctTexts = Tables.documents(spark, sf)
+      .select(col("text")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_distinct_payload")).sum === distinctTexts)
+  }
+
+  test("sample_reservoir_hash: exactly 10 per source, stable across runs") {
+    val a = operators.Ext10Queries.queries("sample_reservoir_hash")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = operators.Ext10Queries.queries("sample_reservoir_hash")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a === b) // deterministic, unlike a real reservoir
+    a.groupBy(_._1).foreach { case (_, g) => assert(g.size == 10) }
+  }
+
+  test("emb_outlier_mahal: mean d2 sits near the chi-square mean (64)") {
+    val rows = operators.Ext10Queries.queries("emb_outlier_mahal")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val m = r.getAs[Double]("mean_d2")
+      assert(m > 20 && m < 200, s"label ${r.get(0)}: implausible mean d2 $m")
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("text_perplexity_filter drops strictly less than 20% per language") {
+    val rows = operators.Ext10Queries.queries("text_perplexity_filter")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_docs"); val d = r.getAs[Long]("n_dropped")
+      assert(d <= n / 5, s"lang ${r.get(0)} dropped $d of $n")
+    }
+  }
+
   test("graph_clustering_coef_capped: d_capped <= min(d, cap); coef in [0,1]") {
     val rows = operators.Ext8Queries.queries("graph_clustering_coef_capped")(spark, sf)
       .collect()
