@@ -31,7 +31,91 @@ object Ext10Queries {
   private def media(s: org.apache.spark.sql.SparkSession, dir: String) =
     MultimodalQueries.mediaTable(s, dir)
 
+  private def embD(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  /** Exact cosine ranking of the corpus against the 10 query vectors
+    * (vec_id < 10): rounded 6dp + id tiebreak, so both engines produce
+    * the identical total order. Queries broadcast; cost is
+    * O(|queries|·n), never corpus×corpus.
+    */
+  private def rankedByQuery(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e = embD(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("e").as("q_e"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(graft.functions.DotProduct.dot(col("q_e"), col("e")), 6))
+      .withColumn("rank", row_number().over(w))
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // retrieval eval 1/3 — Mean Reciprocal Rank: for each query, the
+    // rank of the first same-label neighbor in the exact cosine
+    // ranking. The metric every retrieval pipeline reports; exact and
+    // deterministic here (6dp cosine + id tiebreak), so it is fully
+    // oracle-checkable — no sketch grading needed
+    "sim_eval_mrr" -> ((s, dir) => {
+      val firstRel = rankedByQuery(s, dir)
+        .filter(col("label") === col("q_label"))
+        .groupBy(col("q_id"))
+        .agg(min(col("rank")).as("first_rel_rank"))
+      firstRel.agg(count(lit(1)).as("n_queries"),
+        round(avg(lit(1.0) / col("first_rel_rank")), 6).as("mrr"),
+        min(col("first_rel_rank")).as("best_rank"),
+        max(col("first_rel_rank")).as("worst_rank"))
+    }),
+
+    // retrieval eval 2/3 — NDCG@10 with binary same-label relevance:
+    // DCG terms round at 9dp before the sum (ulp-stable across
+    // engines); IDCG uses min(10, total relevant) ideal hits
+    "sim_eval_ndcg" -> ((s, dir) => {
+      val rk = rankedByQuery(s, dir)
+      val labelN = embD(s, dir).groupBy(col("label")).agg(count(lit(1)).as("ln"))
+      val dcg = rk.filter(col("rank") <= 10)
+        .withColumn("gain", when(col("label") === col("q_label"),
+          round(lit(1.0) / log2(col("rank") + 1), 9)).otherwise(lit(0.0)))
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(sum(col("gain")).as("dcg"),
+          sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+            .as("n_rel10"))
+      dcg.join(broadcast(labelN), col("q_label") === col("label"))
+        .withColumn("idcg", expr(
+          "aggregate(sequence(1, int(least(10, ln - 1))), 0.0D, " +
+            "(acc, i) -> acc + round(1.0D / log2(i + 1), 9))"))
+        .select(col("q_id"), col("n_rel10"),
+          round(col("dcg"), 6).as("dcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .orderBy(col("q_id"))
+    }),
+
+    // retrieval eval 3/3 — recall@10 of the 32-dim Matryoshka-truncated
+    // ranking against the exact full-dim top-10: both rankings are
+    // deterministic closed-form math, so the ANN-style quality metric
+    // is itself exactly oracle-checkable (unlike LSH/IVF recall, which
+    // is graded through invariant reports)
+    "sim_eval_recall_trunc" -> ((s, dir) => {
+      val exactTop = rankedByQuery(s, dir).filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"))
+      val truncTop = graft.api.SimilarityOps.truncatedTopK(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, dims = 32, k = 10)
+        .select(col("q_id").as("t_qid"), col("neighbor_id"))
+      val overlap = exactTop.join(truncTop,
+          col("q_id") === col("t_qid") && col("vec_id") === col("neighbor_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+      exactTop.select(col("q_id")).distinct()
+        .join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)) / 10.0, 6).as("recall10"))
+        .orderBy(col("q_id"))
+    }),
 
     // web-dedup rung 0: URL canonicalization. Synthetic per-doc URLs
     // (deterministic from doc_id/source, so both engines build the same
@@ -187,7 +271,79 @@ object Ext10Queries {
     })
   )
 
+  /** Exact query-vs-corpus ranking as DuckDB CTEs (`rk`): identical
+    * 6dp-rounded cosine + id tiebreak as the Spark side.
+    */
+  private val rankedCte =
+    """q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_e
+      |      FROM embeddings WHERE vec_id < 10),
+      |sc AS (
+      |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+      |    round(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(q.q_e[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), 6) AS cos
+      |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+      |rk AS (SELECT *, row_number() OVER
+      |         (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |       FROM sc)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+
+    "sim_eval_mrr" ->
+      s"""WITH $rankedCte,
+        |fr AS (SELECT q_id, min(rank) AS frr FROM rk
+        |       WHERE label = q_label GROUP BY q_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  round(avg(1.0 / frr), 6) AS mrr,
+        |  CAST(min(frr) AS BIGINT) AS best_rank,
+        |  CAST(max(frr) AS BIGINT) AS worst_rank
+        |FROM fr""".stripMargin,
+
+    "sim_eval_ndcg" ->
+      s"""WITH $rankedCte,
+        |ln AS (SELECT label, count(*) AS ln FROM embeddings GROUP BY label),
+        |d AS (SELECT q_id, q_label,
+        |    sum(CASE WHEN label = q_label
+        |      THEN round(1.0 / log2(rank + 1), 9) ELSE 0.0 END) AS dcg,
+        |    CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rel10
+        |  FROM rk WHERE rank <= 10 GROUP BY q_id, q_label),
+        |i AS (SELECT d.q_id,
+        |    list_sum(list_transform(
+        |      generate_series(1, CAST(least(10, ln.ln - 1) AS INT)),
+        |      i -> round(1.0 / log2(i + 1), 9))) AS idcg
+        |  FROM d JOIN ln ON d.q_label = ln.label)
+        |SELECT d.q_id, d.n_rel10, round(d.dcg, 6) AS dcg,
+        |  round(d.dcg / i.idcg, 6) AS ndcg
+        |FROM d JOIN i USING (q_id) ORDER BY q_id""".stripMargin,
+
+    "sim_eval_recall_trunc" ->
+      s"""WITH $rankedCte,
+        |t AS (SELECT vec_id,
+        |        list_transform(range(1, 33),
+        |          i -> CAST(embedding[i] AS DOUBLE)) AS te
+        |      FROM embeddings),
+        |tn AS (SELECT vec_id, te,
+        |         sqrt(list_sum(list_transform(te, x -> x * x))) AS nrm
+        |       FROM t),
+        |tv AS (SELECT vec_id, list_transform(te, x -> x / nrm) AS e FROM tn),
+        |tq AS (SELECT vec_id AS q_id, e AS q_e FROM tv WHERE vec_id < 10),
+        |tsc AS (SELECT tq.q_id, tv.vec_id,
+        |    round(list_sum(list_transform(range(1, 33),
+        |      i -> tq.q_e[i] * tv.e[i])), 6) AS cos
+        |  FROM tq JOIN tv ON tv.vec_id <> tq.q_id),
+        |trk AS (SELECT q_id, vec_id, row_number() OVER
+        |          (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |        FROM tsc),
+        |ttop AS (SELECT q_id, vec_id FROM trk WHERE rank <= 10),
+        |etop AS (SELECT q_id, vec_id FROM rk WHERE rank <= 10),
+        |ov AS (SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |       FROM etop e JOIN ttop t
+        |         ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+        |       GROUP BY e.q_id)
+        |SELECT qq.q_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+        |  round(coalesce(ov.n_overlap, 0) / 10.0, 6) AS recall10
+        |FROM (SELECT DISTINCT q_id FROM etop) qq
+        |LEFT JOIN ov USING (q_id) ORDER BY q_id""".stripMargin,
 
     "dedup_url" ->
       """WITH u AS (

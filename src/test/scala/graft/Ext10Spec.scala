@@ -115,6 +115,29 @@ class Ext10Spec extends AnyFunSuite {
     }
   }
 
+  test("retrieval eval metrics are internally consistent") {
+    val mrr = operators.Ext10Queries.queries("sim_eval_mrr")(spark, sf).head()
+    assert(mrr.getAs[Long]("n_queries") === 10)
+    val m = mrr.getAs[Double]("mrr")
+    assert(m > 0.0 && m <= 1.0)
+    assert(mrr.getAs[Int]("best_rank") >= 1)
+    val ndcg = operators.Ext10Queries.queries("sim_eval_ndcg")(spark, sf).collect()
+    assert(ndcg.length === 10)
+    for (r <- ndcg) {
+      assert(r.getAs[Double]("ndcg") >= 0.0 && r.getAs[Double]("ndcg") <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_rel10") <= 10)
+    }
+    val rec = operators.Ext10Queries.queries("sim_eval_recall_trunc")(spark, sf).collect()
+    assert(rec.length === 10)
+    for (r <- rec) {
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0 && n <= 10)
+      assert(math.abs(r.getAs[Double]("recall10") - n / 10.0) < 1e-9)
+    }
+    // the 32-dim prefix should retain meaningful signal on this corpus
+    assert(rec.map(_.getAs[Long]("n_overlap")).sum >= 10)
+  }
+
   test("graph_clustering_coef_capped: d_capped <= min(d, cap); coef in [0,1]") {
     val rows = operators.Ext8Queries.queries("graph_clustering_coef_capped")(spark, sf)
       .collect()
