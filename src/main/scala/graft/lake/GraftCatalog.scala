@@ -124,10 +124,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new LakeDsv2Table(spark, dir, None, ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft.lake catalog tables is not supported yet; " +
-        "use the LakeTable API (renameColumn / addCheck / setPartitionBy)")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isLakeTable(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.size != changes.size)
+      throw new UnsupportedOperationException(
+        "ALTER TABLE on graft.lake catalog tables supports ADD COLUMNS only; " +
+          "use the LakeTable API for renameColumn / addCheck / setPartitionBy")
+    adds.foreach { a =>
+      if (a.fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"nested ADD COLUMN is not supported: ${a.fieldNames().mkString(".")}")
+    }
+    // metadata-only schema-evolution commit: zero data files touched,
+    // reads null-backfill the new columns on existing files
+    LakeTable.forPath(spark, dir).addColumns(StructType(adds.map(a =>
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames()(0), a.dataType(), nullable = true))))
+    new LakeDsv2Table(spark, dir, None, ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

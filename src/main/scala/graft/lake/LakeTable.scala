@@ -408,6 +408,34 @@ class LakeTable private (spark: SparkSession, val path: String) {
     }
   }
 
+  /** ALTER TABLE ADD COLUMNS as a metadata-only commit: the schema
+    * gains nullable columns, ZERO data files are touched, and every
+    * read null-backfills them on existing files (the parquet reader's
+    * missing-column contract — the same mechanism [[appendEvolve]]
+    * relies on). Rejects type changes, duplicates, and collisions with
+    * the physical names of renamed columns, exactly like appendEvolve.
+    */
+  def addColumns(newCols: StructType): Int = {
+    require(newCols.nonEmpty, "ADD COLUMNS needs at least one column")
+    retryCommit { v =>
+      val base = manifest(v)
+      val cur = base.schema
+      val taken = cur.fieldNames.toSet
+      val physTaken = base.physSchema.fieldNames.toSet
+      newCols.fields.foreach { f =>
+        require(!taken(f.name), s"column ${f.name} already exists")
+        require(!physTaken(f.name),
+          s"column ${f.name} collides with the physical name of a renamed " +
+            "column; pick a different name")
+      }
+      val unified = StructType(
+        cur.fields ++ newCols.fields.map(_.copy(nullable = true)))
+      validateChecksResolve(base.checks, unified)
+      commit(v + 1, "add-columns", base.files,
+        base.copy(schemaJson = unified.json))
+    }
+  }
+
   /** Replace the table contents with `df` (schema may change — but a
     * schema change that invalidates an active CHECK constraint is
     * rejected up front with the constraint's name, BEFORE any data is

@@ -120,6 +120,29 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"DV snapshot must not serve the raw parquet tier:\n$physical")
   }
 
+  test("ALTER TABLE ADD COLUMNS is a metadata-only schema-evolution commit") {
+    warehouse
+    kv(1 to 20).writeTo("graft_test.alt").create()
+    val t = LakeTable.forPath(spark, s"$warehouse/alt")
+    val filesBefore = t.fileNames(t.currentVersion).toSet
+    spark.sql("ALTER TABLE graft_test.alt ADD COLUMNS (note STRING, score DOUBLE)")
+    // zero data files touched; reads null-backfill
+    assert(t.fileNames(t.currentVersion).toSet === filesBefore)
+    assert(t.history().last.operation === "add-columns")
+    val df = spark.table("graft_test.alt")
+    assert(df.columns.toSeq === Seq("k", "v", "note", "score"))
+    assert(df.filter(col("note").isNull).count() === 20)
+    // new column is writable going forward
+    spark.sql("INSERT INTO graft_test.alt VALUES (100, 1, 'x', 0.5)")
+    assert(df.count() === 20) // old handle pinned to its snapshot
+    assert(spark.table("graft_test.alt").filter(col("note") === "x").count() === 1)
+    // duplicate column is rejected with a clear error
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_test.alt ADD COLUMNS (k BIGINT)")
+    }
+    assert(e.getMessage.toLowerCase.contains("exist"))
+  }
+
   test("table lifecycle: exists, list, rename, drop") {
     warehouse
     kv(1 to 5).writeTo("graft_test.lc1").create()
