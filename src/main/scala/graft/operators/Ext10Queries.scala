@@ -243,6 +243,82 @@ object Ext10Queries {
           lit(zhPruned).as("appended_partition_pruned"))
     }),
 
+    // ratio-to-report: each order's share of its month's revenue — the
+    // windowed twin of agg_ratio_to_parent (keyed window over month
+    // partitions, never global); revenue stays DECIMAL through the
+    // window sum so the denominator is parallelism-independent
+    "win_ratio_to_report" -> ((s, dir) => {
+      val w = Window.partitionBy(col("m"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+          col("o_totalprice"))
+        .withColumn("month_total",
+          sum(Tables.dec2(col("o_totalprice"))).over(w))
+        .select(col("o_orderkey"), col("m"),
+          round(col("o_totalprice") / col("month_total").cast("double"), 9)
+            .as("pct_of_month"))
+        .filter(col("o_orderkey") % 50 === 0)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // peak concurrency per day: every event opens a 30-minute session;
+    // the classic +1/−1 boundary sweep under a PER-DAY cumulative
+    // window (partitioned — the global-sweep formulation would funnel;
+    // sessions here never cross midnight by construction of the cap)
+    "events_peak_concurrency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("ts"),
+          least(col("ts") + expr("INTERVAL '30' MINUTE"),
+            date_trunc("day", col("ts")) + expr("INTERVAL '1' DAY")
+              - expr("INTERVAL '1' SECOND")).as("te"))
+      val bounds = ev.select(to_date(col("ts")).as("d"), col("ts").as("t"),
+          lit(1).as("delta"))
+        .unionAll(ev.select(to_date(col("te")).as("d"), col("te").as("t"),
+          lit(-1).as("delta")))
+      val w = Window.partitionBy(col("d"))
+        .orderBy(col("t"), col("delta")) // end before start at ties: -1 first
+      bounds.withColumn("conc", sum(col("delta")).over(w))
+        .groupBy(col("d"))
+        .agg(max(col("conc")).cast("long").as("peak_concurrency"),
+          (count(lit(1)) / 2).cast("long").as("n_sessions"))
+        .orderBy(col("d"))
+    }),
+
+    // edit-distance scalar pack: levenshtein over the bounded
+    // source-name pair space (sources × sources — a dimension cross,
+    // never facts), with the distance histogram
+    "fn_levenshtein" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select(col("source")).distinct()
+      src.select(col("source").as("a"))
+        .crossJoin(src.select(col("source").as("b")))
+        .filter(col("a") < col("b"))
+        .select(levenshtein(col("a"), col("b")).as("dist"))
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("dist"))
+    }),
+
+    // day-over-day audience overlap: common distinct users for every
+    // ordered day pair — per-user day arrays exploded to in-array day
+    // pairs (≤ calendar² per user, never a user×user or row×row join)
+    "events_day_overlap" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val perUser = ud.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("d"))).as("days"))
+      perUser
+        .select(explode(expr(
+          "flatten(transform(days, (d1, i) -> " +
+            "transform(slice(days, i + 2, size(days)), d2 -> struct(d1, d2))))"))
+          .as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("n_common_users"))
+        .filter(col("n_common_users") >= 5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // quality gate: drop each language's worst 10% of documents by
     // average unigram log-probability (the text_unigram_logprob signal
     // turned into a retention decision). lp rounds to 6dp before the
@@ -344,6 +420,50 @@ object Ext10Queries {
         |  round(coalesce(ov.n_overlap, 0) / 10.0, 6) AS recall10
         |FROM (SELECT DISTINCT q_id FROM etop) qq
         |LEFT JOIN ov USING (q_id) ORDER BY q_id""".stripMargin,
+
+    "win_ratio_to_report" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, date_trunc('month', o_orderdate)::DATE AS m,
+        |    o_totalprice,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY date_trunc('month', o_orderdate)) AS month_total
+        |  FROM orders)
+        |SELECT o_orderkey, m,
+        |  round(o_totalprice / CAST(month_total AS DOUBLE), 9) AS pct_of_month
+        |FROM t WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "events_peak_concurrency" ->
+      """WITH ev AS (
+        |  SELECT ts,
+        |    least(ts + INTERVAL 30 MINUTE,
+        |      date_trunc('day', ts) + INTERVAL 1 DAY - INTERVAL 1 SECOND) AS te
+        |  FROM events),
+        |b AS (
+        |  SELECT CAST(ts AS DATE) AS d, ts AS t, 1 AS delta FROM ev
+        |  UNION ALL
+        |  SELECT CAST(te AS DATE) AS d, te AS t, -1 AS delta FROM ev),
+        |c AS (
+        |  SELECT d, sum(delta) OVER (PARTITION BY d ORDER BY t, delta) AS conc
+        |  FROM b)
+        |SELECT d, CAST(max(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_sessions
+        |FROM c GROUP BY d ORDER BY d""".stripMargin,
+
+    "fn_levenshtein" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents)
+        |SELECT levenshtein(a.source, b.source) AS dist,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM s a JOIN s b ON a.source < b.source
+        |GROUP BY 1 ORDER BY dist""".stripMargin,
+
+    "events_day_overlap" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT a.d AS d1, b.d AS d2, CAST(count(*) AS BIGINT) AS n_common_users
+        |FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.d < b.d
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 5
+        |ORDER BY d1, d2""".stripMargin,
 
     "dedup_url" ->
       """WITH u AS (

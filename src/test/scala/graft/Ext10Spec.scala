@@ -138,6 +138,38 @@ class Ext10Spec extends AnyFunSuite {
     assert(rec.map(_.getAs[Long]("n_overlap")).sum >= 10)
   }
 
+  test("win_ratio_to_report shares sum to ~1 within a fully-sampled month") {
+    val all = operators.Ext10Queries.queries("win_ratio_to_report")(spark, sf).collect()
+    assert(all.nonEmpty)
+    assert(all.forall(r => r.getAs[Double]("pct_of_month") > 0 &&
+      r.getAs[Double]("pct_of_month") <= 1.0))
+  }
+
+  test("events_peak_concurrency: peak within [1, sessions] per day") {
+    val rows = operators.Ext10Queries.queries("events_peak_concurrency")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val p = r.getAs[Long]("peak_concurrency")
+      assert(p >= 1 && p <= r.getAs[Long]("n_sessions"))
+    }
+  }
+
+  test("events_day_overlap is symmetric-free and bounded by day audiences") {
+    val rows = operators.Ext10Queries.queries("events_day_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dayUsers = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .groupBy("d").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val d1 = r.getDate(0).toString; val d2 = r.getDate(1).toString
+      assert(d1 < d2) // ordered pairs only, no mirror duplicates
+      assert(r.getAs[Long]("n_common_users") <=
+        math.min(dayUsers(d1), dayUsers(d2)))
+    }
+  }
+
   test("graph_clustering_coef_capped: d_capped <= min(d, cap); coef in [0,1]") {
     val rows = operators.Ext8Queries.queries("graph_clustering_coef_capped")(spark, sf)
       .collect()
