@@ -166,7 +166,13 @@ object ScaleBench {
     "graph_clustering_coef_capped",
     // the range-partitioned-rank rewrites of the two single-partition
     // window forms — exact results, parallel sort
-    "feat_quantile_bin_scaled", "sample_systematic_scaled")
+    "feat_quantile_bin_scaled", "sample_systematic_scaled",
+    // round-12 second batch: per-day boundary sweep, per-user in-array
+    // day pairs, month-keyed ratio window, hash groupBys
+    "events_peak_concurrency", "events_day_overlap",
+    "win_ratio_to_report", "dedup_url", "mm_payload_dedup",
+    "sample_reservoir_hash", "emb_outlier_mahal",
+    "text_perplexity_filter")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/
