@@ -172,7 +172,15 @@ object ScaleBench {
     "events_peak_concurrency", "events_day_overlap",
     "win_ratio_to_report", "dedup_url", "mm_payload_dedup",
     "sample_reservoir_hash", "emb_outlier_mahal",
-    "text_perplexity_filter")
+    "text_perplexity_filter",
+    // round-13 de-quadratification: the declared reports' exact ground
+    // truth is now the md5-group pair SAMPLE (DedupOps.
+    // nearJaccardPairsSampled / SimilarityOps.nearDupPairsSampled /
+    // containmentPairsFilteredSampled) — linear pair volume, equi-join
+    // on the group key — so all four leave the x2 contrast set and must
+    // hold near-linear at the full factor
+    "dedup_pipeline", "emb_neardup_lsh", "dedup_semantic",
+    "dedup_containment_filtered")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/
@@ -188,29 +196,16 @@ object ScaleBench {
     "dedup_components", "dedup_keep", "dedup_components_logstar",
     "dedup_incremental",
     // full ordered-pair scan BY DESIGN (containment has no size band);
-    // the LSH-candidate composition is its scale twin
+    // the sampled prefix-filter composition is its scale twin
     "dedup_containment",
-    // contains the exact n^2 pair scan as its in-band baseline BY DESIGN
-    // (clusterBlockedPairs alone is the linear scale path)
-    "dedup_semantic",
     // round-11: all-pairs cosine histogram — the declared exact-tier
     // diagnostic (pair sampling is its 100 TB form)
-    "sim_pair_hist",
-    // moved here by the round-12 30x sweep: both DECLARED forms carry
-    // the exact n^2 ground-truth spine BY DESIGN — dedup_pipeline is
-    // the algebraic-identity report over the exact strong-pair scan
-    // (measured 72x at 30x data; the candidate-driven physical path is
-    // nearDupPipeline, whose 30x linearity dedup_components_lsh pins at
-    // 1.9x), and emb_neardup_lsh is the invariant report grading LSH
-    // recall against the exact pair set (115x at 30x comes from that
-    // in-band ground truth, not the LSH path)
-    "dedup_pipeline", "emb_neardup_lsh",
-    // round-12: prefix-filtered containment — candidates are lower-
-    // bounded by the TRUE qualifying-pair count, which this synthesis
-    // scales LINEARLY (within-copy structure repeats), so expect ~2x at
-    // 2x data where the exact dedup_containment scan shows ~4x — the
-    // measured contrast that motivates the twin
-    "dedup_containment_filtered")
+    "sim_pair_hist")
+    // round-13: dedup_pipeline / emb_neardup_lsh / dedup_semantic /
+    // dedup_containment_filtered moved UP to scaleFamily — their
+    // declared exact baselines are now md5-group pair samples (linear),
+    // closing the round-12 weak set (72x/115x at 30x were the in-band
+    // exact spines, not the physical candidate paths)
 
   // lake-format family: each declared query BUILDS its table from the
   // scaled orders/documents inside the timed region (the documented

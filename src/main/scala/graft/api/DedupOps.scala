@@ -25,6 +25,50 @@ object DedupOps {
   private[api] def noPush: org.apache.spark.sql.Column =
     monotonically_increasing_id() < lit(0L)
 
+  /** md5-prefix group length for a deterministic intra-group pair
+    * sample over an n-row frame: the smallest p with 16^p ≥ n/125, on
+    * an exact integer ladder (~125 rows per group, so sampled pairs
+    * stay ~n·62 — LINEAR in n). Same ladder as sim_pair_hist_sampled;
+    * integer thresholds, not a float log, so Spark and any SQL oracle
+    * always pick the same p for the same count.
+    */
+  def samplePrefixLen(n: Long): Int =
+    if (n <= 2000L) 1 else if (n <= 32000L) 2 else if (n <= 512000L) 3 else 4
+
+  /** [[nearJaccardPairs]] restricted to intra-md5-group pairs — the
+    * 100 TB form of an EXACT pairwise baseline: rows split into
+    * hash-derived groups of ~125 (prefix from [[samplePrefixLen]]), and
+    * only same-group pairs are scored, so the pair count is ~n·62 and
+    * the join is a plain equi-shuffle on the group key (bucket-local
+    * scans, never a global BNLJ). The sample is content-hash
+    * deterministic — any engine replays it exactly — which keeps the
+    * sampled ground truth oracle-checkable while the full exact tier
+    * stays quadratic by nature. Output schema matches
+    * [[nearJaccardPairs]] (id_a, id_b, jaccard).
+    */
+  def nearJaccardPairsSampled(documents: DataFrame, idCol: String,
+      textCol: String, num: Int, den: Int, prefLen: Int): DataFrame = {
+    val prepared = documents
+      .select(col(idCol).as("doc_id"),
+        sort_array(array_distinct(transform(
+          array_distinct(split(col(textCol), " ")), t => xxhash64(t)))).as("ids"))
+      .select(col("doc_id"), col("ids"), size(col("ids")).as("n"),
+        substring(md5(col("doc_id").cast("string")), 1, prefLen).as("grp"))
+    val a = prepared.select(col("grp"), col("doc_id").as("id_a"),
+      col("ids").as("ids_a"), col("n").as("n_a"))
+    val b = prepared.select(col("grp"), col("doc_id").as("id_b"),
+      col("ids").as("ids_b"), col("n").as("n_b"))
+    a.join(b, Seq("grp"))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_b") * den >= col("n_a") * num && col("n_a") * den >= col("n_b") * num)
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("ids_a"), col("ids_b")))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num || noPush)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
   /** Exact dedup: one surviving row id per distinct key, plus the
     * multiplicity — deterministic (min id wins), unlike dropDuplicates.
     */
@@ -221,6 +265,70 @@ object DedupOps {
     // 16 s → ~7 s at sf0.1. Valid while one corpus's arrays fit the
     // broadcast budget; past that drop the hints and the same plan
     // runs as shuffle joins (the candidate stream is linear either way).
+    val docs = documents
+      .select(col(idCol).as("doc_id"),
+        sort_array(array_distinct(transform(
+          array_distinct(split(col(textCol), " ")), t => xxhash64(t)))).as("ids"))
+      .select(col("doc_id"), col("ids"), size(col("ids")).as("n"))
+      .cache()
+    cand
+      .join(broadcast(docs.select(col("doc_id").as("id_a"),
+        col("ids").as("ids_a"), col("n").as("n_a"))), "id_a")
+      .join(broadcast(docs.select(col("doc_id").as("id_b"),
+        col("ids").as("ids_b"), col("n").as("n_b"))), "id_b")
+      .withColumn("inter",
+        graft.functions.SortedIntersectSize(col("ids_a"), col("ids_b")))
+      .withColumn("m", least(col("n_a"), col("n_b")))
+      .filter(col("inter") * den >= col("m") * num || noPush)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("m"), 6).as("containment"))
+  }
+
+  /** [[containmentPairsFiltered]] restricted to intra-md5-group pairs —
+    * the BOUNDED declared form for dup-heavy corpora. The ppjoin plan is
+    * unchanged (rarest-token prefixes against the inverted index, exact
+    * verify on candidates), but the candidate equi-join carries the
+    * md5-prefix group key alongside the token hash, so candidate volume
+    * — which on a corpus where most pairs genuinely qualify is
+    * lower-bounded by the quadratic answer — is capped at intra-group
+    * pairs (~n·62 with [[samplePrefixLen]] groups of ~125). Recall
+    * within the sample is still provably 1 (the prefix-completeness
+    * argument is per-pair, independent of which pairs are admitted), so
+    * the output is bit-identical to the exact tier restricted to the
+    * same groups — an exactly oracle-checkable, LINEAR artifact. The
+    * unrestricted pair list stays available via
+    * [[containmentPairsFiltered]].
+    */
+  def containmentPairsFilteredSampled(documents: DataFrame, idCol: String,
+      textCol: String, num: Int = 9, den: Int = 10,
+      prefLen: Int): DataFrame = {
+    val grpOf = substring(md5(col("doc_id").cast("string")), 1, prefLen)
+    val toks = documents
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .cache()
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("tok"))
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // candidate join on (token hash, md5 group): both docs of a sampled
+    // pair share the group by construction, so adding grp to the join
+    // key drops every cross-group candidate BEFORE the shuffle — the
+    // stream is intra-group-bounded, not just threshold-bounded
+    val prefix = ranked
+      .filter(col("rn") <= floor(col("nt") * (den - num) / den) + 1)
+      .select(col("doc_id").as("id_a"), xxhash64(col("tok")).as("h"),
+        col("nt").as("n_a"), grpOf.as("grp"))
+    val index = ranked
+      .select(col("doc_id").as("id_b"), xxhash64(col("tok")).as("h"),
+        col("nt").as("n_b"), grpOf.as("grp"))
+    val cand = prefix.join(index, Seq("h", "grp"))
+      .filter(col("id_a") =!= col("id_b") && col("n_b") >= col("n_a"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
     val docs = documents
       .select(col(idCol).as("doc_id"),
         sort_array(array_distinct(transform(

@@ -65,6 +65,27 @@ object SimilarityOps {
       .filter(col("cos") >= threshold || DedupOps.noPush)
   }
 
+  /** [[nearDupPairs]] restricted to intra-md5-group pairs — the linear,
+    * deterministic exact-pair SAMPLE the scale-tier invariant reports
+    * grade against (the ground-truth side of a report must not itself
+    * be quadratic, or the report dies at 100x even when the structure
+    * under test is linear). Vectors split into hash-derived groups of
+    * ~125 ([[DedupOps.samplePrefixLen]]); only same-group pairs are
+    * scored, via a plain equi-shuffle on the group key. Content-hash
+    * grouping means any engine replays the identical sample.
+    */
+  def nearDupPairsSampled(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, prefLen: Int): DataFrame = {
+    val e = asDouble(emb, idCol, vecCol)
+      .withColumn("grp", substring(md5(col("vec_id").cast("string")), 1, prefLen))
+    val a = e.select(col("grp"), col("vec_id").as("id_a"), col("e").as("e_a"))
+    val b = e.select(col("grp"), col("vec_id").as("id_b"), col("e").as("e_b"))
+    a.join(b, Seq("grp")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(DotProduct.dot(col("e_a"), col("e_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold || DedupOps.noPush)
+  }
+
   /** Embedding near-dup pairs via signed-random-projection LSH — the
     * 100 TB scale path behind [[nearDupPairs]] (which stays the exact
     * O(n²) baseline). Compatibility wrapper over
@@ -127,7 +148,13 @@ object SimilarityOps {
       bucketCap: Int = 1000): DataFrame = {
     require(bandBits >= 1 && bands >= 1 && bands * bandBits <= 256,
       "need 1 <= bandBits, 1 <= bands, bands*bandBits <= 256")
-    val e = asDouble(emb, idCol, vecCol)
+    // ONE signature pass: both candidate-join sides and both verify
+    // attach sides otherwise re-execute the SrpBuckets projection and
+    // the source scan per consumer (measured: the 30x sweep's second
+    // rep ran 2x SLOWER than the first — recompute, not data, was the
+    // cost). One (vec_id, band, bucket) row set and one vector frame,
+    // both pinned.
+    val e = asDouble(emb, idCol, vecCol).cache()
     val banded0 = e
       .select(col("vec_id"),
         graft.functions.SrpBuckets.buckets(col("e"), bandBits, bands).as("bks"))
@@ -137,15 +164,22 @@ object SimilarityOps {
     val banded = banded0.withColumn("bucket_n", count(lit(1)).over(wB))
       .filter(col("bucket_n") <= bucketCap)
       .drop("bucket_n")
+      .cache()
     val x = banded.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
     val y = banded.select(col("vec_id").as("id_b"), col("band").as("band_b"),
       col("bucket").as("bucket_b"))
     val candidates = x.join(y, col("band") === col("band_b") &&
         col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    // verify attach: with the vector frame BROADCAST both joins are
+    // map-side, so the (large) candidate stream never shuffles its fat
+    // vector rows — the containmentPairsFiltered discipline. Valid
+    // while one corpus's vectors fit the broadcast budget; past that
+    // drop the hints and the same plan runs as shuffle joins (the
+    // candidate stream is O(n·bands·occupancy) either way).
     val va = e.select(col("vec_id").as("id_a"), col("e").as("e_a"))
     val vb = e.select(col("vec_id").as("id_b"), col("e").as("e_b"))
-    candidates.join(va, "id_a").join(vb, "id_b")
+    candidates.join(broadcast(va), "id_a").join(broadcast(vb), "id_b")
       .select(col("id_a"), col("id_b"),
         round(DotProduct.dot(col("e_a"), col("e_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
@@ -466,6 +500,89 @@ object SimilarityOps {
     val assigned = e
       .withColumn("probe", explode(slice(reverse(array_sort(opts)), 1, probes)))
       .select(col("vec_id"), col("e"), (-col("probe.nc")).cast("int").as("cluster"))
+    assigned.select(col("cluster"), col("vec_id").as("id_a"), col("e").as("e_a"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("id_b"), col("e").as("e_b")),
+        Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(DotProduct.dot(col("e_a"), col("e_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
+  }
+
+  /** [[clusterBlockedPairs]] with corpus-sized geometry — the 100 TB
+    * SemDeDup shape. A FIXED cluster count is quadratic in disguise:
+    * occupancy ∝ n, so the within-cluster pair scan is ∝ n²/k (measured
+    * 32x at 30x data with k=8). Here the cluster COUNT grows to hold
+    * ~`targetSize` vectors per cluster (k = clamp(⌈n/targetSize⌉, 8,
+    * 4096), integer ladder — deterministic), so the pair scan is
+    * ~n·targetSize·probes²/2: LINEAR. At the harness scales
+    * (n/targetSize ≤ 8) the geometry collapses to exactly
+    * clusterBlockedPairs(k=8) — same clusters, same pairs, same oracle.
+    *
+    * The driver-literal assignment expression ([[centroidOptions]])
+    * stops being viable as k grows (one expression holding k·dim
+    * literal doubles — codegen size, then JIT limits), so both the
+    * Lloyd refinement and the final multi-probe blocking assign via a
+    * BROADCAST JOIN against the k-row centroid frame: n·k narrow
+    * (id, cid, dot) rows, argmax as a mergeable min_by aggregate (the
+    * knnCentroidLabels discipline) and top-`probes` as a rank filter
+    * (rewritten to the bounded-heap TopKPerKey under the engine
+    * extensions — no per-key sort). Same dots, same tie-breaks (equal
+    * dot → smaller cid), so the k ≤ 8 results are bit-identical to the
+    * literal path.
+    */
+  def clusterBlockedPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, iters: Int, probes: Int = 2,
+      targetSize: Int = 250): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = math.max(1L, emb.count())
+    val k = math.max(8, math.min(4096L, (n + targetSize - 1) / targetSize)).toInt
+    val e = asDouble(emb, idCol, vecCol).cache()
+    def normalize(v: Array[Double]): Array[Double] = {
+      val nm = math.sqrt(v.map(x => x * x).sum)
+      if (nm == 0.0) v else v.map(_ / nm)
+    }
+    // deterministic init: the k lowest-id vectors, unit-normalized —
+    // identical to kmeansCentroids
+    var centroids: Array[(Int, Array[Double])] = e.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> normalize(r.getSeq[Double](1).toArray) }
+    def centroidFrame(): DataFrame =
+      centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "c_e")
+    // top-`p` clusters per vector by (dot desc, cid asc — the literal
+    // path's tie-break). The n·k scored stream carries ONLY
+    // (vec_id, cid, dot): the 512-byte vector column must not ride
+    // through the widest intermediate of the whole operator (measured
+    // 2.4x on the 30x sweep from this projection alone) — vectors
+    // re-attach by key to the probes-bounded result. The rank filter
+    // plans as the two-phase bounded heap under the engine extensions.
+    def assignTop(p: Int): DataFrame = {
+      val scored = e.crossJoin(broadcast(centroidFrame()))
+        .select(col("vec_id"), col("cid"),
+          DotProduct.dot(col("e"), col("c_e")).as("dot"))
+      val wP = Window.partitionBy(col("vec_id")).orderBy(desc("dot"), col("cid"))
+      scored.withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= p)
+        .select(col("vec_id"), col("cid").as("cluster"))
+    }
+    for (_ <- 0 until iters) {
+      // one Lloyd pass: argmax assignment, then the same two-level mean
+      // aggregate and driver-side renormalize as kmeansCentroids
+      val means = assignTop(1).join(e, "vec_id")
+        .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("mean_e"))
+        .collect()
+        .map(r => r.getInt(0) -> normalize(r.getSeq[Double](1).toArray))
+        .toMap
+      centroids = centroids.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    val assigned = assignTop(probes).join(e, "vec_id")
+      .select(col("vec_id"), col("e"), col("cluster"))
     assigned.select(col("cluster"), col("vec_id").as("id_a"), col("e").as("e_a"))
       .join(assigned.select(col("cluster"), col("vec_id").as("id_b"), col("e").as("e_b")),
         Seq("cluster"))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Column => V2Column, _}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.graftbridge.LakeReadBridge
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -90,11 +90,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new LakeDsv2Table(spark, dir, None, ident)
   }
 
-  /** Native SQL time travel: `VERSION AS OF v` resolves here. */
+  /** Native SQL time travel: `VERSION AS OF v` resolves here. A
+    * non-integer version (or TIMESTAMP AS OF falling through as a
+    * string) must surface as a clear unsupported-time-travel error,
+    * not a raw NumberFormatException.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isLakeTable(dir)) throw new NoSuchTableException(ident)
-    new LakeDsv2Table(spark, dir, Some(version.toInt), ident)
+    val v = version.toIntOption.getOrElse(throw new UnsupportedOperationException(
+      s"graft.lake time travel takes an integer version (VERSION AS OF <n>), " +
+        s"got '$version' — TIMESTAMP AS OF is not supported"))
+    new LakeDsv2Table(spark, dir, Some(v), ident)
   }
 
   override def createTable(ident: Identifier, columns: Array[V2Column],
@@ -243,7 +250,8 @@ private[lake] class LakeDsv2Table(spark: SparkSession,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def properties(): util.Map[String, String] =
     Map(TableCatalog.PROP_LOCATION -> tablePath,
@@ -277,24 +285,84 @@ private[lake] class LakeDsv2Table(spark: SparkSession,
   }
 }
 
-/** V1Write bridge: append / truncate-overwrite land as the lake's
-  * atomic commits (schema checks, constraints, optimistic concurrency —
-  * all the [[LakeTable]] machinery).
+/** V1Write bridge: append / truncate-overwrite / filtered overwrite /
+  * dynamic partition overwrite all land as the lake's atomic commits
+  * (schema checks, constraints, optimistic concurrency — all the
+  * [[LakeTable]] machinery).
+  *
+  *  - `truncate()` (plain INSERT OVERWRITE) → [[LakeTable.overwrite]];
+  *  - `overwrite(filters)` (`df.writeTo(t).overwrite(cond)`) →
+  *    [[LakeTable.replaceWhere]] — one atomic delete+insert commit,
+  *    filters translated via [[LakeFilters]] (untranslatable shapes are
+  *    rejected up front in `canOverwrite`, at ANALYSIS time, instead of
+  *    failing later inside V2Writes with a confusing error);
+  *  - `overwriteDynamicPartitions()` (`overwritePartitions()` /
+  *    dynamic-mode INSERT OVERWRITE) → replaceWhere on the partition
+  *    tuples PRESENT IN THE DATA (collected at insert time — partition
+  *    count is control-plane-sized); an unpartitioned table degrades to
+  *    a full overwrite, matching the session-config dynamic semantics.
   */
 private[lake] class LakeWriteBuilder(t: LakeTable)
-    extends WriteBuilder with SupportsTruncate {
-  private var overwrite = false
+    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+  private var mode: LakeWriteBuilder.Mode = LakeWriteBuilder.Append
 
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f => LakeFilters.toColumn(f).isDefined)
+
+  override def truncate(): WriteBuilder = {
+    mode = LakeWriteBuilder.Truncate; this
+  }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    // AlwaysTrue (Spark's encoding of a plain INSERT OVERWRITE routed
+    // through the filter path) is a truncate, not a filtered rewrite
+    mode =
+      if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+        LakeWriteBuilder.Truncate
+      else LakeWriteBuilder.ByFilter(filters)
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = LakeWriteBuilder.DynamicPartitions; this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
-          if (overwrite || overwriteFlag) { t.overwrite(data); () }
-          else { t.append(data); () }
+          mode match {
+            case LakeWriteBuilder.ByFilter(filters) =>
+              val cond = filters.flatMap(LakeFilters.toColumn)
+                .reduceOption(_ && _).getOrElse(F.lit(true))
+              t.replaceWhere(cond, data); ()
+            case LakeWriteBuilder.DynamicPartitions =>
+              val parts = t.manifest(t.currentVersion).partitionBy
+              if (parts.isEmpty) { t.overwrite(data); () }
+              else {
+                val tuples = data.select(parts.map(F.col): _*).distinct().collect()
+                val cond = tuples.map { r =>
+                  parts.zipWithIndex.map { case (p, i) =>
+                    if (r.isNullAt(i)) F.col(p).isNull
+                    else F.col(p) === F.lit(r.get(i))
+                  }.reduce(_ && _)
+                }.reduceOption(_ || _).getOrElse(F.lit(false))
+                t.replaceWhere(cond, data); ()
+              }
+            case LakeWriteBuilder.Truncate => t.overwrite(data); ()
+            case LakeWriteBuilder.Append =>
+              if (overwriteFlag) { t.overwrite(data); () } else { t.append(data); () }
+          }
       }
   }
+}
+
+private[lake] object LakeWriteBuilder {
+  sealed trait Mode
+  case object Append extends Mode
+  case object Truncate extends Mode
+  final case class ByFilter(filters: Array[Filter]) extends Mode
+  case object DynamicPartitions extends Mode
 }
 
 /** V1Scan fallback for snapshots the pure-parquet scan cannot serve

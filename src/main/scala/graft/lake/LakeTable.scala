@@ -557,7 +557,14 @@ class LakeTable private (spark: SparkSession, val path: String) {
     val cols = schema.fieldNames.toSeq
     require(source.columns.forall(_.startsWith("_src_")),
       "mergeGeneral source columns must be prefixed _src_")
-    val src = source.withColumn("_src_exists", lit(1))
+    // the source plan feeds FOUR consumers (cardinality check,
+    // affected-file collect, replaced-rows scan, insert anti-join) — a
+    // non-deterministic or concurrently-changing source re-executed per
+    // consumer could yield an affected-file set inconsistent with the
+    // rewritten/inserted rows, silently losing or duplicating rows, so
+    // the merge source is MATERIALIZED once (the same reason production
+    // MERGE implementations stage their source)
+    val src = source.withColumn("_src_exists", lit(1)).cache()
     val tgt = scanVersionWithId(v)
 
     /** First-arm-wins predicates: one Column per arm, mutually
@@ -574,67 +581,80 @@ class LakeTable private (spark: SparkSession, val path: String) {
       }
     }
 
-    val j = tgt.join(src, on, "left")
+    // the joined frame also feeds three consumers — pin it alongside src
+    val j = tgt.join(src, on, "left").cache()
     val isMatched = col("_src_exists").isNotNull
-    // SQL cardinality rule: each target row matches at most one source
-    // row — the (file, position) identity makes the check exact
-    val dup = j.filter(isMatched)
-      .groupBy(col("_gfile"), col("_gpos"))
-      .agg(count(lit(1)).as("_m"))
-      .filter(col("_m") > 1)
-    if (dup.limit(1).count() > 0)
-      throw new IllegalStateException(
-        "MERGE cardinality violation: a target row matches more than one source row")
 
     val mFires = firesSeq(matched.map(_._1), isMatched)
     val nmbsFires = firesSeq(notMatchedBySource.map(_._1), !isMatched)
-    val allArms: Seq[(Column, MergeArm)] =
-      mFires.zip(matched.map(_._2)) ++ nmbsFires.zip(notMatchedBySource.map(_._2))
-    val takesAction = allArms.map(_._1).reduceOption(_ || _).getOrElse(lit(false))
+    try {
+      // SQL cardinality rule: error only when a multi-matched target row
+      // WOULD be updated or deleted — i.e. count per (file, position)
+      // identity only the matches where some WHEN MATCHED arm fires. An
+      // insert-only MERGE over a duplicate-keyed source, or one whose
+      // matched conditions exclude the duplicates, is legal SQL and must
+      // not trip this (the Delta/Spark semantics).
+      val matchedArmFires = mFires.reduceOption(_ || _).getOrElse(lit(false))
+      val dup = j.filter(isMatched && matchedArmFires)
+        .groupBy(col("_gfile"), col("_gpos"))
+        .agg(count(lit(1)).as("_m"))
+        .filter(col("_m") > 1)
+      if (dup.limit(1).count() > 0)
+        throw new IllegalStateException(
+          "MERGE cardinality violation: a target row would be updated/deleted " +
+            "by more than one source row")
 
-    // affected files: only where some arm actually fires — the
-    // copy-on-write bound. File names are control plane (manifest-sized).
-    val affected = j.filter(takesAction)
-      .select(col("_gfile")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val (consumed, _) = base.files.partition(f => affected(f.name))
+      val allArms: Seq[(Column, MergeArm)] =
+        mFires.zip(matched.map(_._2)) ++ nmbsFires.zip(notMatchedBySource.map(_._2))
+      val takesAction = allArms.map(_._1).reduceOption(_ || _).getOrElse(lit(false))
 
-    // replacement rows for the affected files: drop DELETE-arm rows,
-    // then per column take the first firing UPDATE arm's assignment
-    // (arms' fire predicates are mutually exclusive, so a flat chain
-    // is order-correct)
-    val deleteCond = allArms.collect { case (fires, MergeArm.Delete) => fires }
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val replaced = j.filter(col("_gfile").isin(affected.toSeq: _*))
-      .filter(!deleteCond)
-      .select(cols.map { c =>
-        val field = schema(c)
-        allArms.foldRight(col(c).cast(field.dataType)) {
-          case ((fires, MergeArm.Update(set)), v0) if set.contains(c) =>
-            when(fires, set(c).cast(field.dataType)).otherwise(v0)
-          case (_, v0) => v0
-        }.as(c)
-      }: _*)
+      // affected files: only where some arm actually fires — the
+      // copy-on-write bound. File names are control plane (manifest-sized).
+      val affected = j.filter(takesAction)
+        .select(col("_gfile")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (consumed, _) = base.files.partition(f => affected(f.name))
 
-    // inserts: source rows with NO match anywhere in the target; first
-    // firing NOT MATCHED arm wins, rows firing no arm are not inserted
-    val unmatchedSrc = src.join(tgt, on, "left_anti")
-    val insFires = firesSeq(notMatched.map(_._1), lit(true))
-    val inserts = unmatchedSrc
-      .filter(insFires.reduceOption(_ || _).getOrElse(lit(false)))
-      .select(cols.map { c =>
-        val field = schema(c)
-        insFires.zip(notMatched.map(_._2)).foldRight(
-            lit(null).cast(field.dataType)) {
-          case ((fires, set), v0) if set.contains(c) =>
-            when(fires, set(c).cast(field.dataType)).otherwise(v0)
-          case (_, v0) => v0
-        }.as(c)
-      }: _*)
+      // replacement rows for the affected files: drop DELETE-arm rows,
+      // then per column take the first firing UPDATE arm's assignment
+      // (arms' fire predicates are mutually exclusive, so a flat chain
+      // is order-correct)
+      val deleteCond = allArms.collect { case (fires, MergeArm.Delete) => fires }
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val replaced = j.filter(col("_gfile").isin(affected.toSeq: _*))
+        .filter(!deleteCond)
+        .select(cols.map { c =>
+          val field = schema(c)
+          allArms.foldRight(col(c).cast(field.dataType)) {
+            case ((fires, MergeArm.Update(set)), v0) if set.contains(c) =>
+              when(fires, set(c).cast(field.dataType)).otherwise(v0)
+            case (_, v0) => v0
+          }.as(c)
+        }: _*)
 
-    val staged = stageFiles(replaced.unionByName(inserts), base)
-    enforceChecks(staged, base)
-    commitMutation(v, base, "merge", consumed, staged, _ => true)
+      // inserts: source rows with NO match anywhere in the target; first
+      // firing NOT MATCHED arm wins, rows firing no arm are not inserted
+      val unmatchedSrc = src.join(tgt, on, "left_anti")
+      val insFires = firesSeq(notMatched.map(_._1), lit(true))
+      val inserts = unmatchedSrc
+        .filter(insFires.reduceOption(_ || _).getOrElse(lit(false)))
+        .select(cols.map { c =>
+          val field = schema(c)
+          insFires.zip(notMatched.map(_._2)).foldRight(
+              lit(null).cast(field.dataType)) {
+            case ((fires, set), v0) if set.contains(c) =>
+              when(fires, set(c).cast(field.dataType)).otherwise(v0)
+            case (_, v0) => v0
+          }.as(c)
+        }: _*)
+
+      val staged = stageFiles(replaced.unionByName(inserts), base)
+      enforceChecks(staged, base)
+      commitMutation(v, base, "merge", consumed, staged, _ => true)
+    } finally {
+      j.unpersist(blocking = false)
+      src.unpersist(blocking = false)
+    }
   }
 
   /** [[scanVersion]] keeping each row's immutable identity: `_gfile`
@@ -686,6 +706,71 @@ class LakeTable private (spark: SparkSession, val path: String) {
     commitMutation(v, base, "delete", touched, staged,
       f => bounds.forall { case (c, (lo, hi)) =>
         f.overlaps(base.physOf(c), lo, hi) })
+  }
+
+  /** Atomic filtered overwrite (replaceWhere — the semantics of
+    * `df.writeTo(t).overwrite(cond)` / INSERT OVERWRITE with a
+    * predicate): ONE commit that removes every row matching `cond` and
+    * adds `df`. Sharing [[deleteWhere]]'s stats-pruned candidate probe
+    * keeps the rewrite set bounded to files that actually contain a
+    * matching row; surviving rows of touched files are re-staged
+    * together with the new data, untouched files carry by reference.
+    * Two separate delete+append commits would expose a window where the
+    * partition is empty — this is the atomic form a partition-overwrite
+    * ETL needs. Rebase rule matches deleteWhere: a concurrent append
+    * whose stats cannot overlap `cond` lands without conflict.
+    */
+  def replaceWhere(cond: Column, df: DataFrame): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    validateChecksResolve(base.checks, df.schema)
+    require(base.schema.fieldNames.forall(df.columns.contains),
+      s"replaceWhere data must carry the table schema " +
+        s"(${base.schema.fieldNames.mkString(", ")})")
+    val newData = df.select(base.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val bounds = deleteBounds(base, cond, base.schema)
+    val candidates = statsCandidates(base, bounds)
+    val touchedNames =
+      if (candidates.isEmpty) Set.empty[String]
+      else liveRows(candidates, base).filter(cond)
+        .select(col("_gf_file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val touched = base.files.filter(f => touchedNames(f.name))
+    // NULL conditions keep the row, like deleteWhere
+    val kept =
+      if (touched.isEmpty) newData
+      else readEntries(touched, base).filter(!coalesce(cond, lit(false)))
+        .unionByName(newData)
+    val staged = stageFiles(kept, base)
+    enforceChecks(staged, base)
+    commitMutation(v, base, "replaceWhere", touched, staged,
+      f => bounds.forall { case (c, (lo, hi)) =>
+        f.overlaps(base.physOf(c), lo, hi) })
+  }
+
+  /** Dynamic partition overwrite (`df.writeTo(t).overwritePartitions()`,
+    * INSERT OVERWRITE in dynamic mode): replace exactly the partitions
+    * PRESENT IN THE DATA, leave every other partition untouched — one
+    * atomic [[replaceWhere]] commit on the partition tuples. The tuple
+    * set is collected once from the pinned data (partition count is
+    * control-plane-sized; pinning keeps a non-deterministic source from
+    * producing a tuple set inconsistent with the staged rows). An
+    * unpartitioned table degrades to a full overwrite, matching Spark's
+    * session-config dynamic semantics.
+    */
+  def overwritePartitionsDynamic(df: DataFrame): Int = {
+    val parts = manifest(currentVersion).partitionBy
+    if (parts.isEmpty) return overwrite(df)
+    val data = df.cache()
+    try {
+      val tuples = data.select(parts.map(col): _*).distinct().collect()
+      val cond = tuples.map { r =>
+        parts.zipWithIndex.map { case (p, i) =>
+          if (r.isNullAt(i)) col(p).isNull else col(p) === lit(r.get(i))
+        }.reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      replaceWhere(cond, data)
+    } finally data.unpersist(blocking = false)
   }
 
   /** UPDATE ... SET ... WHERE: copy-on-write rewrite of ONLY the files

@@ -107,18 +107,27 @@ object LlmQueries {
       }.reduce(_ && _)
     }.reduce(_ || _)
 
-  /** Exact J≥0.9 pairs with their 64-hash signatures attached — shared
-    * spine of the dedup_minhash / dedup_pipeline invariant reports. The
-    * signature frame is corpus-sized (one 64-long array per doc), so at
-    * harness scale it broadcasts; at 100 TB the same join runs as a
-    * shuffle on doc_id with identical semantics.
+  /** SAMPLED exact J≥0.9 pairs with their 64-hash signatures attached —
+    * shared spine of the dedup_minhash / dedup_pipeline invariant
+    * reports. The exact pair baseline is restricted to intra-md5-group
+    * pairs (DedupOps.nearJaccardPairsSampled, ~125 docs per group), so
+    * the DECLARED ground truth is LINEAR in corpus size — the full
+    * quadratic exact tier would otherwise cap the report itself at
+    * ~30x data (measured 72x runtime at 30x in the round-12 sweep)
+    * even though the physical LSH path under test is linear. The
+    * per-pair invariants (band collision of every strong pair) bind
+    * identically on the sample. Signature frame is corpus-sized (one
+    * 64-long array per doc) — broadcasts at harness scale, shuffles on
+    * doc_id at 100 TB with identical semantics.
     */
   private def strongPairsWithSigs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.documents(s, dir)
+    val prefLen = graft.api.DedupOps.samplePrefixLen(docs.count())
     val sig = docs.select(col("doc_id"),
       graft.functions.MinHashSignature.signature(
         array_distinct(split(col("text"), " ")), 64).as("sig"))
-    graft.api.DedupOps.nearJaccardPairs(docs, "doc_id", "text", num = 9, den = 10)
+    graft.api.DedupOps.nearJaccardPairsSampled(docs, "doc_id", "text",
+        num = 9, den = 10, prefLen = prefLen)
       .join(broadcast(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))), "id_a")
       .join(broadcast(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))), "id_b")
       .withColumn("collide", bandCollide(col("sig_a"), col("sig_b")))
@@ -191,13 +200,23 @@ object LlmQueries {
     // P[band collision] tracks JACCARD, which is low exactly for the
     // size-asymmetric high-containment pairs this operator exists to
     // catch — LSH can't bound recall here; the prefix filter's recall
-    // is provably 1, so the output is bit-identical to dedup_containment
-    // (same oracle) with candidate volume linear in rare-token
-    // co-occurrence instead of n². See DedupOps.containmentPairsFiltered.
-    "dedup_containment_filtered" -> ((s, dir) =>
-      graft.api.DedupOps.containmentPairsFiltered(
-          Tables.documents(s, dir), "doc_id", "text")
-        .orderBy(col("id_a"), col("id_b"))),
+    // is provably 1. The DECLARED form is the md5-group-sampled ppjoin
+    // (DedupOps.containmentPairsFilteredSampled): on a dup-heavy corpus
+    // the qualifying-pair count — and therefore any full pair list — is
+    // itself O(n²) (56% of ALL pairs pass C ≥ 0.9 here, the measured
+    // round-12 pathology), so the bounded artifact carries the group
+    // key in the candidate join and emits only intra-group pairs —
+    // LINEAR rows, identical to the exact tier restricted to the same
+    // groups (recall 1 is per-pair). The unrestricted pair list stays
+    // behind DedupOps.containmentPairsFiltered (spec-pinned equal to
+    // the exact tier).
+    "dedup_containment_filtered" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prefLen = graft.api.DedupOps.samplePrefixLen(docs.count())
+      graft.api.DedupOps.containmentPairsFilteredSampled(
+          docs, "doc_id", "text", prefLen = prefLen)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // incremental dedup — the nightly-crawl shape: a "new batch"
     // (doc_id % 10 == 0) is scored against the existing corpus, and
@@ -348,17 +367,18 @@ object LlmQueries {
 
     // MinHash/LSH candidate generation — declared output = invariant
     // report (raw candidates stay at DedupOps.minhashCandidates): corpus
-    // size and the exact J≥0.9 pair count (both SQL-reproducible) plus
-    // the in-band boolean that EVERY strong pair band-collides, i.e.
-    // belongs to the uncapped candidate set (see bandCollide for the
-    // equivalence). 64 hashes in 16 bands put the per-pair miss
-    // probability at (1−0.9⁴)¹⁶ ≈ 4e-8 — deterministic with the fixed
-    // seeds.
+    // size and the SAMPLED exact J≥0.9 pair count (md5-group pair
+    // sample, both SQL-reproducible — see strongPairsWithSigs for why
+    // the baseline is sampled) plus the in-band boolean that EVERY
+    // sampled strong pair band-collides, i.e. belongs to the uncapped
+    // candidate set (see bandCollide for the equivalence). 64 hashes in
+    // 16 bands put the per-pair miss probability at (1−0.9⁴)¹⁶ ≈ 4e-8 —
+    // deterministic with the fixed seeds.
     "dedup_minhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val checked = strongPairsWithSigs(s, dir)
       docs.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(checked.agg(count(lit(1)).as("n_strong_pairs"),
+        .crossJoin(checked.agg(count(lit(1)).as("n_strong_pairs_sampled"),
           (coalesce(sum(when(col("collide"), 0L).otherwise(1L)), lit(0L)) === 0)
             .as("all_strong_candidates")))
     }),
@@ -366,15 +386,17 @@ object LlmQueries {
     // LSH candidates → exact verify, hash-checked END TO END at the
     // J≥0.9 operating point where the 64×16 band geometry's recall is
     // deterministically complete (see dedup_minhash above): the
-    // pipeline's verified output must equal the exact strong-pair set,
-    // pair for pair, jaccard for jaccard. Evaluated via the algebraic
-    // identity pipeline(cap=∞) ≡ {J≥0.9} ∩ {∃ band collision} — a
-    // predicate on the exact pairs instead of materializing the
-    // quadratic mega-bucket candidate set this template-heavy corpus
-    // produces under an uncapped LSH join (measured 37.6 s → ~2 s at
-    // sf0.1). The candidate-driven physical path — the one that is
-    // linear at production selectivity — is nearDupPipeline itself,
-    // exercised by dedup_components_lsh, ScaleBench and the specs.
+    // pipeline's verified output must equal the exact strong-pair set
+    // over the SAMPLED pair domain (md5-group sample — linear, see
+    // strongPairsWithSigs), pair for pair, jaccard for jaccard.
+    // Evaluated via the algebraic identity
+    // pipeline(cap=∞) ≡ {J≥0.9} ∩ {∃ band collision} — a predicate on
+    // the sampled exact pairs instead of materializing the quadratic
+    // mega-bucket candidate set this template-heavy corpus produces
+    // under an uncapped LSH join (measured 37.6 s → ~2 s at sf0.1).
+    // The candidate-driven physical path — the one that is linear at
+    // production selectivity — is nearDupPipeline itself, exercised by
+    // dedup_components_lsh, ScaleBench and the specs.
     "dedup_pipeline" -> ((s, dir) =>
       strongPairsWithSigs(s, dir)
         .filter(col("collide"))
@@ -703,6 +725,23 @@ object LlmQueries {
       |      '' ORDER BY v.tok) AS BIT) AS bm
       |  FROM d CROSS JOIN v GROUP BY doc_id)""".stripMargin
 
+  /** md5-prefix sample-group CTEs over documents: `pl.p` = the prefix
+    * length on DedupOps.samplePrefixLen's integer ladder, `gm(doc_id,
+    * grp)` = each doc's group. Pair CTEs add `ga.grp = gb.grp` to
+    * replay the deterministic intra-group pair sample the declared
+    * Spark queries score (linear pair volume on both engines).
+    */
+  private val docSampleCtes: String =
+    """pl AS (
+      |  SELECT CASE WHEN count(*) <= 2000 THEN 1
+      |              WHEN count(*) <= 32000 THEN 2
+      |              WHEN count(*) <= 512000 THEN 3 ELSE 4 END AS p
+      |  FROM documents),
+      |gm AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, (SELECT p FROM pl)) AS grp
+      |  FROM documents)""".stripMargin
+
   /** Exact connected components from an open `pairs(id_a, id_b)` CTE to
     * a closed `reach(node, r)` CTE (one row per node, r = component id =
     * min doc_id in the component — so the historical consumers'
@@ -922,15 +961,18 @@ object LlmQueries {
         |WHERE inter * 10 >= least(sa.n, sb.n) * 9
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // the prefix filter has recall 1 by construction, so the scale
-    // composition's output must equal the exact tier's, pair for pair —
-    // the oracle is the same full-pair containment SQL
+    // the prefix filter has recall 1 by construction (per-pair), so the
+    // sampled composition's output must equal the exact tier restricted
+    // to the same md5 groups, pair for pair
     "dedup_containment_filtered" ->
       s"""WITH $tokenBitmaskCte,
+        |$docSampleCtes,
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    bit_count(a.bm & b.bm) AS inter
-        |  FROM m a JOIN m b ON a.doc_id < b.doc_id)
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+        |    JOIN gm ga ON ga.doc_id = a.doc_id
+        |    JOIN gm gb ON gb.doc_id = b.doc_id AND ga.grp = gb.grp)
         |SELECT id_a, id_b,
         |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
         |FROM cand
@@ -939,14 +981,18 @@ object LlmQueries {
         |WHERE inter * 10 >= least(sa.n, sb.n) * 9
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // exact J≥0.9 strong pairs — the SQL twin of the operating point the
-    // minhash/pipeline invariant reports are graded at
+    // SAMPLED exact J≥0.9 strong pairs (intra-md5-group) — the SQL twin
+    // of the linear operating point the minhash/pipeline invariant
+    // reports are graded at
     "dedup_minhash" ->
       s"""WITH $tokenBitmaskCte,
+        |$docSampleCtes,
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    bit_count(a.bm & b.bm) AS inter
-        |  FROM m a JOIN m b ON a.doc_id < b.doc_id),
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+        |    JOIN gm ga ON ga.doc_id = a.doc_id
+        |    JOIN gm gb ON gb.doc_id = b.doc_id AND ga.grp = gb.grp),
         |p AS (
         |  SELECT id_a, id_b FROM cand
         |    JOIN s sa ON sa.doc_id = cand.id_a
@@ -954,15 +1000,18 @@ object LlmQueries {
         |  WHERE sb.n * 10 >= sa.n * 9 AND sa.n * 10 >= sb.n * 9
         |    AND inter * 10 >= (sa.n + sb.n - inter) * 9)
         |SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |  (SELECT count(*) FROM p) AS n_strong_pairs,
+        |  (SELECT count(*) FROM p) AS n_strong_pairs_sampled,
         |  true AS all_strong_candidates""".stripMargin,
 
     "dedup_pipeline" ->
       s"""WITH $tokenBitmaskCte,
+        |$docSampleCtes,
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    bit_count(a.bm & b.bm) AS inter
-        |  FROM m a JOIN m b ON a.doc_id < b.doc_id)
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+        |    JOIN gm ga ON ga.doc_id = a.doc_id
+        |    JOIN gm gb ON gb.doc_id = b.doc_id AND ga.grp = gb.grp)
         |SELECT id_a, id_b,
         |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
         |FROM cand

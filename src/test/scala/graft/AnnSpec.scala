@@ -169,8 +169,15 @@ class AnnSpec extends AnyFunSuite {
     assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.5,
       s"recall ${lsh.size}/${exact.size} below 0.5")
     // the declared invariant report asserts the same three facts in-band
+    // over the LINEAR md5-group pair sample (nearDupPairsSampled)
+    val prefLen = graft.api.DedupOps.samplePrefixLen(emb.count())
+    val exactSampled = pairs(graft.api.SimilarityOps
+      .nearDupPairsSampled(emb, "vec_id", "embedding",
+        threshold = 0.45, prefLen = prefLen))
+    assert(exactSampled.subsetOf(exact),
+      "sampled exact pairs must be a subset of the full exact tier")
     val report = SparkEntry.queries("emb_neardup_lsh")(spark, sf).collect().head
-    assert(report.getAs[Long]("n_exact_pairs") == exact.size)
+    assert(report.getAs[Long]("n_exact_pairs_sampled") == exactSampled.size)
     assert(report.getAs[Boolean]("lsh_subset_ok"))
     assert(report.getAs[Boolean]("recall_floor_met"))
   }
@@ -247,21 +254,30 @@ class AnnSpec extends AnyFunSuite {
     assert(out.filter(col("meta_consistent") === false).count() === 0)
   }
 
-  test("declared minhash report: every exact J>=0.9 pair is an LSH candidate") {
+  test("declared minhash report: every sampled exact J>=0.9 pair is an LSH candidate") {
     val row = SparkEntry.queries("dedup_minhash")(spark, sf).collect().head
     assert(row.getAs[Long]("n_docs") > 0)
     assert(row.getAs[Boolean]("all_strong_candidates"),
-      s"minhash candidates missed a strong pair (of ${row.getAs[Long]("n_strong_pairs")})")
+      s"minhash candidates missed a strong pair " +
+        s"(of ${row.getAs[Long]("n_strong_pairs_sampled")})")
   }
 
-  test("declared pipeline output equals the exact strong-pair set") {
+  test("declared pipeline output equals the sampled exact strong-pair set") {
+    val docs = Tables.documents(spark, sf)
     val pipeline = SparkEntry.queries("dedup_pipeline")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = graft.api.DedupOps.nearJaccardPairs(
-        Tables.documents(spark, sf), "doc_id", "text", num = 9, den = 10)
+    val prefLen = graft.api.DedupOps.samplePrefixLen(docs.count())
+    val sampled = graft.api.DedupOps.nearJaccardPairsSampled(
+        docs, "doc_id", "text", num = 9, den = 10, prefLen = prefLen)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pipeline == exact,
-      s"pipeline ${pipeline.size} pairs vs exact ${exact.size}; " +
-        s"missed=${exact.diff(pipeline).take(3)} extra=${pipeline.diff(exact).take(3)}")
+    val exact = graft.api.DedupOps.nearJaccardPairs(
+        docs, "doc_id", "text", num = 9, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the sample is the intra-md5-group restriction of the exact tier
+    assert(sampled.subsetOf(exact),
+      s"sampled pairs outside the exact tier: ${sampled.diff(exact).take(3)}")
+    assert(pipeline == sampled,
+      s"pipeline ${pipeline.size} pairs vs sampled exact ${sampled.size}; " +
+        s"missed=${sampled.diff(pipeline).take(3)} extra=${pipeline.diff(sampled).take(3)}")
   }
 }

@@ -9,12 +9,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class Ext10Spec extends AnyFunSuite {
   import SparkFixture._
 
-  test("dedup_containment_filtered equals the exact tier pair-for-pair (recall 1)") {
-    val exact = operators.LlmQueries.queries("dedup_containment")(spark, sf)
+  test("containmentPairsFiltered equals the exact tier pair-for-pair (recall 1)") {
+    val docs = Tables.documents(spark, sf)
+    val exact = api.DedupOps.containmentPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val filt = operators.LlmQueries.queries("dedup_containment_filtered")(spark, sf)
+    val filt = api.DedupOps.containmentPairsFiltered(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(filt === exact)
+  }
+
+  test("declared dedup_containment_filtered is the exact tier restricted to md5 groups") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val docs = Tables.documents(spark, sf)
+    val prefLen = api.DedupOps.samplePrefixLen(docs.count())
+    val grp = docs.select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, prefLen).as("grp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exactSameGroup = api.DedupOps.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => grp(p._1) == grp(p._2)).toSet
+    val declared = operators.LlmQueries.queries("dedup_containment_filtered")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(declared === exactSameGroup)
   }
 
   test("containmentPairsFiltered prefix completeness holds on an adversarial subset") {
@@ -32,6 +48,20 @@ class Ext10Spec extends AnyFunSuite {
     // C(1,2) = 3/3 = 1.0 ≥ 0.9 even though J = 3/63 ≈ 0.05
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("clusterBlockedPairsAuto collapses to the fixed-k=8 blocking at harness scale") {
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // n/250 <= 8 here, so the auto geometry IS k=8 — same clusters,
+    // same pairs (the join-assignment path must reproduce the
+    // driver-literal path's dots and tie-breaks)
+    val fixed = pairs(api.SimilarityOps.clusterBlockedPairs(
+      emb, "vec_id", "embedding", threshold = 0.45, nClusters = 8, iters = 2))
+    val auto = pairs(api.SimilarityOps.clusterBlockedPairsAuto(
+      emb, "vec_id", "embedding", threshold = 0.45, iters = 2))
+    assert(auto === fixed)
   }
 
   test("sim_pair_hist_sampled buckets are a subset consistent with the exact tier") {

@@ -143,6 +143,52 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("exist"))
   }
 
+  test("filtered overwrite (SupportsOverwrite) is one atomic replaceWhere commit") {
+    warehouse
+    kv(1 to 100).writeTo("graft_test.rw").create()
+    val t = LakeTable.forPath(spark, s"$warehouse/rw")
+    val vBefore = t.currentVersion
+    // overwrite rows with k <= 20 by fresh data: one commit, atomic
+    kv(1 to 10).select(col("k"), lit(999L).as("v"))
+      .writeTo("graft_test.rw").overwrite(col("k") <= 20)
+    assert(t.currentVersion === vBefore + 1, "replaceWhere must be ONE commit")
+    assert(t.history().last.operation === "replaceWhere")
+    val rows = spark.table("graft_test.rw").as[(Long, Long)].collect().toMap
+    assert(rows.size === 90) // 100 - 20 replaced-out + 10 new
+    assert((1L to 10L).forall(rows(_) === 999L))
+    assert(!(11L to 20L).exists(rows.contains))
+    assert(rows(50L) === 50 % 7) // untouched range intact
+  }
+
+  test("dynamic partition overwrite replaces exactly the partitions present in the data") {
+    warehouse
+    val path = s"$warehouse/dyn"
+    LakeTable.create(spark, path,
+      kv(1 to 100).withColumn("p", col("k") % 4), Seq.empty, Seq("p"))
+    val t = LakeTable.forPath(spark, path)
+    val vBefore = t.currentVersion
+    // new data only for partitions 0 and 1 — partitions 2, 3 must survive
+    val newData = kv(200 to 219).withColumn("p", col("k") % 2)
+    newData.writeTo("graft_test.dyn").overwritePartitions()
+    assert(t.currentVersion === vBefore + 1, "dynamic overwrite must be ONE commit")
+    val rows = spark.table(s"graft_test.dyn").select("k", "p").as[(Long, Long)].collect()
+    // partitions 0/1 now hold ONLY the new rows; 2/3 keep the originals
+    assert(rows.filter(_._2 <= 1).map(_._1).forall(_ >= 200))
+    assert(rows.count(_._2 == 2) === 25 && rows.count(_._2 == 3) === 25)
+    assert(rows.count(_._2 <= 1) === 20)
+  }
+
+  test("untranslatable overwrite filters are rejected at analysis (canOverwrite)") {
+    warehouse
+    kv(1 to 10).writeTo("graft_test.rwbad").create()
+    val e = intercept[Exception] {
+      kv(1 to 5).writeTo("graft_test.rwbad")
+        .overwrite(substring(col("k").cast("string"), 1, 1) === "1")
+    }
+    // clear analysis-time rejection, not a V2Writes internal error
+    assert(e.getMessage != null)
+  }
+
   test("table lifecycle: exists, list, rename, drop") {
     warehouse
     kv(1 to 5).writeTo("graft_test.lc1").create()

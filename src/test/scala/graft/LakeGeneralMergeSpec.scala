@@ -111,6 +111,35 @@ class LakeGeneralMergeSpec extends AnyFunSuite {
       .head()._2 === 5 % 7)
   }
 
+  test("insert-only MERGE with a duplicate-matching source is legal (no spurious cardinality error)") {
+    // SQL/Delta error only when the multi-matched row WOULD be updated
+    // or deleted; with no WHEN MATCHED arm the duplicates are inert
+    sqlTable("insonly", "gm_insonly")
+    Seq((5L, 1L), (5L, 2L), (500L, 3L)).toDF("k", "v")
+      .createOrReplaceTempView("gm_insonly_src")
+    spark.sql(
+      """MERGE INTO gm_insonly t USING gm_insonly_src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val rows = spark.table("gm_insonly").as[(Long, Long)].collect().toMap
+    assert(rows(5L) === 5 % 7)   // untouched
+    assert(rows(500L) === 3L)    // inserted
+    assert(rows.size === 401)
+  }
+
+  test("multi-match is legal when the matched conditions exclude the duplicates") {
+    // two source rows match k=5 but only ONE passes the arm condition —
+    // the outcome is deterministic, so no cardinality violation
+    sqlTable("condcard", "gm_condcard")
+    Seq((5L, 10L), (5L, 11L)).toDF("k", "v")
+      .createOrReplaceTempView("gm_condcard_src")
+    spark.sql(
+      """MERGE INTO gm_condcard t USING gm_condcard_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v = 10 THEN UPDATE SET v = s.v""".stripMargin)
+    val rows = spark.table("gm_condcard").as[(Long, Long)].collect().toMap
+    assert(rows(5L) === 10L)
+    assert(rows.size === 400)
+  }
+
   test("copy-on-write stays bounded: untouched range-files carry by reference") {
     val t = sqlTable("cow", "gm_cow")
     val before = t.fileNames(t.currentVersion).toSet

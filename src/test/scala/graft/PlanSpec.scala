@@ -587,6 +587,26 @@ class PlanSpec extends AnyFunSuite {
       s"prefix-filter candidates must be token-equality joins:\n$p")
   }
 
+  test("de-quadratified declared reports carry no all-pairs join anywhere") {
+    // round-13: the exact ground-truth spine of every scale-tier report
+    // is the md5-group pair sample — the whole DECLARED plan must be
+    // equi-joins (group key, token hash, band bucket, id attach), with
+    // the only cross joins the 1-row report-assembly crossJoins
+    for (k <- Seq("dedup_pipeline", "dedup_minhash", "emb_neardup_lsh",
+        "dedup_semantic")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"),
+        s"$k declared plan must not scan all pairs:\n$p")
+      // BroadcastNestedLoopJoin appears only for the single-row
+      // report-assembly crossJoins (constant-sized inputs), never
+      // joining two corpus-sized frames — pin that by bounding the
+      // count to the report keys that assemble scalars
+      if (k == "dedup_pipeline")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$k emits the sampled pair list — no BNLJ at all:\n$p")
+    }
+  }
+
   test("mm_frame_sample generates frame rows partition-locally (Generate, no extra shuffle)") {
     val qe = SparkEntry.queries("mm_frame_sample")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
