@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Column => V2Column, _}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.graftbridge.LakeReadBridge
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -248,10 +248,14 @@ private[lake] class LakeDsv2Table(spark: SparkSession,
 
   override def schema(): StructType = m.schema
 
+  // no OVERWRITE_DYNAMIC: Spark's native dynamic overwrite demands a
+  // full v2 BATCH_WRITE (no V1 fallback exec exists), so advertising it
+  // over the V1 bridge would pass analysis and fail in planning — the
+  // capability class of error the round-12 advice flagged. Dynamic
+  // overwrite is served by the LakeDmlRule rewrite instead (LakeSqlDml).
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def properties(): util.Map[String, String] =
     Map(TableCatalog.PROP_LOCATION -> tablePath,
@@ -296,14 +300,14 @@ private[lake] class LakeDsv2Table(spark: SparkSession,
   *    filters translated via [[LakeFilters]] (untranslatable shapes are
   *    rejected up front in `canOverwrite`, at ANALYSIS time, instead of
   *    failing later inside V2Writes with a confusing error);
-  *  - `overwriteDynamicPartitions()` (`overwritePartitions()` /
-  *    dynamic-mode INSERT OVERWRITE) → replaceWhere on the partition
-  *    tuples PRESENT IN THE DATA (collected at insert time — partition
-  *    count is control-plane-sized); an unpartitioned table degrades to
-  *    a full overwrite, matching the session-config dynamic semantics.
+  *  - dynamic partition overwrite does NOT go through this builder:
+  *    Spark's OverwritePartitionsDynamic plan requires a full v2
+  *    BATCH_WRITE (no V1 fallback exec exists), so it is served by the
+  *    [[LakeDmlRule]] rewrite → [[LakeTable.overwritePartitionsDynamic]]
+  *    (one atomic replaceWhere on the partitions present in the data).
   */
 private[lake] class LakeWriteBuilder(t: LakeTable)
-    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+    extends WriteBuilder with SupportsOverwrite {
   private var mode: LakeWriteBuilder.Mode = LakeWriteBuilder.Append
 
   override def canOverwrite(filters: Array[Filter]): Boolean =
@@ -323,10 +327,6 @@ private[lake] class LakeWriteBuilder(t: LakeTable)
     this
   }
 
-  override def overwriteDynamicPartitions(): WriteBuilder = {
-    mode = LakeWriteBuilder.DynamicPartitions; this
-  }
-
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
@@ -336,19 +336,6 @@ private[lake] class LakeWriteBuilder(t: LakeTable)
               val cond = filters.flatMap(LakeFilters.toColumn)
                 .reduceOption(_ && _).getOrElse(F.lit(true))
               t.replaceWhere(cond, data); ()
-            case LakeWriteBuilder.DynamicPartitions =>
-              val parts = t.manifest(t.currentVersion).partitionBy
-              if (parts.isEmpty) { t.overwrite(data); () }
-              else {
-                val tuples = data.select(parts.map(F.col): _*).distinct().collect()
-                val cond = tuples.map { r =>
-                  parts.zipWithIndex.map { case (p, i) =>
-                    if (r.isNullAt(i)) F.col(p).isNull
-                    else F.col(p) === F.lit(r.get(i))
-                  }.reduce(_ && _)
-                }.reduceOption(_ || _).getOrElse(F.lit(false))
-                t.replaceWhere(cond, data); ()
-              }
             case LakeWriteBuilder.Truncate => t.overwrite(data); ()
             case LakeWriteBuilder.Append =>
               if (overwriteFlag) { t.overwrite(data); () } else { t.append(data); () }
@@ -362,7 +349,6 @@ private[lake] object LakeWriteBuilder {
   case object Append extends Mode
   case object Truncate extends Mode
   final case class ByFilter(filters: Array[Filter]) extends Mode
-  case object DynamicPartitions extends Mode
 }
 
 /** V1Scan fallback for snapshots the pure-parquet scan cannot serve

@@ -70,6 +70,15 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _: IllegalArgumentException =>
           toGeneralMergeCommand(m, lakeTarget(m.targetTable).get)
       }
+    // dynamic partition overwrite (writeTo(...).overwritePartitions(),
+    // dynamic-mode INSERT OVERWRITE): Spark's native plan demands a
+    // full v2 BATCH_WRITE (TableCapabilityCheck rejects the V1 bridge
+    // outright — there is no OverwritePartitionsDynamicExecV1), so the
+    // same post-hoc rewrite that serves UPDATE/MERGE routes it to the
+    // lake's atomic replaceWhere on the partitions present in the data
+    case o: OverwritePartitionsDynamic
+        if o.resolved && lakeTarget(o.table).isDefined =>
+      LakeDynamicOverwriteCommand(lakeTarget(o.table).get, o.query)
   }
 
   /** Translate ANY resolved MergeIntoTable into the general CoW merge:
@@ -306,6 +315,16 @@ private[lake] case class LakeDmlTarget(path: String,
     ident.foreach(i => spark.catalog.refreshTable(i.quotedString))
     Seq.empty
   }
+}
+
+/** Dynamic partition overwrite → [[LakeTable.overwritePartitionsDynamic]]:
+  * one atomic replaceWhere commit on the partition tuples present in
+  * the resolved query's output.
+  */
+private[lake] case class LakeDynamicOverwriteCommand(target: LakeDmlTarget,
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] =
+    target.mutate(spark)(_.overwritePartitionsDynamic(Bridge.dataFrame(spark, query)))
 }
 
 /** `DELETE FROM lake_t WHERE cond` → file-pruned copy-on-write delete. */
