@@ -58,12 +58,34 @@ object LakeCboStatsRule {
     statsOf(new LakeFileIndex(spark, t.path, t.manifest(t.currentVersion)))
 
   /** Fold the manifest's per-file stats to table-level
-    * CatalogStatistics. Pure manifest arithmetic — no file I/O.
+    * CatalogStatistics. Pure manifest arithmetic — no file I/O, no
+    * Spark job (the HLL union runs on the driver via the DataSketches
+    * heap API; sketches are ~128 B each).
     */
   private[lake] def statsOf(idx: LakeFileIndex): CatalogStatistics = {
     val m = idx.manifestSnapshot
     val rowCount = m.files.map(f => f.rows - f.dvRows).sum
     val schema = m.schema
+    // real ndv: union the per-file HLL sketches the stats job recorded.
+    // None when any file predates the sketches — callers fall back to
+    // the range upper bound (integrals) / rowCount (strings).
+    def hllNdv(phys: String): Option[Long] =
+      if (m.files.nonEmpty && m.files.forall(_.hll.contains(phys))) {
+        val u = new org.apache.datasketches.hll.Union(LakeTable.HllLgK)
+        m.files.foreach { f =>
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(
+            java.util.Base64.getDecoder.decode(f.hll(phys))))
+        }
+        Some(math.max(1L, math.round(u.getResult.getEstimate)))
+      } else None
+    // real null counts (physical rows — DV-masked rows may include
+    // nulls, so this is a safe over-approximation of live nulls); None
+    // when any file predates the recording, rather than a fabricated 0
+    // that would estimate IsNull predicates at zero selectivity.
+    def nullsOf(phys: String): Option[Long] =
+      if (m.files.nonEmpty && m.files.forall(_.nulls.contains(phys)))
+        Some(m.files.map(_.nulls(phys)).sum)
+      else None
     val colStats: Map[String, CatalogColumnStat] = m.statsCols.flatMap { c =>
       val phys = m.physOf(c)
       val dt = schema.find(_.name == c).map(_.dataType)
@@ -71,35 +93,28 @@ object LakeCboStatsRule {
         if (m.files.nonEmpty && m.files.forall(_.stats.contains(phys)))
           Some((m.files.map(_.stats(phys)._1).min, m.files.map(_.stats(phys)._2).max))
         else None
-      val strBounds: Option[(String, Option[String])] =
-        if (m.files.nonEmpty && m.files.forall(_.strStats.contains(phys)))
-          Some((m.files.map(_.strStats(phys)._1).min(Ordering.fromLessThan[String](
-              (a, b) => LakeTable.utf8Cmp(a, b) < 0)),
-            m.files.map(_.strStats(phys)._2)
-              .foldLeft(Option("")) {
-                case (Some(acc), Some(v)) =>
-                  Some(if (LakeTable.utf8Cmp(acc, v) >= 0) acc else v)
-                case _ => None
-              }))
-        else None
-      (dt, longBounds, strBounds) match {
-        case (Some(t), Some((lo, hi)), _) if LakeTable.isIntegral(t) =>
-          val ndv = math.min(rowCount, hi - lo + 1).max(1L)
+      dt match {
+        case Some(t) if LakeTable.isIntegral(t) && longBounds.isDefined =>
+          val (lo, hi) = longBounds.get
+          val ndv = hllNdv(phys)
+            .getOrElse(math.min(rowCount, hi - lo + 1))
+            .min(rowCount).max(1L)
           Some(c -> CatalogColumnStat(
             distinctCount = Some(BigInt(ndv)),
             min = Some(lo.toString), max = Some(hi.toString),
-            nullCount = Some(BigInt(0)),
+            nullCount = nullsOf(phys).map(BigInt(_)),
             avgLen = Some(8L), maxLen = Some(8L)))
-        case (Some(org.apache.spark.sql.types.StringType), _, Some((lo, hiOpt))) =>
-          // truncated bounds: min exact-or-lower, max exact-or-higher —
-          // valid over-approximations for estimation. String min/max are
-          // only used by equality/IN estimates when ndv is present, so
-          // ship ndv = rowCount (upper bound) to keep estimates finite.
+        case Some(org.apache.spark.sql.types.StringType) =>
+          // string equality/IN estimates need only ndv (no bounds are
+          // shipped — the manifest's truncated min/max are for file
+          // pruning, not estimation); the sketch replaces the rowCount
+          // upper bound that made every string key look unique
           Some(c -> CatalogColumnStat(
-            distinctCount = Some(BigInt(rowCount.max(1L))),
+            distinctCount = Some(BigInt(
+              hllNdv(phys).getOrElse(rowCount).min(rowCount).max(1L))),
             min = None, max = None,
-            nullCount = Some(BigInt(0)),
-            avgLen = Some(16L), maxLen = hiOpt.map(_.length.toLong)))
+            nullCount = nullsOf(phys).map(BigInt(_)),
+            avgLen = Some(16L), maxLen = None))
         case _ => None
       }
     }.toMap

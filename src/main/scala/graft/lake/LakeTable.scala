@@ -1684,7 +1684,9 @@ private[lake] case class Manifest(operation: String, schemaJson: String,
 private[lake] case class FileEntry(name: String, rows: Long,
     stats: Map[String, (Long, Long)], bytes: Long = 0L,
     dv: Seq[String] = Nil, dvRows: Long = 0L,
-    strStats: Map[String, (String, Option[String])] = Map.empty) {
+    strStats: Map[String, (String, Option[String])] = Map.empty,
+    nulls: Map[String, Long] = Map.empty,
+    hll: Map[String, String] = Map.empty) {
   /** Can this file contain a value of `col` in [lo, hi]? Conservative:
     * no stats for `col` → yes. Still valid with deletion vectors — a
     * DV only narrows the live set, so [min,max] stays an
@@ -1774,6 +1776,15 @@ object LakeTable {
     * values (document text, URLs) must not bloat the control plane.
     */
   private[lake] val StrStatLen = 64
+
+  /** lgConfigK for the per-file HLL ndv sketches the stats job records
+    * (HLL_4, 2^8 buckets ≈ 128 bytes packed, ~6.5% relative error) —
+    * small enough that a 100k-file manifest carries them without the
+    * control plane bloating, accurate enough that equality-selectivity
+    * and join-cardinality estimates stop being range-bound guesses.
+    * Sketches of the SAME lgK union losslessly across files.
+    */
+  private[lake] val HllLgK = 8
 
   /** UTF-8 binary comparison — the order Spark string predicates use.
     * Java String.compareTo (UTF-16 units) disagrees with it above the
@@ -1942,14 +1953,23 @@ object LakeTable {
     val reread = spark.read.parquet(named.map(n => s"$path/$n"): _*)
     val (strCols, longCols) = statsCols.partition(c =>
       reread.schema(c).dataType == StringType)
+    // per column, the same single stats job also records the null count
+    // and a small HLL ndv sketch (HllLgK): the CBO needs real
+    // equality-selectivity inputs, and this is the only pass that ever
+    // reads the staged bytes. Long columns sketch their manifest long
+    // ENCODING (injective — ndv is preserved); strings sketch raw.
     val aggs = count(lit(1)).as("_rows") +:
       (longCols.flatMap { c =>
         val enc = statLong(c, reread.schema(c).dataType)
-        Seq(min(enc).as(s"_min_$c"), max(enc).as(s"_max_$c"))
+        Seq(min(enc).as(s"_min_$c"), max(enc).as(s"_max_$c"),
+          count(lit(1)).minus(count(col(c))).as(s"_nulls_$c"),
+          hll_sketch_agg(enc, HllLgK).as(s"_hll_$c"))
       } ++ strCols.flatMap { c =>
         // min/max travel untruncated (one value per file per column);
         // truncation to the manifest encoding happens below, driver-side
-        Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c"))
+        Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c"),
+          count(lit(1)).minus(count(col(c))).as(s"_nulls_$c"),
+          hll_sketch_agg(col(c), HllLgK).as(s"_hll_$c"))
       })
     val statRows = reread
       .groupBy(input_file_name().as("_file"))
@@ -1968,15 +1988,23 @@ object LakeTable {
         if (mn == null || mx == null) None
         else Some(c -> ((truncMin(mn), truncMax(mx))))
       }.toMap
+      val nulls = (longCols ++ strCols).map { c =>
+        c -> r.getAs[Long](s"_nulls_$c")
+      }.toMap
+      val hll = (longCols ++ strCols).flatMap { c =>
+        Option(r.getAs[Array[Byte]](s"_hll_$c"))
+          .map(b => c -> java.util.Base64.getEncoder.encodeToString(b))
+      }.toMap
       new File(r.getAs[String]("_file")).getName ->
-        ((r.getAs[Long]("_rows"), stats, strStats))
+        ((r.getAs[Long]("_rows"), stats, strStats, nulls, hll))
     }.toMap
     named.toSeq.map { n =>
-      val (rows, stats, strStats) = byName.getOrElse(n,
+      val (rows, stats, strStats, nulls, hll) = byName.getOrElse(n,
         (0L, Map.empty[String, (Long, Long)],
-          Map.empty[String, (String, Option[String])]))
+          Map.empty[String, (String, Option[String])],
+          Map.empty[String, Long], Map.empty[String, String]))
       FileEntry(n, rows, stats, Files.size(Paths.get(path, n)),
-        strStats = strStats)
+        strStats = strStats, nulls = nulls, hll = hll)
     }
   }
 
@@ -2045,11 +2073,20 @@ private[lake] object Manifest {
           f.strStats.toList.sortBy(_._1).map { case (c, (mn, mx)) =>
             c -> JArray(List(JString(mn), mx.map(JString(_)).getOrElse(JNull)))
           }))
+      val nulls =
+        if (f.nulls.isEmpty) Nil
+        else List("nulls" -> JObject(
+          f.nulls.toList.sortBy(_._1).map { case (c, n) => c -> JLong(n) }))
+      val hll =
+        if (f.hll.isEmpty) Nil
+        else List("hll" -> JObject(
+          f.hll.toList.sortBy(_._1).map { case (c, s) => c -> JString(s) }))
       val dv =
         if (f.dv.isEmpty) Nil
         else List("dv" -> JArray(f.dv.map(JString(_)).toList),
           "dvRows" -> JLong(f.dvRows))
-      JsonMethods.compact(JsonMethods.render(JObject(core ++ sstats ++ dv)))
+      JsonMethods.compact(JsonMethods.render(
+        JObject(core ++ sstats ++ nulls ++ hll ++ dv)))
     }
     (head +: lines).mkString("", "\n", "\n")
   }
@@ -2088,8 +2125,18 @@ private[lake] object Manifest {
         }.toMap
         case _ => Map.empty[String, (String, Option[String])]
       }
+      val nulls = (j \ "nulls") match {
+        case JObject(fields) =>
+          fields.map { case (c, n) => c -> n.extract[Long] }.toMap
+        case _ => Map.empty[String, Long]
+      }
+      val hll = (j \ "hll") match {
+        case JObject(fields) =>
+          fields.map { case (c, s) => c -> s.extract[String] }.toMap
+        case _ => Map.empty[String, String]
+      }
       FileEntry((j \ "file").extract[String], (j \ "rows").extract[Long],
-        stats, bytes, dv, dvRows, strStats)
+        stats, bytes, dv, dvRows, strStats, nulls, hll)
     }
     // pre-scoping manifests carried a single global `txn` long; fold it
     // into the map under a reserved app id so old tables stay readable

@@ -43,6 +43,29 @@ class LakeCboStatsSpec extends AnyFunSuite {
     assert(k.distinctCount.exists(_ <= BigInt(1000)))
   }
 
+  test("HLL ndv and real null counts reach the CBO column stats") {
+    val df = spark.range(0, 1000)
+      .select((col("id") % 100).as("k"),
+        when(col("id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("s"), col("id") % 50)).as("v"))
+    val t = LakeTable.create(spark, freshDir("hll"), df, Seq("k", "v"))
+    val m = graft.lake.LakeCboStatsRule.statsOfForTest(spark, t)
+    val k = m.colStats("k")
+    // the sketch estimate for 100 true distincts must land near 100 —
+    // NOT the range upper bound (0..99 → 100 happens to coincide, so
+    // also pin the string column where range fallback was rowCount)
+    assert(k.distinctCount.exists(d => d >= BigInt(90) && d <= BigInt(110)))
+    assert(k.nullCount.contains(BigInt(0)))
+    // true string ndv is 45: the nulled ids (≡0 mod 10) are exactly the
+    // ones whose id%50 residue is in {0,10,20,30,40}, removing 5 of the
+    // 50 residues. lgK=8 HLL stddev ≈6.5% → accept ±20%.
+    val v = m.colStats("v")
+    assert(v.distinctCount.exists(d => d >= BigInt(36) && d <= BigInt(54)),
+      s"string ndv should come from the HLL sketch (~45), got ${v.distinctCount}")
+    assert(v.nullCount.contains(BigInt(100)))
+    assert(v.min.isEmpty && v.max.isEmpty)
+  }
+
   test("range-filtered lake fact broadcasts unhinted under CBO with manifest stats") {
     sqlLake("fact_a", "cbo_a", 200000)
     sqlLake("fact_b", "cbo_b", 200000)
