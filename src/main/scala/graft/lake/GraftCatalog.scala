@@ -104,6 +104,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new LakeDsv2Table(spark, dir, Some(v), ident)
   }
 
+  /** `TIMESTAMP AS OF` arrives as micros on this overload. Without it,
+    * Spark's default surfaces TABLE_OR_VIEW_NOT_FOUND for a table that
+    * plainly exists — throw the honest unsupported error instead.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isLakeTable(dir)) throw new NoSuchTableException(ident)
+    throw new UnsupportedOperationException(
+      "graft.lake time travel takes an integer version (VERSION AS OF <n>); " +
+        "TIMESTAMP AS OF is not supported")
+  }
+
   override def createTable(ident: Identifier, columns: Array[V2Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     createTable(ident,

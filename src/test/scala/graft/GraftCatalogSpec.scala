@@ -108,6 +108,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("graft_test.ttt").count() === 60)
   }
 
+  test("non-integer time travel fails with a clear unsupported error") {
+    warehouse
+    kv(1 to 5).writeTo("graft_test.ttbad").create()
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    def wantClear(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(chain(e).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
+          c.getMessage.contains("integer version")),
+        s"want the integer-version UnsupportedOperationException for [$sql], got: $e")
+    }
+    wantClear("SELECT * FROM graft_test.ttbad VERSION AS OF 'not_a_number'")
+    wantClear("SELECT * FROM graft_test.ttbad TIMESTAMP AS OF '2026-01-01'")
+  }
+
   test("deletion-vector snapshots read through the V1Scan fallback") {
     warehouse
     kv(1 to 100).writeTo("graft_test.dvt").create()
