@@ -40,6 +40,7 @@ object SparkEntry {
     (Ext8Queries.queries, Ext8Queries.oracle),
     (Ext9Queries.queries, Ext9Queries.oracle),
     (Ext10Queries.queries, Ext10Queries.oracle),
+    (Ext11Queries.queries, Ext11Queries.oracle),
     (LakeQueries.queries, LakeQueries.oracle)
   )
 
