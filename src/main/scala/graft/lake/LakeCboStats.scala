@@ -66,26 +66,11 @@ object LakeCboStatsRule {
     val m = idx.manifestSnapshot
     val rowCount = m.files.map(f => f.rows - f.dvRows).sum
     val schema = m.schema
-    // real ndv: union the per-file HLL sketches the stats job recorded.
-    // None when any file predates the sketches — callers fall back to
-    // the range upper bound (integrals) / rowCount (strings).
-    def hllNdv(phys: String): Option[Long] =
-      if (m.files.nonEmpty && m.files.forall(_.hll.contains(phys))) {
-        val u = new org.apache.datasketches.hll.Union(LakeTable.HllLgK)
-        m.files.foreach { f =>
-          u.update(org.apache.datasketches.hll.HllSketch.heapify(
-            java.util.Base64.getDecoder.decode(f.hll(phys))))
-        }
-        Some(math.max(1L, math.round(u.getResult.getEstimate)))
-      } else None
-    // real null counts (physical rows — DV-masked rows may include
-    // nulls, so this is a safe over-approximation of live nulls); None
-    // when any file predates the recording, rather than a fabricated 0
-    // that would estimate IsNull predicates at zero selectivity.
-    def nullsOf(phys: String): Option[Long] =
-      if (m.files.nonEmpty && m.files.forall(_.nulls.contains(phys)))
-        Some(m.files.map(_.nulls(phys)).sum)
-      else None
+    // real ndv (HLL-union) and null counts, shared with statsReport —
+    // None when any file predates the recording; ndv callers fall back
+    // to the range upper bound (integrals) / rowCount (strings).
+    def hllNdv(phys: String): Option[Long] = LakeTable.manifestNdv(m, phys)
+    def nullsOf(phys: String): Option[Long] = LakeTable.manifestNulls(m, phys)
     val colStats: Map[String, CatalogColumnStat] = m.statsCols.flatMap { c =>
       val phys = m.physOf(c)
       val dt = schema.find(_.name == c).map(_.dataType)

@@ -461,6 +461,28 @@ class LakeTable private (spark: SparkSession, val path: String) {
         statsCols = statsColsOf(df, base), physNames = Map.empty))
   }
 
+  /** [[overwrite]] carrying a txn-ledger entry IN THE SAME COMMIT — the
+    * atomicity [[LakeMv]] needs: the refreshed view contents and the
+    * base version they fold are one manifest, so a crash can never
+    * leave an anchor pointing at un-applied (or double-applied) deltas.
+    */
+  private[lake] def overwriteWithTxn(df: DataFrame, txnKey: String,
+      txnVal: Long): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    validateChecksResolve(base.checks, df.schema)
+    require(base.partitionBy.forall(df.columns.contains),
+      s"overwrite must keep the partition columns ${base.partitionBy.mkString(", ")}")
+    require(base.bucketBy.forall(df.columns.contains),
+      s"overwrite must keep the bucket columns ${base.bucketBy.mkString(", ")}")
+    val staged = stageFiles(df, base.copy(physNames = Map.empty))
+    enforceChecks(staged, base.copy(physNames = Map.empty), df.schema)
+    commit(v + 1, "mv-refresh",
+      staged, base.copy(schemaJson = df.schema.json,
+        statsCols = statsColsOf(df, base), physNames = Map.empty,
+        txns = base.txns + (txnKey -> txnVal)))
+  }
+
   /** Upsert by equality on `keyCol`: rows of `updates` replace
     * same-keyed rows; new keys are inserted. Copy-on-write with
     * manifest-stats pruning — files whose [min,max] key range cannot
@@ -1398,6 +1420,144 @@ class LakeTable private (spark: SparkSession, val path: String) {
       base.copy(checks = base.checks - name))
   }
 
+  /** DESCRIBE-statistics report folded from the manifest — zero file
+    * I/O, zero Spark jobs: per stats column, the logical row count
+    * (DV-aware), the exact recorded null count, the HLL ndv estimate,
+    * and the long [min,max] where the column is integral. Null counts
+    * are physical-row exact; ndv is a sketch estimate (lgK=8, ~6.5%).
+    * Columns whose files predate the recording report NULL for that
+    * figure rather than a fabricated value.
+    */
+  def statsReport(): DataFrame = {
+    val m = manifest(currentVersion)
+    val rowCount = m.files.map(f => f.rows - f.dvRows).sum
+    val rows = m.statsCols.sorted.map { c =>
+      val phys = m.physOf(c)
+      val bounds: Option[(Long, Long)] =
+        if (m.files.nonEmpty && m.files.forall(_.stats.contains(phys)) &&
+            LakeTable.isIntegral(m.schema(c).dataType))
+          Some((m.files.map(_.stats(phys)._1).min,
+            m.files.map(_.stats(phys)._2).max))
+        else None
+      Row(c, rowCount,
+        LakeTable.manifestNulls(m, phys).map(java.lang.Long.valueOf).orNull,
+        LakeTable.manifestNdv(m, phys).map(java.lang.Long.valueOf).orNull,
+        bounds.map(b => java.lang.Long.valueOf(b._1)).orNull,
+        bounds.map(b => java.lang.Long.valueOf(b._2)).orNull)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("row_count", LongType, nullable = false),
+        StructField("null_count", LongType),
+        StructField("ndv_est", LongType),
+        StructField("min_value", LongType),
+        StructField("max_value", LongType))))
+  }
+
+  /** Build a per-file BLOOM INDEX for equality pruning on `cols` —
+    * the skip structure for exactly the case [min,max] stats cannot
+    * serve: a high-cardinality column whose values are spread so every
+    * file's range covers every probe (hashed ids, UUIDs, scrambled
+    * keys). One distributed pass reads the table, hashes each value
+    * [[LakeTable.BloomSeeds]] ways, and bit-ORs per-file bitmaps sized
+    * at ~10 bits/row; the commit is data-free (every file carries by
+    * reference, only the manifest grows). Files appended AFTER the
+    * build have no bitmap and conservatively always match — re-run to
+    * cover them. NULLs are not indexed (a bloom answers non-null
+    * equality only).
+    */
+  def buildBloomIndex(cols: Seq[String]): Int = {
+    import org.apache.spark.sql.types.StringType
+    val v = currentVersion
+    val base = manifest(v)
+    require(cols.nonEmpty, "buildBloomIndex needs at least one column")
+    cols.foreach { c =>
+      val dt = base.schema(c).dataType
+      require(dt == StringType || LakeTable.isIntegral(dt),
+        s"bloom index supports integral/string columns; $c is $dt")
+    }
+    if (base.files.isEmpty)
+      return commit(v + 1, "bloom-index", base.files, base)
+    val phys = cols.map(base.physOf)
+    import spark.implicits._
+    val mByName = base.files.map(f => f.name -> LakeTable.bloomBits(f.rows))
+    val mDf = mByName.toDF("_fname", "_m")
+    val raw = spark.read.schema(base.physSchema)
+      .parquet(base.files.map(f => s"$path/${f.name}"): _*)
+      .withColumn("_fname", element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(mDf), "_fname")
+    // per indexed column: positions = xxhash64(seed, value) mod m(file),
+    // folded to (file, word) -> bits by a distributed bit_or — the
+    // manifest-plane result is |files| × m/64 rows, never row-plane
+    val byCol: Map[String, Map[String, Array[Long]]] = phys.map { pc =>
+      val dt = base.physSchema(pc).dataType
+      val enc = if (dt == StringType) col(pc) else col(pc).cast("long")
+      val words = raw.filter(enc.isNotNull)
+        .select(col("_fname"), col("_m"),
+          explode(array((0 until LakeTable.BloomSeeds).map(k =>
+            pmod(xxhash64(lit(k), enc), col("_m"))): _*)).as("_p"))
+        .groupBy(col("_fname"), shiftright(col("_p"), 6).cast("int").as("_w"))
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(_p & 63 AS INT))"))
+          .as("_bits"))
+        .collect()
+      val mMap = mByName.toMap
+      pc -> words.groupBy(_.getString(0)).map { case (fname, rs) =>
+        val arr = new Array[Long]((mMap(fname) / 64L).toInt)
+        rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        fname -> arr
+      }
+    }.toMap
+    val files2 = base.files.map { f =>
+      val add = phys.flatMap(pc =>
+        byCol(pc).get(f.name).map(arr => pc -> LakeTable.bloomEncode(arr)))
+      // a file that is all-NULL in an indexed column gets the empty
+      // bitmap explicitly, so probes prune it instead of defaulting open
+      val empty = phys.filterNot(pc => byCol(pc).contains(f.name))
+        .map(pc => pc -> LakeTable.bloomEncode(
+          new Array[Long]((LakeTable.bloomBits(f.rows) / 64L).toInt)))
+      f.copy(bloom = f.bloom ++ add ++ empty)
+    }
+    commit(v + 1, "bloom-index", files2, base)
+  }
+
+  /** Equality read through the bloom index: opens only the files whose
+    * bitmap admits `value` (AND the [min,max] stats, when present).
+    * Files without a bitmap for the column stay conservatively
+    * included, so the read is always exact — the index only SKIPS.
+    */
+  def bloomPrunedRead(c: String, value: Any): DataFrame = {
+    val (candidates, m) = bloomCandidates(c, value)
+    readEntries(candidates, m)
+  }
+
+  /** The file count [[bloomPrunedRead]] would open — the in-band
+    * pruning evidence declared queries assert without a second scan.
+    */
+  def bloomCandidateCount(c: String, value: Any): Int =
+    bloomCandidates(c, value)._1.size
+
+  private def bloomCandidates(c: String, value: Any): (Seq[FileEntry], Manifest) = {
+    val m = manifest(currentVersion)
+    val phys = m.physOf(c)
+    val widened: Any = value match {
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => other
+    }
+    val hs = LakeTable.bloomHashes(widened)
+    (m.files.filter { f =>
+      val statsOk = widened match {
+        case l: Long => f.overlaps(phys, l, l)
+        case s: String => f.strOverlaps(phys, Some(s), Some(s))
+        case _ => true
+      }
+      statsOk && f.mightContain(phys, hs)
+    }, m)
+  }
+
   /** ALTER TABLE ... SET PARTITIONING: a metadata-only commit — because
     * the manifest (not a directory scheme) is the index, changing the
     * partition spec affects only FUTURE writes; existing files keep
@@ -1631,6 +1791,17 @@ class LakeTable private (spark: SparkSession, val path: String) {
 
   private[lake] def commitForTest(version: Int, m: Manifest): Int =
     LakeTable.commit(logDir.toString, version, m)
+
+  /** Metadata-only commit recording a txn-ledger entry (every file
+    * carries by reference) — how [[LakeMv.create]] anchors the base
+    * version its initial full aggregate reflects.
+    */
+  private[lake] def anchorTxn(operation: String, key: String, value: Long): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    commit(v + 1, operation, base.files,
+      base.copy(txns = base.txns + (key -> value)))
+  }
 }
 
 /** One committed version: the manifest line-set for a snapshot.
@@ -1686,7 +1857,8 @@ private[lake] case class FileEntry(name: String, rows: Long,
     dv: Seq[String] = Nil, dvRows: Long = 0L,
     strStats: Map[String, (String, Option[String])] = Map.empty,
     nulls: Map[String, Long] = Map.empty,
-    hll: Map[String, String] = Map.empty) {
+    hll: Map[String, String] = Map.empty,
+    bloom: Map[String, String] = Map.empty) {
   /** Can this file contain a value of `col` in [lo, hi]? Conservative:
     * no stats for `col` → yes. Still valid with deletion vectors — a
     * DV only narrows the live set, so [min,max] stays an
@@ -1704,6 +1876,27 @@ private[lake] case class FileEntry(name: String, rows: Long,
     strStats.get(col).forall { case (mn, mx) =>
       hi.forall(h => LakeTable.utf8Cmp(mn, h) <= 0) &&
         lo.forall(l => mx.forall(m => LakeTable.utf8Cmp(m, l) >= 0))
+    }
+
+  /** Bloom-index membership probe: can this file contain a row whose
+    * indexed column equals the value behind `hashes` (the
+    * [[LakeTable.bloomHashes]] of it)? Conservative: a file with no
+    * bloom recorded for the column (written after the index build, or
+    * never indexed) always answers yes. The bitmap's own length
+    * carries its size m, so per-file sizing needs no extra metadata.
+    */
+  def mightContain(col: String, hashes: Seq[Long]): Boolean =
+    bloom.get(col) match {
+      case None => true
+      case Some(b64) =>
+        val bytes = java.util.Base64.getDecoder.decode(b64)
+        val mBits = bytes.length.toLong * 8L
+        hashes.forall { h =>
+          val p = java.lang.Math.floorMod(h, mBits)
+          val word = (p >> 6).toInt
+          val w = java.nio.ByteBuffer.wrap(bytes).getLong(word * 8)
+          ((w >>> (p & 63L).toInt) & 1L) == 1L
+        }
     }
 
   /** Snapshot identity for change detection: the same physical file
@@ -1785,6 +1978,61 @@ object LakeTable {
     * Sketches of the SAME lgK union losslessly across files.
     */
   private[lake] val HllLgK = 8
+
+  /** Bloom-index geometry: 5 xxhash64 probes (seeds 0..4 as the first
+    * hash child, matching the SQL `xxhash64(lit(k), value)` the build
+    * job computes) into a per-file bitmap sized at ~10 bits per
+    * physical row (FPP ≈ 1%), word-aligned with a 1024-bit floor. The
+    * bitmap is stored inline in the manifest (base64) — ~1.25 bytes
+    * per row per indexed column; a fleet-scale deployment would spill
+    * bitmaps above a threshold to index sidecar files the way deletion
+    * vectors already are.
+    */
+  private[lake] val BloomSeeds = 5
+  private[lake] def bloomBits(rows: Long): Long =
+    math.max(1024L, ((rows * 10L + 63L) / 64L) * 64L)
+
+  /** The driver-side twin of the build job's `xxhash64(lit(k), v)` —
+    * Catalyst's XxHash64 over (IntegerType seed, value) children, so a
+    * probe hashes literals exactly as the scan hashed rows. Integral
+    * columns are hashed through their LONG widening; pass the value
+    * pre-widened.
+    */
+  private[lake] def bloomHashes(value: Any): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val vlit = Literal(value)
+    (0 until BloomSeeds).map(k =>
+      new XxHash64(Seq(Literal(k), vlit), 42L).eval(null).asInstanceOf[Long])
+  }
+
+  /** Table-level ndv from the per-file HLL sketches: a lossless union
+    * (same lgK everywhere) evaluated on the driver — no file I/O. None
+    * when any file predates sketch recording.
+    */
+  private[lake] def manifestNdv(m: Manifest, phys: String): Option[Long] =
+    if (m.files.nonEmpty && m.files.forall(_.hll.contains(phys))) {
+      val u = new org.apache.datasketches.hll.Union(HllLgK)
+      m.files.foreach { f =>
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(
+          java.util.Base64.getDecoder.decode(f.hll(phys))))
+      }
+      Some(math.max(1L, math.round(u.getResult.getEstimate)))
+    } else None
+
+  /** Table-level null count (physical rows — DV-masked rows may include
+    * nulls, so this is a safe over-approximation of live nulls); None
+    * when any file predates the recording, rather than a fabricated 0.
+    */
+  private[lake] def manifestNulls(m: Manifest, phys: String): Option[Long] =
+    if (m.files.nonEmpty && m.files.forall(_.nulls.contains(phys)))
+      Some(m.files.map(_.nulls(phys)).sum)
+    else None
+
+  private[lake] def bloomEncode(words: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
 
   /** UTF-8 binary comparison — the order Spark string predicates use.
     * Java String.compareTo (UTF-16 units) disagrees with it above the
@@ -2081,12 +2329,16 @@ private[lake] object Manifest {
         if (f.hll.isEmpty) Nil
         else List("hll" -> JObject(
           f.hll.toList.sortBy(_._1).map { case (c, s) => c -> JString(s) }))
+      val bloom =
+        if (f.bloom.isEmpty) Nil
+        else List("bloom" -> JObject(
+          f.bloom.toList.sortBy(_._1).map { case (c, s) => c -> JString(s) }))
       val dv =
         if (f.dv.isEmpty) Nil
         else List("dv" -> JArray(f.dv.map(JString(_)).toList),
           "dvRows" -> JLong(f.dvRows))
       JsonMethods.compact(JsonMethods.render(
-        JObject(core ++ sstats ++ nulls ++ hll ++ dv)))
+        JObject(core ++ sstats ++ nulls ++ hll ++ bloom ++ dv)))
     }
     (head +: lines).mkString("", "\n", "\n")
   }
@@ -2135,8 +2387,13 @@ private[lake] object Manifest {
           fields.map { case (c, s) => c -> s.extract[String] }.toMap
         case _ => Map.empty[String, String]
       }
+      val bloom = (j \ "bloom") match {
+        case JObject(fields) =>
+          fields.map { case (c, s) => c -> s.extract[String] }.toMap
+        case _ => Map.empty[String, String]
+      }
       FileEntry((j \ "file").extract[String], (j \ "rows").extract[Long],
-        stats, bytes, dv, dvRows, strStats, nulls, hll)
+        stats, bytes, dv, dvRows, strStats, nulls, hll, bloom)
     }
     // pre-scoping manifests carried a single global `txn` long; fold it
     // into the map under a reserved app id so old tables stay readable

@@ -1060,6 +1060,95 @@ object LakeQueries {
           sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
         .select(col("n_rows"), col("total_price"),
           lit(rejected).as("violation_rejected_atomically"))
+    }),
+
+    // BLOOM-FILTER file index: the key is Knuth-scrambled so every
+    // file's [min,max] covers every probe — range stats prune NOTHING
+    // by construction — yet an equality read opens only the files
+    // whose per-file bitmap (built by one distributed pass, ~10
+    // bits/row, committed data-free into the manifest) admits the
+    // value. files_skipped pins that the index did the work stats
+    // could not. At 100 TB this is the point lookup on a hashed id
+    // column: a handful of file opens instead of a full scan.
+    "lake_bloom_prune" -> ((s, dir) => {
+      val path = tablePath("lake_bloom")
+      wipe(path)
+      val b = base(s, dir)
+      val mx = b.agg(max(col("k"))).head().getLong(0)
+      val scrambled = b.select(
+        pmod(col("k") * 2654435761L, lit(1000003L)).as("sk"),
+        col("k"), col("price")).repartition(8)
+      val t = LakeTable.create(s, path, scrambled, Seq("sk"))
+      t.buildBloomIndex(Seq("sk"))
+      val probe = java.lang.Math.floorMod((mx / 2) * 2654435761L, 1000003L)
+      val nTotal = t.fileNames(t.currentVersion).size
+      val nCand = t.bloomCandidateCount("sk", probe)
+      t.bloomPrunedRead("sk", probe).filter(col("sk") === probe)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(col("n_rows"), col("total_price"),
+          lit(nCand < nTotal).as("files_skipped"))
+    }),
+
+    // incrementally maintained MATERIALIZED VIEW: the per-status
+    // revenue aggregate refreshes from the copy-on-write change feed
+    // (append + CoW delete here), folding +1/-1 · DECIMAL deltas into
+    // the stored groups — the result is EXACTLY the full recompute,
+    // at O(delta) cost. delta_bounded pins that the refresh scanned
+    // only feed rows (appended + net-deleted), never the table; the
+    // folded base version is anchored atomically with the rows.
+    "lake_mv_incremental" -> ((s, dir) => {
+      import graft.lake.LakeMv
+      val path = tablePath("lake_mv_base")
+      val mvPath = tablePath("lake_mv_view")
+      wipe(path); wipe(mvPath)
+      val b = base(s, dir)
+      val mx = b.agg(max(col("k"))).head().getLong(0)
+      val half = mx / 2
+      val t = LakeTable.create(s, path, b.coalesce(2), Seq("k"))
+      val mv = LakeMv.create(s, mvPath, t, Seq("status"), "price")
+      val appended = b.filter(col("k") <= 1000)
+        .select((col("k") + mx).as("k"), lit("NEW").as("status"), col("price"))
+      t.append(appended.coalesce(1))
+      val nAppended = appended.count()
+      val nDeleted = t.read()
+        .filter(col("k") % 10 === 0 && col("k") <= half).count()
+      t.deleteWhere(col("k") % 10 === 0 && col("k") <= half)
+      val scanned = mv.refresh()
+      val nBase = t.read().count()
+      mv.read()
+        .select(col("status"), col("cnt"),
+          round(col("total").cast("double"), 2).as("total"),
+          lit(scanned < nBase).as("delta_bounded"),
+          lit(scanned == nAppended + nDeleted).as("scanned_exactly_delta"))
+        .orderBy(col("status"))
+    }),
+
+    // manifest statistics as a DESCRIBE-style report: exact row and
+    // null counts and long bounds folded from the manifest at ZERO
+    // file I/O, plus the HLL ndv estimate pinned (in-band) within 15%
+    // of the exact distinct count the oracle cannot see. The report a
+    // query planner or data-quality dashboard reads without touching
+    // 100 TB of data files.
+    "lake_stats_report" -> ((s, dir) => {
+      val path = tablePath("lake_stats_rep")
+      wipe(path)
+      val b = base(s, dir).select(col("k"),
+        when(col("k") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("status")).as("status"), col("price"))
+      val t = LakeTable.create(s, path, b.coalesce(2), Seq("k", "status"))
+      val exactNdv = Map(
+        "k" -> b.select(col("k")).distinct().count(),
+        "status" -> b.filter(col("status").isNotNull)
+          .select(col("status")).distinct().count())
+      val rep = t.statsReport().collect().map(r => r.getString(0) -> r).toMap
+      val ndvOk = exactNdv.forall { case (c, exact) =>
+        math.abs(rep(c).getLong(3) - exact).toDouble / exact <= 0.15
+      }
+      t.statsReport()
+        .select(col("column"), col("row_count"), col("null_count"),
+          col("min_value"), col("max_value"), lit(ndvOk).as("ndv_ok"))
+        .orderBy(col("column"))
     })
   )
 
@@ -1556,6 +1645,48 @@ object LakeQueries {
         |SELECT count(*) AS n_rows,
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  true AS violation_rejected_atomically
-        |FROM aug""".stripMargin
+        |FROM aug""".stripMargin,
+
+    "lake_bloom_prune" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |  FROM orders),
+        |probe AS (SELECT ((max(k) // 2) * 2654435761) % 1000003 AS p FROM base)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS files_skipped
+        |FROM base, probe WHERE (k * 2654435761) % 1000003 = p""".stripMargin,
+
+    "lake_mv_incremental" ->
+      """WITH base0 AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |mx AS (SELECT max(k) AS mx FROM base0),
+        |app AS (SELECT k + (SELECT mx FROM mx) AS k, 'NEW' AS status, price
+        |        FROM base0 WHERE k <= 1000),
+        |allr AS (SELECT * FROM base0 UNION ALL SELECT * FROM app),
+        |fin AS (SELECT * FROM allr
+        |        WHERE NOT (k % 10 = 0 AND k <= (SELECT mx FROM mx) // 2))
+        |SELECT status, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+        |  true AS delta_bounded, true AS scanned_exactly_delta
+        |FROM fin GROUP BY status ORDER BY status""".stripMargin,
+
+    "lake_stats_report" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS status
+        |  FROM orders)
+        |SELECT 'k' AS "column", CAST(count(*) AS BIGINT) AS row_count,
+        |  CAST(0 AS BIGINT) AS null_count,
+        |  min(k) AS min_value, max(k) AS max_value, true AS ndv_ok
+        |FROM base
+        |UNION ALL
+        |SELECT 'status', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  NULL, NULL, true
+        |FROM base
+        |ORDER BY "column"""".stripMargin
   )
 }
