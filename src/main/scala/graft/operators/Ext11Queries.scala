@@ -250,6 +250,145 @@ object Ext11Queries {
         .orderBy(col("origin"), col("shard"))
     }),
 
+    // interpolated Kneser-Ney bigram LM (d = 0.75): the smoothing every
+    // n-gram LM pipeline uses — discounted bigram mass backs off to the
+    // CONTINUATION unigram (how many contexts a word follows), not the
+    // raw frequency. All five count tables are vocabulary-bounded
+    // (broadcast); per-bigram log-probs round at 9dp, doc scores at 6dp.
+    "text_kn_bigram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+        .withColumn("n", size(col("toks"))).filter(col("n") >= 2)
+      val bi = docs.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, n - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val c1 = c12.groupBy(col("w1"))
+        .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1f"))
+      val cb = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+      val tt = c12.agg(count(lit(1)).as("T"))
+      val p = c12.join(broadcast(c1), "w1").join(broadcast(cb), "w2")
+        .crossJoin(broadcast(tt))
+        .select(col("w1"), col("w2"), round(log(
+          (greatest(col("c") - lit(0.75), lit(0)) +
+            lit(0.75) * col("n1f") * (col("n1b") / col("T").cast("double"))) /
+            col("c1").cast("double")), 9).as("lp"))
+      bi.join(broadcast(p), Seq("w1", "w2"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(avg(col("lp")), 6).as("doc_lp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("doc_lp")), 6).as("mean_kn_lp"))
+        .orderBy(col("lang"))
+    }),
+
+    // binary-segmentation changepoint: per event type, the day that
+    // maximizes |mean(≤ d) − mean(> d)| over the daily value series —
+    // the first split of the classic recursive detector, exact. One
+    // keyed cumulative window over ~365 rows per type; never global.
+    "ts_changepoint_binary" -> ((s, dir) => {
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val wt = Window.partitionBy(col("event_type"))
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(round(sum(col("value")), 6).as("x"))
+      val g = daily
+        .withColumn("cs", sum(col("x")).over(wc))
+        .withColumn("cn", count(lit(1)).over(wc))
+        .withColumn("ts_", sum(col("x")).over(wt))
+        .withColumn("tn", count(lit(1)).over(wt))
+        .filter(col("cn") < col("tn"))
+        .select(col("event_type"), col("d"),
+          round(col("cs") / col("cn"), 6).as("mean_left"),
+          round((col("ts_") - col("cs")) / (col("tn") - col("cn")), 6).as("mean_right"),
+          round(abs(col("cs") / col("cn") -
+            (col("ts_") - col("cs")) / (col("tn") - col("cn"))), 6).as("gap"))
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(desc("gap"), col("d"))
+      g.withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+        .select(col("event_type"), col("d").as("split_day"),
+          col("mean_left"), col("mean_right"), col("gap"))
+        .orderBy(col("event_type"))
+    }),
+
+    // trailing 7-day distinct users per day (the WAU-style rolling
+    // cardinality): each (user, day) explodes to the 7 target days it
+    // contributes to — an EQUI-shuffle linear in user-days, instead of
+    // the range join or the per-day re-scan that dies at 100 TB.
+    "events_rolling_distinct" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val days = ud.select(col("d")).distinct()
+      val ex = ud.withColumn("o", explode(sequence(lit(0), lit(6))))
+        .select(col("user_id"), col("d").as("d0"),
+          date_add(col("d"), col("o")).as("t"))
+      ex.groupBy(col("t").as("d"))
+        .agg(countDistinct(col("user_id")).as("u7"),
+          countDistinct(when(col("t") === col("d0"), col("user_id"))).as("u1"))
+        .join(days, "d")
+        .orderBy(col("d"))
+    }),
+
+    // point-in-time as-of join with a STALENESS BOUND: each purchase
+    // takes its user's last click only when it is ≤ 24 h old — the
+    // feature-store join (no future leakage, no stale features). The
+    // tolerance rides the existing sort-merge as-of machinery as a
+    // post-predicate; per-user freshness ledger out.
+    "join_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val j = graft.api.JoinOps.asofJoin(purchases, clicks, "user_id", "ts",
+        rightCols = Seq("ts"), inclusive = false)
+      // freshness gap averaged from EXACT µs long sums (a per-row
+      // double divide averaged would round-flip at 6dp across engines)
+      val freshUs = when(col("asof_ts").isNotNull &&
+          col("asof_ts") >= col("ts") - expr("INTERVAL 24 HOURS"),
+        unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+      j.withColumn("fresh_us", freshUs)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("fresh_us")).as("n_fresh"),
+          round(sum(col("fresh_us")) / count(col("fresh_us")) / lit(6.0e7), 6)
+            .as("avg_fresh_minutes"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Benjamini-Hochberg FDR over per-nation mean-deviation tests:
+    // p-values from the logistic approximation of the normal CDF
+    // (Φ(z) ≈ 1/(1+e^{−1.702z}), documented, deterministic), then the
+    // step-up procedure at q = 0.2 — reject every rank ≤ the largest k
+    // with p(k) ≤ k·q/m. The window runs over |nations| rows only.
+    "stat_bh_fdr" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val st = cust.groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(Tables.dec2(col("c_acctbal"))).cast("double") /
+            count(lit(1)), 9).as("mean_n"))
+      val g = cust.agg(
+        round(sum(Tables.dec2(col("c_acctbal"))).cast("double") /
+          count(lit(1)), 9).as("mean_all"),
+        round(stddev_samp(col("c_acctbal")), 6).as("sd"))
+      val pv = st.crossJoin(broadcast(g))
+        .select(col("nation"), round(
+          lit(2) * (lit(1) - lit(1) / (lit(1) + exp(lit(-1.702) *
+            abs(round((col("mean_n") - col("mean_all")) /
+              (col("sd") / sqrt(col("n"))), 9))))), 9).as("p"))
+      val wr = Window.orderBy(col("p"), col("nation"))
+      val wAll = Window.partitionBy()
+      pv.withColumn("rn", row_number().over(wr))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("kmax",
+          max(when(col("p") <= col("rn") * lit(0.2) / col("m"), col("rn")))
+            .over(wAll))
+        .select(col("nation"), col("p"),
+          coalesce(col("rn") <= col("kmax"), lit(false)).as("rejected"))
+        .orderBy(col("nation"))
+    }),
+
     // Neyman-allocation stratified sampling: n_h ∝ N_h·S_h (the
     // minimum-variance allocation for a fixed total budget of 100),
     // then the deterministic md5-order selection within each stratum.
@@ -392,6 +531,99 @@ object Ext11Queries {
         |GROUP BY segment ORDER BY segment""".stripMargin,
 
     "events_markov_stationary" -> markovSql,
+
+    "text_kn_bigram" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+        |t2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+        |bi AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, n),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true)
+        |  FROM t2),
+        |c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c) AS c1, count(*) AS n1f FROM c12 GROUP BY w1),
+        |cb AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY w2),
+        |tt AS (SELECT count(*) AS T FROM c12),
+        |p AS (SELECT c12.w1, c12.w2,
+        |    round(ln((greatest(c12.c - 0.75, 0) +
+        |        0.75 * c1.n1f * (cb.n1b / CAST(tt.T AS DOUBLE)))
+        |      / CAST(c1.c1 AS DOUBLE)), 9) AS lp
+        |  FROM c12 JOIN c1 USING (w1) JOIN cb USING (w2) CROSS JOIN tt),
+        |dl AS (SELECT doc_id, lang, round(avg(lp), 6) AS doc_lp
+        |  FROM bi JOIN p USING (w1, w2) GROUP BY doc_id, lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(doc_lp), 6) AS mean_kn_lp
+        |FROM dl GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "ts_changepoint_binary" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    round(sum(value), 6) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, d,
+        |    sum(x) OVER w AS cs, count(*) OVER w AS cn,
+        |    sum(x) OVER (PARTITION BY event_type) AS ts_,
+        |    count(*) OVER (PARTITION BY event_type) AS tn
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |g AS (SELECT event_type, d,
+        |    round(cs / cn, 6) AS mean_left,
+        |    round((ts_ - cs) / (tn - cn), 6) AS mean_right,
+        |    round(abs(cs / cn - (ts_ - cs) / (tn - cn)), 6) AS gap
+        |  FROM c WHERE cn < tn),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY gap DESC, d) AS rn FROM g)
+        |SELECT event_type, d AS split_day, mean_left, mean_right, gap
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "events_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |ex AS (SELECT user_id, d AS d0,
+        |    CAST(d + INTERVAL 1 DAY * g.o AS DATE) AS t
+        |  FROM ud, (SELECT unnest(range(0, 7)) AS o) g),
+        |agg AS (SELECT t AS d, count(DISTINCT user_id) AS u7,
+        |    count(DISTINCT CASE WHEN t = d0 THEN user_id END) AS u1
+        |  FROM ex GROUP BY t)
+        |SELECT agg.d, CAST(u7 AS BIGINT) AS u7, CAST(u1 AS BIGINT) AS u1
+        |FROM agg JOIN days ON agg.d = days.d ORDER BY agg.d""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS last_click
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts < p.ts
+        |  GROUP BY 1, 2, 3),
+        |f AS (SELECT user_id,
+        |    CASE WHEN last_click IS NOT NULL
+        |        AND last_click >= ts - INTERVAL 24 HOUR THEN
+        |      epoch_us(ts) - epoch_us(last_click) END AS fresh_us
+        |  FROM j)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(fresh_us) AS BIGINT) AS n_fresh,
+        |  round(sum(fresh_us) / count(fresh_us) / 60000000.0, 6)
+        |    AS avg_fresh_minutes
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stat_bh_fdr" ->
+      """WITH st AS (SELECT c_nationkey AS nation, count(*) AS n,
+        |    round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*), 9) AS mean_n
+        |  FROM customer GROUP BY 1),
+        |g AS (SELECT
+        |    round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*), 9) AS mean_all,
+        |    round(stddev_samp(c_acctbal), 6) AS sd FROM customer),
+        |z AS (SELECT nation, n,
+        |    round((mean_n - mean_all) / (sd / sqrt(n)), 9) AS z
+        |  FROM st CROSS JOIN g),
+        |pv AS (SELECT nation,
+        |    round(2 * (1 - 1 / (1 + exp(-1.702 * abs(z)))), 9) AS p FROM z),
+        |r AS (SELECT *, row_number() OVER (ORDER BY p, nation) AS rn,
+        |    count(*) OVER () AS m FROM pv),
+        |k AS (SELECT *,
+        |    max(CASE WHEN p <= rn * 0.2 / m THEN rn END) OVER () AS kmax FROM r)
+        |SELECT nation, p, coalesce(rn <= kmax, false) AS rejected
+        |FROM k ORDER BY nation""".stripMargin,
 
     "mm_shard_manifest" ->
       """WITH m AS (SELECT doc_id AS media_id, source AS origin,

@@ -1124,6 +1124,27 @@ object LakeQueries {
         .orderBy(col("status"))
     }),
 
+    // streaming into the lakehouse with a LIVE incremental aggregate:
+    // each microbatch appends through the exactly-once ledger and the
+    // materialized view folds exactly that batch's change feed —
+    // scanned_exactly_delta pins that NO refresh ever rescanned the
+    // table. The final view must equal the batch SQL over everything
+    // streamed (the oracle), which is the MV's exactness contract.
+    "lake_stream_mv" -> ((s, dir) => {
+      val basePath = tablePath("lake_stream_mv_base")
+      val mvPath = tablePath("lake_stream_mv_view")
+      val (mvState, deltaExact, refreshes) =
+        graft.streaming.StreamingJobs.foreachBatchLakeMv(
+          s, graft.streaming.StreamingDeclared.stagedEventsSplitDir(s, dir),
+          basePath, mvPath)
+      mvState
+        .select(col("user_id"), col("cnt"),
+          round(col("total").cast("double"), 2).as("total"),
+          lit(deltaExact).as("scanned_exactly_delta"),
+          lit(refreshes >= 2).as("multi_batch_ok"))
+        .orderBy(col("user_id"))
+    }),
+
     // manifest statistics as a DESCRIBE-style report: exact row and
     // null counts and long bounds folded from the manifest at ZERO
     // file I/O, plus the HLL ndv estimate pinned (in-band) within 15%
@@ -1672,6 +1693,13 @@ object LakeQueries {
         |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
         |  true AS delta_bounded, true AS scanned_exactly_delta
         |FROM fin GROUP BY status ORDER BY status""".stripMargin,
+
+    "lake_stream_mv" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total,
+        |  true AS scanned_exactly_delta, true AS multi_batch_ok
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "lake_stats_report" ->
       """WITH base AS (

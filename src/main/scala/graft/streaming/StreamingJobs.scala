@@ -818,6 +818,52 @@ object StreamingJobs {
     (t.read(), vBefore, skipped)
   }
 
+  /** Streaming INTO a lake base with a per-batch incremental
+    * materialized-view refresh — the lakehouse "live aggregate"
+    * pattern: each microbatch lands via the exactly-once appendStream
+    * ledger, then [[graft.lake.LakeMv.refresh]] folds exactly that
+    * batch's change-feed rows into the stored groups. Returns (final
+    * MV read-back, every-refresh-scanned-exactly-its-batch,
+    * refresh count). Values are pre-rounded to 2dp so the MV's DECIMAL
+    * arithmetic is exact against any recompute order.
+    */
+  def foreachBatchLakeMv(spark: SparkSession, splitDir: String,
+      basePath: String, mvPath: String): (DataFrame, Boolean, Int) = {
+    deleteRecursively(java.nio.file.Paths.get(basePath))
+    deleteRecursively(java.nio.file.Paths.get(mvPath))
+    def shape(df: DataFrame): DataFrame =
+      df.select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"))
+    val t = graft.lake.LakeTable.create(spark, basePath,
+      shape(graft.Tables.normalizeEventsTs(spark.read.parquet(splitDir))).limit(0),
+      Seq("event_id", "user_id"))
+    val mv = graft.lake.LakeMv.create(spark, mvPath, t, Seq("user_id"), "value")
+    val src = shape(graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(eventsRawSchema(spark, splitDir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(splitDir)))
+    var deltaExact = true
+    var refreshes = 0
+    withStatePartitions(spark, 8) {
+      val q = src.writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (!batch.isEmpty) {
+            val n = batch.count()
+            t.appendStream(batch, "lake-mv-demo", id)
+            val scanned = mv.refresh()
+            refreshes += 1
+            deltaExact &&= scanned == n
+            ()
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    (mv.read(), deltaExact, refreshes)
+  }
+
   /** Unbounded-source demo on the deterministic `rate-micro-batch`
     * source: batch 0 is exactly `rowsPerBatch` rows with values
     * 0..rowsPerBatch-1 at a fixed start timestamp, so a Trigger.Once run

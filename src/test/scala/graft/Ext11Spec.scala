@@ -89,6 +89,52 @@ class Ext11Spec extends AnyFunSuite {
     assert(manifestBytes === trueBytes)
   }
 
+  test("text_kn_bigram log-probs are proper (negative) and per-lang complete") {
+    val rows = q("text_kn_bigram").collect()
+    assert(rows.length >= 2)
+    rows.foreach(r => assert(r.getAs[Double]("mean_kn_lp") < 0, r.toString))
+  }
+
+  test("ts_changepoint_binary picks the max-gap split per type") {
+    val rows = q("ts_changepoint_binary").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val gap = r.getAs[Double]("gap")
+      assert(gap > 0)
+      assert(math.abs(math.abs(r.getAs[Double]("mean_left") -
+        r.getAs[Double]("mean_right")) - gap) < 2e-6)
+    }
+  }
+
+  test("events_rolling_distinct trailing-7 dominates the single day") {
+    val rows = q("events_rolling_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("u7") >= r.getAs[Long]("u1")))
+  }
+
+  test("join_asof_tolerance: fresh matches are a subset and gaps are in-bound") {
+    val rows = q("join_asof_tolerance").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_fresh") <= r.getAs[Long]("n_purchases"))
+      if (!r.isNullAt(r.fieldIndex("avg_fresh_minutes"))) {
+        val m = r.getAs[Double]("avg_fresh_minutes")
+        assert(m >= 0 && m <= 24 * 60, s"staleness bound violated: $m min")
+      }
+    }
+  }
+
+  test("stat_bh_fdr p-values are proper and rejections are a prefix of the p-ranking") {
+    val rows = q("stat_bh_fdr").collect()
+    assert(rows.length >= 2)
+    rows.foreach(r => {
+      val p = r.getAs[Double]("p")
+      assert(p >= 0 && p <= 1)
+    })
+    val byP = rows.sortBy(_.getAs[Double]("p")).map(_.getAs[Boolean]("rejected"))
+    // step-up: once a rank is not rejected, no later rank is
+    assert(!byP.dropWhile(identity).contains(true))
+  }
+
   test("sample_neyman allocation is within budget and proportional-to-spread") {
     val rows = q("sample_neyman").collect()
     val allocs = rows.map(_.getAs[Int]("n_alloc"))
