@@ -180,7 +180,19 @@ object ScaleBench {
     // on the group key — so all four leave the x2 contrast set and must
     // hold near-linear at the full factor
     "dedup_pipeline", "emb_neardup_lsh", "dedup_semantic",
-    "dedup_containment_filtered")
+    "dedup_containment_filtered",
+    // round-13 pack: block-hash dedup (one keyed shuffle), broadcast
+    // bucket/count tables (dsir / kn / f2), B=32 replicate explode with
+    // map-side partials (bootstrap), broadcast-dim joins (scd2 asof /
+    // asof+tolerance), keyed windows (shard manifest / changepoint),
+    // 7-day explode equi-shuffle (rolling distinct), stratum windows
+    // (neyman), enum-bounded driver iteration over distributed counts
+    // (markov). stat_bh_fdr's window runs over |nations| rows only.
+    "dedup_paragraph", "text_dsir", "stat_bootstrap_ci",
+    "agg_f2_selfjoin", "join_scd2_asof", "events_markov_stationary",
+    "mm_shard_manifest", "sample_neyman", "text_kn_bigram",
+    "ts_changepoint_binary", "events_rolling_distinct",
+    "join_asof_tolerance", "stat_bh_fdr")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/
@@ -218,7 +230,12 @@ object ScaleBench {
     "lake_merge", "lake_delete_dv", "lake_restore", "lake_constraints",
     "lake_concurrent", "lake_prune_string", "lake_partition_prune",
     "lake_sql_dml", "lake_rename", "lake_bucket_join",
-    "lake_sql_time_travel")
+    "lake_sql_time_travel",
+    // round-13: bloom build is one distributed bit_or pass + a
+    // manifest-plane collect; MV init is the full aggregate but its
+    // refresh folds only the delta; stats report is manifest-only on
+    // top of the create's stats job
+    "lake_bloom_prune", "lake_mv_incremental", "lake_stats_report")
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

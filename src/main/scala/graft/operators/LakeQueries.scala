@@ -1075,12 +1075,16 @@ object LakeQueries {
       wipe(path)
       val b = base(s, dir)
       val mx = b.agg(max(col("k"))).head().getLong(0)
+      // reduce k mod m BEFORE the Knuth multiply: identical values
+      // ((k mod m)·a mod m = k·a mod m) and the product stays ≤ m·a —
+      // the unreduced multiply overflows (ANSI) at keys ≥ ~3.5e9
       val scrambled = b.select(
-        pmod(col("k") * 2654435761L, lit(1000003L)).as("sk"),
+        pmod(pmod(col("k"), lit(1000003L)) * 2654435761L, lit(1000003L)).as("sk"),
         col("k"), col("price")).repartition(8)
       val t = LakeTable.create(s, path, scrambled, Seq("sk"))
       t.buildBloomIndex(Seq("sk"))
-      val probe = java.lang.Math.floorMod((mx / 2) * 2654435761L, 1000003L)
+      val probe = java.lang.Math.floorMod(
+        java.lang.Math.floorMod(mx / 2, 1000003L) * 2654435761L, 1000003L)
       val nTotal = t.fileNames(t.currentVersion).size
       val nCand = t.bloomCandidateCount("sk", probe)
       t.bloomPrunedRead("sk", probe).filter(col("sk") === probe)
@@ -1672,11 +1676,12 @@ object LakeQueries {
       """WITH base AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
         |  FROM orders),
-        |probe AS (SELECT ((max(k) // 2) * 2654435761) % 1000003 AS p FROM base)
+        |probe AS (SELECT (((max(k) // 2) % 1000003) * 2654435761) % 1000003 AS p
+        |          FROM base)
         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  true AS files_skipped
-        |FROM base, probe WHERE (k * 2654435761) % 1000003 = p""".stripMargin,
+        |FROM base, probe WHERE ((k % 1000003) * 2654435761) % 1000003 = p""".stripMargin,
 
     "lake_mv_incremental" ->
       """WITH base0 AS (
