@@ -192,7 +192,13 @@ object ScaleBench {
     "agg_f2_selfjoin", "join_scd2_asof", "events_markov_stationary",
     "mm_shard_manifest", "sample_neyman", "text_kn_bigram",
     "ts_changepoint_binary", "events_rolling_distinct",
-    "join_asof_tolerance", "stat_bh_fdr")
+    "join_asof_tolerance", "stat_bh_fdr",
+    // round-13 second batch: k-capped neighbor sampling (n·k² fanout),
+    // calendar-bounded ESD rounds, cluster-sample windows (stage-1
+    // list broadcast), one-agg DiD, mergeable HLL sketches + one exact
+    // audit join, occupancy-bounded grid spatial join
+    "graph_sample_neighbors", "ts_esd_outliers", "sample_two_stage",
+    "stat_did", "sketch_hll_intersect", "join_spatial_grid")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

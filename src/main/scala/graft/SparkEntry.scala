@@ -41,6 +41,7 @@ object SparkEntry {
     (Ext9Queries.queries, Ext9Queries.oracle),
     (Ext10Queries.queries, Ext10Queries.oracle),
     (Ext11Queries.queries, Ext11Queries.oracle),
+    (Ext12Queries.queries, Ext12Queries.oracle),
     (LakeQueries.queries, LakeQueries.oracle)
   )
 

@@ -1,0 +1,340 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-13 pack, second batch: GNN-style neighbor sampling, iterative
+  * ESD outlier detection, two-stage cluster sampling, difference-in-
+  * differences, sketch-based set-intersection estimates, and the
+  * grid-bucketed spatial join.
+  *
+  * Scale notes (100 TB design):
+  * - graph_sample_neighbors: the GraphSAGE data-prep primitive — per
+  *   node, k=3 deterministic (md5-order) neighbors, then the same
+  *   sample expanded one hop. Fan-out is ≤ k per node and ≤ k² for the
+  *   second hop regardless of hub degree, so the join volume is n·k²
+  *   (hub-skew-proof, same discipline as the degree-capped graph ops).
+  * - ts_esd_outliers: generalized-ESD shape — 3 rounds of (global
+  *   moments → flag max |z| → remove). Input is the DAILY series
+  *   (calendar-bounded), so the per-round global window is control
+  *   plane; the heavy part is the one groupBy building the series.
+  * - sample_two_stage: classic survey design — stage 1 picks clusters
+  *   (customers) by content hash, stage 2 picks ≤3 orders inside each.
+  *   Stage-2 windows partition by cluster; the cluster list broadcasts.
+  * - stat_did: four DECIMAL cell means and one arithmetic combination;
+  *   a single map-side-combinable aggregation.
+  * - sketch_hll_intersect: inclusion-exclusion over HLL sketches
+  *   (est A + est B − est A∪B) with the exact intersection computed
+  *   alongside and the estimate pinned within 20% in-band — sketches
+  *   merge losslessly across partitions, the exact join is the audit.
+  * - join_spatial_grid: spatial self-join via 1°×2° grid cells +
+  *   neighbor-cell EQUI-join + exact haversine verify — the S2/geohash
+  *   bucketing pattern (cells sized ≥ the 100 km radius over the
+  *   synthesized mid-latitude band, so candidate recall is provably 1;
+  *   a production build swaps the arithmetic cells for S2 tokens with
+  *   polar/antimeridian wrap). Candidates are occupancy-bounded:
+  *   9 · avg-cell-occupancy · n, never n².
+  */
+object Ext12Queries {
+
+  /** Deterministic mid-latitude point cloud from customer keys (prime
+    * lattice, reduced mod-first so the multiply can never overflow).
+    */
+  private def points(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey").as("id"),
+      (lit(30.0) + pmod(pmod(col("c_custkey"), lit(6007L)) * 4999L, lit(6007L)) *
+        lit(30.0) / lit(6007.0)).as("lat"),
+      (lit(-30.0) + pmod(pmod(col("c_custkey"), lit(9973L)) * 7919L, lit(9973L)) *
+        lit(60.0) / lit(9973.0)).as("lon"))
+
+  private def haversineKm(la: org.apache.spark.sql.Column,
+      loa: org.apache.spark.sql.Column, lb: org.apache.spark.sql.Column,
+      lob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(2.0) * lit(6371.0) * asin(sqrt(
+      pow(sin(radians(lb - la) / 2), 2) +
+        cos(radians(la)) * cos(radians(lb)) *
+          pow(sin(radians(lob - loa) / 2), 2)))
+
+  val queries: Map[String, Q] = Map(
+
+    // GraphSAGE-style 2-hop neighbor sampling: per node, the k=3
+    // lowest-md5 neighbors (reproducible across engines/runs — the
+    // property a random sampler lacks), then the same sampled table
+    // self-joined for hop 2. Per-node ledger: fan-outs + an id
+    // checksum of the distinct 2-hop sample.
+    "graph_sample_neighbors" -> ((s, dir) => {
+      val e = AnalyticsQueries.edges1996(s, dir)
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val w = Window.partitionBy(col("a")).orderBy(
+        md5(concat(col("a").cast("string"), lit("_"), col("b").cast("string"))),
+        col("b"))
+      val h1 = sym.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select(col("a"), col("b"))
+      val h2 = h1.as("x")
+        .join(h1.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("y.b").as("c")).distinct()
+      val agg1 = h1.groupBy(col("a")).agg(count(lit(1)).as("n_h1"))
+      val agg2 = h2.groupBy(col("a"))
+        .agg(count(lit(1)).as("n_h2"), sum(col("c")).as("sum_h2"))
+      agg1.join(agg2, Seq("a"), "left")
+        .select(col("a").as("node"), col("n_h1"),
+          coalesce(col("n_h2"), lit(0L)).as("n_h2"),
+          coalesce(col("sum_h2"), lit(0L)).as("sum_h2"))
+        .orderBy(col("node"))
+    }),
+
+    // generalized-ESD outliers: 3 rounds of flag-the-max-|z| over the
+    // daily total series, re-estimating moments after each removal —
+    // the iterative detector a single z-score pass cannot express
+    // (masked outliers shift the moments).
+    "ts_esd_outliers" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(round(sum(col("value")), 6).as("x"))
+      var rest = daily
+      var out: DataFrame = null
+      for (r <- 1 to 3) {
+        val st = rest.agg(avg(col("x")).as("m"), stddev_samp(col("x")).as("sd"))
+        val f = rest.crossJoin(broadcast(st))
+          .withColumn("zraw", abs(col("x") - col("m")) / col("sd"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(desc("zraw"), col("d"))))
+        val removed = f.filter(col("rn") === 1)
+          .select(lit(r).as("round"), col("d"), round(col("zraw"), 6).as("z"))
+        out = if (out == null) removed else out.unionByName(removed)
+        rest = f.filter(col("rn") > 1).select(col("d"), col("x"))
+      }
+      out.orderBy(col("round"))
+    }),
+
+    // two-stage cluster sampling: 20 clusters (customers) by content
+    // hash, then ≤3 orders per selected cluster — the survey design
+    // whose cost is bounded by the stage-1 sample, not the population.
+    "sample_two_stage" -> ((s, dir) => {
+      // stage 1 is a GLOBAL top-20-by-hash: orderBy+limit plans as
+      // TakeOrderedAndProject (parallel partial top-k per partition),
+      // never the single-partition row_number window
+      val sel = Tables.customer(s, dir)
+        .select(col("c_custkey"), md5(col("c_custkey").cast("string")).as("h"))
+        .orderBy(col("h"), col("c_custkey"))
+        .limit(20).select(col("c_custkey"))
+      val w2 = Window.partitionBy(col("o_custkey"))
+        .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+      val wc = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, dir)
+        .join(broadcast(sel), col("o_custkey") === col("c_custkey"))
+        .withColumn("orn", row_number().over(w2))
+        .withColumn("n_in_cluster", count(lit(1)).over(wc))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("n_in_cluster")).as("n_orders"),
+          sum(when(col("orn") <= 3, 1).otherwise(0)).as("n_sampled"),
+          round(sum(when(col("orn") <= 3, Tables.dec2(col("o_totalprice"))))
+            .cast("double"), 2).as("sampled_total"))
+        .orderBy(col("custkey"))
+    }),
+
+    // difference-in-differences: treated = odd customers, post =
+    // orders from 1998 — (T,post − T,pre) − (C,post − C,pre) from four
+    // DECIMAL-exact cell means. The workhorse causal estimator.
+    "stat_did" -> ((s, dir) => {
+      val cell = Tables.orders(s, dir)
+        .select((col("o_custkey") % 2 === 1).as("treated"),
+          (col("o_orderdate") >= lit("1998-01-01").cast("date")).as("post"),
+          Tables.dec2(col("o_totalprice")).as("p"))
+        .groupBy(col("treated"), col("post"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("p")).cast("double") / count(lit(1)), 6).as("m"))
+      def m(t: Boolean, po: Boolean) =
+        max(when(col("treated") === t && col("post") === po, col("m")))
+      cell.agg(
+        m(true, true).as("m_t_post"), m(true, false).as("m_t_pre"),
+        m(false, true).as("m_c_post"), m(false, false).as("m_c_pre"),
+        round((m(true, true) - m(true, false)) -
+          (m(false, true) - m(false, false)), 6).as("did"),
+        sum(col("n")).as("n_orders"))
+    }),
+
+    // set-intersection estimate from HLL sketches (inclusion-
+    // exclusion: |A∩B| ≈ est A + est B − est A∪B) with the exact
+    // intersection joined alongside and the estimate pinned within
+    // 20% in-band — the audience-overlap primitive at sketch cost.
+    "sketch_hll_intersect" -> ((s, dir) => {
+      val ud = Tables.events(s, dir).select(col("event_type"),
+        concat(col("user_id").cast("string"), lit("@"),
+          to_date(col("ts")).cast("string")).as("k"))
+      // each distinct set feeds three consumers (count, exact audit
+      // join, sketch) — pin them so the base scan runs once per side
+      val a = ud.filter(col("event_type") === "purchase")
+        .select(col("k")).distinct().cache()
+      val b = ud.filter(col("event_type") === "click")
+        .select(col("k")).distinct().cache()
+      try {
+        val exact = a.join(b, "k").count()
+        val (na, nb) = (a.count(), b.count())
+        val ska = a.agg(hll_sketch_agg(col("k")).as("sa"))
+        val skb = b.agg(hll_sketch_agg(col("k")).as("sb"))
+        val est = ska.crossJoin(skb).select(
+          hll_sketch_estimate(col("sa")).as("ea"),
+          hll_sketch_estimate(col("sb")).as("eb"),
+          hll_sketch_estimate(hll_union(col("sa"), col("sb"))).as("eu"))
+          .select((col("ea") + col("eb") - col("eu")).cast("double").as("ei"))
+          .head().getDouble(0)
+        import s.implicits._
+        Seq((na, nb, exact,
+          math.abs(est - exact) / math.max(1L, exact) <= 0.2))
+          .toDF("n_a", "n_b", "n_intersect", "estimate_within_20pct")
+      } finally {
+        a.unpersist(blocking = false); b.unpersist(blocking = false)
+      }
+    }),
+
+    // spatial self-join via grid bucketing: 1°(lat) × 2°(lon) cells
+    // over the mid-latitude band, neighbor-cell equi-join, exact
+    // haversine ≤ 100 km verify — pair histogram by 20 km bucket.
+    "join_spatial_grid" -> ((s, dir) => {
+      val cells = points(s, dir)
+        .withColumn("cy", floor(col("lat")).cast("int"))
+        .withColumn("cx", floor(col("lon") / 2).cast("int"))
+      val nb = cells
+        .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+        .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+        .select(col("id").as("id_a"), col("lat").as("la"), col("lon").as("loa"),
+          (col("cy") + col("dy")).as("ny"), (col("cx") + col("dx")).as("nx"))
+      val cand = nb.join(
+        cells.select(col("id").as("id_b"), col("lat").as("lb"),
+          col("lon").as("lob"), col("cy"), col("cx")),
+        col("ny") === col("cy") && col("nx") === col("cx") &&
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("la"), col("loa"),
+          col("lb"), col("lob")).distinct()
+      cand.withColumn("km",
+          round(haversineKm(col("la"), col("loa"), col("lb"), col("lob")), 6))
+        .filter(col("km") <= 100.0)
+        .groupBy(floor(col("km") / 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("bucket"))
+    })
+  )
+
+  private val edges1996Sql =
+    """le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |         AND l_shipdate < TIMESTAMP '1997-01-01'),
+      |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |      FROM le a JOIN le b ON a.ok = b.ok AND a.pk < b.pk)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "graph_sample_neighbors" ->
+      s"""WITH $edges1996Sql,
+        |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |rk AS (SELECT a, b, row_number() OVER (PARTITION BY a
+        |    ORDER BY md5(CAST(a AS VARCHAR) || '_' || CAST(b AS VARCHAR)), b) AS rn
+        |  FROM sym),
+        |h1 AS (SELECT a, b FROM rk WHERE rn <= 3),
+        |h2d AS (SELECT DISTINCT x.a, y.b AS c FROM h1 x JOIN h1 y ON x.b = y.a)
+        |SELECT h1agg.a AS node, n_h1, coalesce(n_h2, 0) AS n_h2,
+        |  coalesce(sum_h2, 0) AS sum_h2
+        |FROM (SELECT a, CAST(count(*) AS BIGINT) AS n_h1 FROM h1 GROUP BY a) h1agg
+        |LEFT JOIN (SELECT a, CAST(count(*) AS BIGINT) AS n_h2,
+        |           CAST(sum(c) AS BIGINT) AS sum_h2 FROM h2d GROUP BY a) h2agg
+        |  USING (a)
+        |ORDER BY node""".stripMargin,
+
+    "ts_esd_outliers" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, round(sum(value), 6) AS x
+        |  FROM events GROUP BY 1),
+        |s1 AS (SELECT avg(x) AS m, stddev_samp(x) AS sd FROM daily),
+        |f1 AS (SELECT d, x, round(abs(x - m) / sd, 6) AS z,
+        |    row_number() OVER (ORDER BY abs(x - m) / sd DESC, d) AS rn
+        |  FROM daily CROSS JOIN s1),
+        |o1 AS (SELECT 1 AS round, d, z FROM f1 WHERE rn = 1),
+        |r1 AS (SELECT d, x FROM f1 WHERE rn > 1),
+        |s2 AS (SELECT avg(x) AS m, stddev_samp(x) AS sd FROM r1),
+        |f2 AS (SELECT d, x, round(abs(x - m) / sd, 6) AS z,
+        |    row_number() OVER (ORDER BY abs(x - m) / sd DESC, d) AS rn
+        |  FROM r1 CROSS JOIN s2),
+        |o2 AS (SELECT 2 AS round, d, z FROM f2 WHERE rn = 1),
+        |r2 AS (SELECT d, x FROM f2 WHERE rn > 1),
+        |s3 AS (SELECT avg(x) AS m, stddev_samp(x) AS sd FROM r2),
+        |f3 AS (SELECT d, x, round(abs(x - m) / sd, 6) AS z,
+        |    row_number() OVER (ORDER BY abs(x - m) / sd DESC, d) AS rn
+        |  FROM r2 CROSS JOIN s3),
+        |o3 AS (SELECT 3 AS round, d, z FROM f3 WHERE rn = 1)
+        |SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
+        |ORDER BY round""".stripMargin,
+
+    "sample_two_stage" ->
+      """WITH c1 AS (SELECT c_custkey,
+        |    row_number() OVER (ORDER BY md5(CAST(c_custkey AS VARCHAR)),
+        |      c_custkey) AS crn
+        |  FROM customer),
+        |sel AS (SELECT c_custkey FROM c1 WHERE crn <= 20),
+        |o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS orn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n_in_cluster
+        |  FROM orders JOIN sel ON o_custkey = c_custkey)
+        |SELECT o_custkey AS custkey, CAST(max(n_in_cluster) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN orn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  round(CAST(sum(CASE WHEN orn <= 3
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+        |    AS sampled_total
+        |FROM o GROUP BY o_custkey ORDER BY custkey""".stripMargin,
+
+    "stat_did" ->
+      """WITH t AS (SELECT o_custkey % 2 = 1 AS treated,
+        |    o_orderdate >= DATE '1998-01-01' AS post,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |cell AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS m
+        |  FROM t GROUP BY treated, post)
+        |SELECT
+        |  max(CASE WHEN treated AND post THEN m END) AS m_t_post,
+        |  max(CASE WHEN treated AND NOT post THEN m END) AS m_t_pre,
+        |  max(CASE WHEN NOT treated AND post THEN m END) AS m_c_post,
+        |  max(CASE WHEN NOT treated AND NOT post THEN m END) AS m_c_pre,
+        |  round((max(CASE WHEN treated AND post THEN m END)
+        |      - max(CASE WHEN treated AND NOT post THEN m END))
+        |    - (max(CASE WHEN NOT treated AND post THEN m END)
+        |      - max(CASE WHEN NOT treated AND NOT post THEN m END)), 6) AS did,
+        |  CAST(sum(n) AS BIGINT) AS n_orders
+        |FROM cell""".stripMargin,
+
+    "sketch_hll_intersect" ->
+      """WITH ud AS (SELECT event_type,
+        |    CAST(user_id AS VARCHAR) || '@' || CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+        |  FROM events),
+        |a AS (SELECT DISTINCT k FROM ud WHERE event_type = 'purchase'),
+        |b AS (SELECT DISTINCT k FROM ud WHERE event_type = 'click')
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (k)) AS n_intersect,
+        |  true AS estimate_within_20pct""".stripMargin,
+
+    "join_spatial_grid" ->
+      """WITH pts AS (SELECT c_custkey AS id,
+        |    30 + ((c_custkey % 6007) * 4999 % 6007) * 30.0 / 6007 AS lat,
+        |    -30 + ((c_custkey % 9973) * 7919 % 9973) * 60.0 / 9973 AS lon
+        |  FROM customer),
+        |cells AS (SELECT *, CAST(floor(lat) AS INT) AS cy,
+        |    CAST(floor(lon / 2) AS INT) AS cx FROM pts),
+        |nb AS (SELECT id, lat, lon, cy + dy.o AS ny, cx + dx.o AS nx
+        |  FROM cells, (SELECT unnest(range(-1,2)) AS o) dy,
+        |    (SELECT unnest(range(-1,2)) AS o) dx),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.lat AS la,
+        |    a.lon AS loa, b.lat AS lb, b.lon AS lob
+        |  FROM nb a JOIN cells b ON a.ny = b.cy AND a.nx = b.cx AND a.id < b.id),
+        |d AS (SELECT round(2 * 6371.0 * asin(sqrt(
+        |      pow(sin(radians(lb - la) / 2), 2) +
+        |      cos(radians(la)) * cos(radians(lb)) *
+        |        pow(sin(radians(lob - loa) / 2), 2))), 6) AS km
+        |  FROM cand)
+        |SELECT CAST(floor(km / 10) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM d WHERE km <= 100.0 GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}
