@@ -198,7 +198,11 @@ object ScaleBench {
     // list broadcast), one-agg DiD, mergeable HLL sketches + one exact
     // audit join, occupancy-bounded grid spatial join
     "graph_sample_neighbors", "ts_esd_outliers", "sample_two_stage",
-    "stat_did", "sketch_hll_intersect", "join_spatial_grid")
+    "stat_did", "sketch_hll_intersect", "join_spatial_grid",
+    // round-13 third batch: keyed-window CDC chunking, per-user moment
+    // aggregation + broadcast θ (CUPED), two-group chi-square (SRM),
+    // degree-capped Adamic-Adar wedges (n·cap²)
+    "dedup_cdc", "stat_cuped", "stat_srm", "graph_adamic_adar_capped")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

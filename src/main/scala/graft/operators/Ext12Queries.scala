@@ -191,6 +191,108 @@ object Ext12Queries {
       }
     }),
 
+    // content-defined chunking dedup (the CDC rung between exact-doc
+    // and fixed-block dedup): chunk boundaries where the rolling
+    // bigram hash starts with hex '0' (p = 1/16 → ~16-token chunks),
+    // so an insertion only reshapes ONE chunk and the rest still
+    // dedup — the property fixed blocks lack. First occurrence by
+    // (doc, chunk position) wins; per-source ledger.
+    "dedup_cdc" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(filter(split(col("text"), " "), t => t =!= lit(""))))
+        .withColumnRenamed("col", "w").withColumnRenamed("pos", "i")
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val seg = tok
+        .withColumn("boundary", when(col("i") > 0 &&
+          substring(md5(concat(lag(col("w"), 1).over(wd), lit(" "), col("w"))),
+            1, 1) === "0", 1).otherwise(0))
+        .withColumn("cid", sum(col("boundary")).over(wd))
+      val ch = seg.groupBy(col("doc_id"), col("source"), col("cid"))
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("w")))),
+            x => x.getField("w")), " ").as("chunk"),
+          count(lit(1)).as("n_toks"))
+      val wr = Window.partitionBy(md5(col("chunk")))
+        .orderBy(col("doc_id"), col("cid"))
+      ch.withColumn("rn", row_number().over(wr))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).as("n_kept"),
+          sum(when(col("rn") > 1, col("n_toks")).otherwise(0)).as("n_dup_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // CUPED variance reduction (the A/B-testing workhorse): adjust the
+    // post-period metric by the pre-period covariate, y = post −
+    // θ(pre − E[pre]) with θ = cov/var — same means, tighter variance.
+    // Moments are 9dp-pinned so both engines draw identical θ.
+    "stat_cuped" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(round(sum(when(to_date(col("ts")) < lit("2024-01-16").cast("date"),
+            col("value")).otherwise(0)), 6).as("pre"),
+          round(sum(when(to_date(col("ts")) >= lit("2024-01-16").cast("date"),
+            col("value")).otherwise(0)), 6).as("post"))
+        .withColumn("treated", col("user_id") % 2 === 1)
+      val m = u.agg(round(avg(col("pre")), 9).as("mpre"),
+        round(covar_samp(col("pre"), col("post")), 9).as("cov"),
+        round(var_samp(col("pre")), 9).as("vpre"))
+      u.crossJoin(broadcast(m))
+        .withColumn("y", col("post") -
+          (col("cov") / col("vpre")) * (col("pre") - col("mpre")))
+        .groupBy(col("treated"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("post")), 6).as("mean_raw"),
+          round(avg(col("y")), 6).as("mean_cuped"),
+          round(var_samp(col("y")) / var_samp(col("post")), 6).as("var_ratio"))
+        .orderBy(col("treated"))
+    }),
+
+    // sample-ratio-mismatch check: the A/B health gate — chi-square of
+    // the hash-assigned arm counts against the designed 50/50 split,
+    // flagged at the χ²(1df, α=.05) = 3.841 critical value.
+    "stat_srm" -> ((s, dir) => {
+      val u = Tables.events(s, dir).select(col("user_id")).distinct()
+        .withColumn("arm", when(
+          substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+      val c = u.groupBy(col("arm")).agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("total"))
+      val chi2 = sum(pow(col("n") - col("total") / 2.0, 2) / (col("total") / 2.0))
+      c.crossJoin(broadcast(t))
+        .agg(max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          round(chi2, 6).as("chi2"),
+          (round(chi2, 6) > 3.841).as("srm_detected"))
+    }),
+
+    // Adamic-Adar link prediction on the mutually degree-capped (cap=4)
+    // co-purchase subgraph: common neighbors weighted 1/ln(deg) — the
+    // classic "who-should-connect" score. The cap bounds wedge volume
+    // at n·cap² (hub-skew-proof, the graded capped-graph discipline).
+    "graph_adamic_adar_capped" -> ((s, dir) => {
+      val e = AnalyticsQueries.edges1996(s, dir)
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val wk = Window.partitionBy(col("a")).orderBy(col("b"))
+      val kept = sym.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 4).select(col("a"), col("b"))
+      val mut = kept.as("x").join(kept.as("y"),
+          col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("x.b").as("b"))
+      val deg = mut.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      val wedge = mut.as("x").join(mut.as("y"), col("x.b") === col("y.a"))
+        .filter(col("x.a") < col("y.b"))
+        .select(col("x.a").as("p"), col("y.b").as("q"), col("x.b").as("w"))
+      wedge.join(deg, col("w") === col("a")).filter(col("d") > 1)
+        .groupBy(col("p"), col("q"))
+        .agg(count(lit(1)).as("n_common"),
+          round(sum(lit(1.0) / log(col("d"))), 6).as("score"))
+        .filter(col("n_common") >= 2)
+        .orderBy(desc("score"), col("p"), col("q"))
+        .limit(10)
+    }),
+
     // spatial self-join via grid bucketing: 1°(lat) × 2°(lon) cells
     // over the mid-latitude band, neighbor-cell equi-join, exact
     // haversine ≤ 100 km verify — pair histogram by 20 km bucket.
@@ -314,6 +416,76 @@ object Ext12Queries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
         |  (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (k)) AS n_intersect,
         |  true AS estimate_within_20pct""".stripMargin,
+
+    "dedup_cdc" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+        |tok AS (SELECT doc_id, source, unnest(toks) AS w,
+        |    generate_subscripts(toks, 1) - 1 AS i FROM t),
+        |b AS (SELECT doc_id, source, w, i,
+        |    CASE WHEN i > 0 AND substring(md5(lag(w) OVER win || ' ' || w), 1, 1) = '0'
+        |      THEN 1 ELSE 0 END AS boundary
+        |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        |seg AS (SELECT doc_id, source, w, i,
+        |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY i) AS cid FROM b),
+        |ch AS (SELECT doc_id, source, cid, string_agg(w, ' ' ORDER BY i) AS chunk,
+        |    count(*) AS n_toks FROM seg GROUP BY doc_id, source, cid),
+        |r AS (SELECT source, n_toks,
+        |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, cid) AS rn
+        |  FROM ch)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_dup_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "stat_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    round(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN value ELSE 0 END), 6) AS pre,
+        |    round(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |      THEN value ELSE 0 END), 6) AS post,
+        |    user_id % 2 = 1 AS treated
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT round(avg(pre), 9) AS mpre,
+        |    round(covar_samp(pre, post), 9) AS cov,
+        |    round(var_samp(pre), 9) AS vpre FROM u),
+        |adj AS (SELECT treated, post,
+        |    post - (cov / vpre) * (pre - mpre) AS y FROM u CROSS JOIN m)
+        |SELECT treated, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(post), 6) AS mean_raw, round(avg(y), 6) AS mean_cuped,
+        |  round(var_samp(y) / var_samp(post), 6) AS var_ratio
+        |FROM adj GROUP BY treated ORDER BY treated""".stripMargin,
+
+    "stat_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)),1,1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM events),
+        |c AS (SELECT arm, count(*) AS n FROM u GROUP BY arm),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT CAST(max(CASE WHEN arm='A' THEN n END) AS BIGINT) AS n_a,
+        |  CAST(max(CASE WHEN arm='B' THEN n END) AS BIGINT) AS n_b,
+        |  round(sum(pow(n - total/2.0, 2) / (total/2.0)), 6) AS chi2,
+        |  round(sum(pow(n - total/2.0, 2) / (total/2.0)), 6) > 3.841 AS srm_detected
+        |FROM c CROSS JOIN t""".stripMargin,
+
+    "graph_adamic_adar_capped" ->
+      s"""WITH $edges1996Sql,
+        |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |rk AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn
+        |  FROM sym),
+        |kept AS (SELECT a, b FROM rk WHERE rn <= 4),
+        |mut AS (SELECT x.a, x.b FROM kept x JOIN kept y
+        |  ON x.a = y.b AND x.b = y.a),
+        |deg AS (SELECT a, count(*) AS d FROM mut GROUP BY a),
+        |wedge AS (SELECT x.a AS p, y.b AS q, x.b AS w
+        |  FROM mut x JOIN mut y ON x.b = y.a WHERE x.a < y.b),
+        |aa AS (SELECT p, q, CAST(count(*) AS BIGINT) AS n_common,
+        |    round(sum(1.0 / ln(deg.d)), 6) AS score
+        |  FROM wedge JOIN deg ON wedge.w = deg.a WHERE deg.d > 1
+        |  GROUP BY p, q)
+        |SELECT p, q, n_common, score FROM aa
+        |WHERE n_common >= 2 ORDER BY score DESC, p, q LIMIT 10""".stripMargin,
 
     "join_spatial_grid" ->
       """WITH pts AS (SELECT c_custkey AS id,

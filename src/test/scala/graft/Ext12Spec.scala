@@ -49,6 +49,49 @@ class Ext12Spec extends AnyFunSuite {
       r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
   }
 
+  test("dedup_cdc ledger balances and chunks average near the 1/p target") {
+    val rows = q("dedup_cdc").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_chunks")))
+    // p = 1/16 boundary probability → mean chunk length ~16 tokens; the
+    // per-source chunk count should be within a loose band of tokens/16
+    val totChunks = rows.map(_.getAs[Long]("n_chunks")).sum
+    val totToks = Tables.documents(spark, sf)
+      .select(size(filter(split(col("text"), " "), t => t =!= lit("")))
+        .cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(totChunks >= totToks / 40 && totChunks <= totToks / 6,
+      s"$totChunks chunks for $totToks tokens is outside the CDC band")
+  }
+
+  test("stat_cuped preserves means and does not inflate variance") {
+    val rows = q("stat_cuped").collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mean_raw") - r.getAs[Double]("mean_cuped"))
+        <= math.abs(r.getAs[Double]("mean_raw")) * 0.05,
+        s"CUPED must roughly preserve the group mean: $r")
+      assert(r.getAs[Double]("var_ratio") <= 1.05, s"variance inflated: $r")
+    }
+  }
+
+  test("stat_srm flag is exactly the chi2-vs-critical-value comparison") {
+    // at the fixture's tiny sf the 15-user split can legitimately trip
+    // the detector — pin the flag's CONSISTENCY, not a fixed outcome
+    val r = q("stat_srm").head()
+    assert(r.getAs[Boolean]("srm_detected") === (r.getAs[Double]("chi2") > 3.841))
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") > 0)
+  }
+
+  test("graph_adamic_adar_capped returns a deterministic top-10 with sane scores") {
+    val rows = q("graph_adamic_adar_capped").collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_common") >= 2)
+      assert(r.getAs[Double]("score") > 0)
+    }
+  }
+
   test("join_spatial_grid candidate recall is 1 (grid equals brute force)") {
     // brute force over the same synthesized points at the fixture sf
     val pts = Tables.customer(spark, sf).select(col("c_custkey").as("id"),
