@@ -202,7 +202,11 @@ object ScaleBench {
     // round-13 third batch: keyed-window CDC chunking, per-user moment
     // aggregation + broadcast θ (CUPED), two-group chi-square (SRM),
     // degree-capped Adamic-Adar wedges (n·cap²)
-    "dedup_cdc", "stat_cuped", "stat_srm", "graph_adamic_adar_capped")
+    "dedup_cdc", "stat_cuped", "stat_srm", "graph_adamic_adar_capped",
+    // round-13 fourth batch: stratum windows, hash-split coverage join,
+    // base-weighted index agg, 24-bin chi-square
+    "sample_balanced", "text_train_coverage", "orders_price_index",
+    "events_hour_uniformity")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

@@ -39,6 +39,10 @@ import org.apache.spark.sql.functions._
   */
 object Ext12Queries {
 
+  /** Whitespace tokens of documents.text with empties dropped. */
+  private def toks12: org.apache.spark.sql.Column =
+    filter(split(col("text"), " "), t => t =!= lit(""))
+
   /** Deterministic mid-latitude point cloud from customer keys (prime
     * lattice, reduced mod-first so the multiply can never overflow).
     */
@@ -189,6 +193,93 @@ object Ext12Queries {
       } finally {
         a.unpersist(blocking = false); b.unpersist(blocking = false)
       }
+    }),
+
+    // class-balanced downsampling: every language keeps exactly the
+    // minority class's count, selected in md5 order — the imbalance
+    // fix every classifier-training pipeline applies, reproducible
+    // and join-stable. kept_id_sum is the selected-set checksum.
+    "sample_balanced" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val n = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val mn = n.agg(min(col("c")).as("m"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.select(col("lang"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(n), "lang").crossJoin(broadcast(mn))
+        .filter(col("rn") <= col("m"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), max(col("c")).as("n_before"),
+          sum(col("doc_id")).as("kept_id_sum"))
+        .orderBy(col("lang"))
+    }),
+
+    // train/test n-gram coverage: hash-split the corpus 16/84, then
+    // measure what fraction of each language's TEST bigrams the train
+    // split contains — the contamination-complement eval every LM
+    // data pipeline reports before trusting held-out perplexity.
+    "text_train_coverage" -> ((s, dir) => {
+      val t2 = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), toks12.as("toks"))
+        .withColumn("n", size(col("toks"))).filter(col("n") >= 2)
+        .withColumn("is_test",
+          substring(md5(col("doc_id").cast("string")), 1, 2) < "29")
+      val bi = t2.select(col("lang"), col("is_test"),
+        explode(transform(sequence(lit(1), col("n") - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))).as("bg"))
+      val train = bi.filter(!col("is_test")).select(col("bg")).distinct()
+        .withColumn("seen", lit(1))
+      bi.filter(col("is_test"))
+        .join(train, Seq("bg"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_test_bigrams"),
+          sum(when(col("seen").isNotNull, 1).otherwise(0)).as("n_covered"),
+          round(sum(when(col("seen").isNotNull, 1).otherwise(0)) /
+            count(lit(1)).cast("double"), 6).as("coverage"))
+        .orderBy(col("lang"))
+    }),
+
+    // Laspeyres price index: per-part unit prices by ship year, base-
+    // year (1995) quantity weights — Σp_t·q₀ / Σp₀·q₀. The economics
+    // aggregate a pricing team runs over the fact table; per-part
+    // prices round 6dp so both engines index identically.
+    "orders_price_index" -> ((s, dir) => {
+      val px = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(round(sum(Tables.dec2(col("l_extendedprice"))).cast("double") /
+          sum(col("l_quantity")), 6).as("p"),
+          sum(col("l_quantity")).cast("long").as("q"))
+      val base = px.filter(col("y") === 1995)
+        .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+      px.filter(col("y") > 1995).join(base, "l_partkey")
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("p") * col("q0")) / sum(col("p0") * col("q0")), 6)
+            .as("laspeyres"))
+        .select(col("y"), col("n_parts"), col("laspeyres"))
+        .orderBy(col("y"))
+    }),
+
+    // hour-of-day uniformity: chi-square of each event type's hourly
+    // histogram against uniform, flagged at χ²(23 df, α=.05) = 35.172 —
+    // the seasonality sanity check behind bot/burst detectors.
+    "events_hour_uniformity" -> ((s, dir) => {
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val t = h.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("k"))
+      val chi2 = sum(pow(col("n") - col("total") / 24.0, 2) /
+        (col("total") / 24.0))
+      h.join(broadcast(t), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("total")).cast("long").as("n_events"),
+          max(col("k")).cast("long").as("n_hours"),
+          round(chi2, 6).as("chi2"),
+          (round(chi2, 6) > 35.172).as("nonuniform"))
+        .orderBy(col("event_type"))
     }),
 
     // content-defined chunking dedup (the CDC rung between exact-doc
@@ -416,6 +507,60 @@ object Ext12Queries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
         |  (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (k)) AS n_intersect,
         |  true AS estimate_within_20pct""".stripMargin,
+
+    "sample_balanced" ->
+      """WITH n AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |mn AS (SELECT min(c) AS m FROM n),
+        |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(max(c) AS BIGINT) AS n_before,
+        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        |FROM r JOIN n USING (lang) CROSS JOIN mn
+        |WHERE rn <= m GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_train_coverage" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+        |t2 AS (SELECT doc_id, lang, toks, len(toks) AS n,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29' AS is_test
+        |  FROM t WHERE len(toks) >= 2),
+        |bi AS (SELECT doc_id, lang, is_test,
+        |    unnest(list_transform(range(1, n), i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t2),
+        |train AS (SELECT DISTINCT bg FROM bi WHERE NOT is_test),
+        |test AS (SELECT lang, bg FROM bi WHERE is_test)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_test_bigrams,
+        |  CAST(sum(CASE WHEN train.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  round(sum(CASE WHEN train.bg IS NOT NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS coverage
+        |FROM test LEFT JOIN train USING (bg) GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "orders_price_index" ->
+      """WITH px AS (SELECT l_partkey, year(l_shipdate) AS y,
+        |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / sum(l_quantity), 6) AS p,
+        |    CAST(sum(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |base AS (SELECT l_partkey, p AS p0, q AS q0 FROM px WHERE y = 1995),
+        |j AS (SELECT px.y, sum(px.p * base.q0) AS num,
+        |    sum(base.p0 * base.q0) AS den, CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM px JOIN base USING (l_partkey) WHERE px.y > 1995 GROUP BY px.y)
+        |SELECT CAST(y AS INT) AS y, n_parts, round(num / den, 6) AS laspeyres
+        |FROM j ORDER BY y""".stripMargin,
+
+    "events_hour_uniformity" ->
+      """WITH h AS (SELECT event_type, hour(ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n) AS total, count(*) AS k FROM h GROUP BY 1)
+        |SELECT h.event_type, CAST(max(t.total) AS BIGINT) AS n_events,
+        |  CAST(max(t.k) AS BIGINT) AS n_hours,
+        |  round(sum(pow(h.n - t.total / 24.0, 2) / (t.total / 24.0)), 6) AS chi2,
+        |  round(sum(pow(h.n - t.total / 24.0, 2) / (t.total / 24.0)), 6) > 35.172
+        |    AS nonuniform
+        |FROM h JOIN t USING (event_type) GROUP BY h.event_type
+        |ORDER BY h.event_type""".stripMargin,
 
     "dedup_cdc" ->
       """WITH t AS (SELECT doc_id, source,

@@ -92,6 +92,37 @@ class Ext12Spec extends AnyFunSuite {
     }
   }
 
+  test("sample_balanced equalizes every class at the minority count") {
+    val rows = q("sample_balanced").collect()
+    val kept = rows.map(_.getAs[Long]("n_kept")).distinct
+    assert(kept.length === 1, s"all classes must keep the same count: ${kept.toSeq}")
+    rows.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_before")))
+  }
+
+  test("text_train_coverage is a proper fraction with covered <= total") {
+    q("text_train_coverage").collect().foreach { r =>
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_test_bigrams"))
+      val c = r.getAs[Double]("coverage")
+      assert(c >= 0 && c <= 1)
+    }
+  }
+
+  test("orders_price_index is positive with near-full part overlap") {
+    val rows = q("orders_price_index").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("laspeyres") > 0)
+      assert(r.getAs[Long]("n_parts") > 0)
+    }
+  }
+
+  test("events_hour_uniformity flag matches its chi2 comparison") {
+    q("events_hour_uniformity").collect().foreach { r =>
+      assert(r.getAs[Boolean]("nonuniform") === (r.getAs[Double]("chi2") > 35.172))
+      assert(r.getAs[Long]("n_hours") <= 24)
+    }
+  }
+
   test("join_spatial_grid candidate recall is 1 (grid equals brute force)") {
     // brute force over the same synthesized points at the fixture sf
     val pts = Tables.customer(spark, sf).select(col("c_custkey").as("id"),

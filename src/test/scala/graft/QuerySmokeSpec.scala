@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (474 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 474)
-    assert(SparkEntry.oracleSql.size >= 474)
+  test("declared inventory is complete (478 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 478)
+    assert(SparkEntry.oracleSql.size >= 478)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
