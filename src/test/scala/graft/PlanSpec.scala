@@ -615,4 +615,32 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"frame sampling must not shuffle payloads:\n$p")
   }
+
+  test("join_scd2_asof broadcasts the SCD2 dimension; the fact side never shuffles it") {
+    val p = plan("join_scd2_asof")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer-sized dimension must broadcast, interval as residual:\n$p")
+  }
+
+  test("sample_two_stage stage-1 selection is a parallel top-k, not a global window") {
+    val p = plan("sample_two_stage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"stage 1 must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window [row_number() windowspecdefinition()"),
+      s"no unpartitioned row_number window in stage 1:\n$p")
+  }
+
+  test("events_rolling_distinct explodes to equi-shuffles — no range join anywhere") {
+    val p = plan("events_rolling_distinct")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the 7-day expansion must stay an equi-join:\n$p")
+  }
+
+  test("text_dsir and text_kn_bigram keep their count tables broadcast at test scale") {
+    Seq("text_dsir", "text_kn_bigram").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$k score/count tables are bucket/vocabulary-bounded — broadcast:\n$p")
+    }
+  }
 }
