@@ -153,8 +153,11 @@ object SimilarityOps {
     // the source scan per consumer (measured: the 30x sweep's second
     // rep ran 2x SLOWER than the first — recompute, not data, was the
     // cost). One (vec_id, band, bucket) row set and one vector frame,
-    // both pinned.
-    val e = asDouble(emb, idCol, vecCol).cache()
+    // both pinned via localCheckpoint rather than cache(): lineage is
+    // truncated at the materialized blocks (every consumer reads one
+    // snapshot) and the blocks are reclaimed when the returned plan is
+    // GC'd — no session-lifetime cache entry to leak.
+    val e = asDouble(emb, idCol, vecCol).localCheckpoint(true)
     val banded0 = e
       .select(col("vec_id"),
         graft.functions.SrpBuckets.buckets(col("e"), bandBits, bands).as("bks"))
@@ -164,7 +167,7 @@ object SimilarityOps {
     val banded = banded0.withColumn("bucket_n", count(lit(1)).over(wB))
       .filter(col("bucket_n") <= bucketCap)
       .drop("bucket_n")
-      .cache()
+      .localCheckpoint(true)
     val x = banded.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
     val y = banded.select(col("vec_id").as("id_b"), col("band").as("band_b"),
       col("bucket").as("bucket_b"))
@@ -173,13 +176,22 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b")).distinct()
     // verify attach: with the vector frame BROADCAST both joins are
     // map-side, so the (large) candidate stream never shuffles its fat
-    // vector rows — the containmentPairsFiltered discipline. Valid
-    // while one corpus's vectors fit the broadcast budget; past that
-    // drop the hints and the same plan runs as shuffle joins (the
-    // candidate stream is O(n·bands·occupancy) either way).
+    // vector rows — the containmentPairsFiltered discipline. The hint
+    // bypasses autoBroadcastJoinThreshold, so it is GATED on an
+    // estimated vector-frame size (rows × (8·dim + 48B overhead)):
+    // past the budget the same plan runs as shuffle hash joins instead
+    // of OOMing the driver (the candidate stream is
+    // O(n·bands·occupancy) either way).
+    val nVec = e.count()
+    val dim = e.select(size(col("e"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val vecBytes = nVec * (8L * dim + 48L)
+    val broadcastBudget = 512L << 20
+    def side(df: DataFrame): DataFrame =
+      if (vecBytes <= broadcastBudget) broadcast(df) else df
     val va = e.select(col("vec_id").as("id_a"), col("e").as("e_a"))
     val vb = e.select(col("vec_id").as("id_b"), col("e").as("e_b"))
-    candidates.join(broadcast(va), "id_a").join(broadcast(vb), "id_b")
+    candidates.join(side(va), "id_a").join(side(vb), "id_b")
       .select(col("id_a"), col("id_b"),
         round(DotProduct.dot(col("e_a"), col("e_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)

@@ -583,10 +583,15 @@ class LakeTable private (spark: SparkSession, val path: String) {
     // affected-file collect, replaced-rows scan, insert anti-join) — a
     // non-deterministic or concurrently-changing source re-executed per
     // consumer could yield an affected-file set inconsistent with the
-    // rewritten/inserted rows, silently losing or duplicating rows, so
-    // the merge source is MATERIALIZED once (the same reason production
-    // MERGE implementations stage their source)
-    val src = source.withColumn("_src_exists", lit(1)).cache()
+    // rewritten/inserted rows, silently losing or duplicating rows. A
+    // plain .cache() is only BEST-EFFORT (evicted blocks recompute from
+    // lineage), so the source is localCheckpoint'ed: lineage is
+    // truncated at the materialized blocks, every consumer reads the
+    // same snapshot, and block loss fails the merge instead of
+    // silently diverging (the same reason production MERGE
+    // implementations stage their source)
+    val src = source.withColumn("_src_exists", lit(1))
+      .localCheckpoint(true)
     val tgt = scanVersionWithId(v)
 
     /** First-arm-wins predicates: one Column per arm, mutually
@@ -643,7 +648,21 @@ class LakeTable private (spark: SparkSession, val path: String) {
       // is order-correct)
       val deleteCond = allArms.collect { case (fires, MergeArm.Delete) => fires }
         .reduceOption(_ || _).getOrElse(lit(false))
+      // A multi-matched target row is LEGAL when at most one of its
+      // join copies fires (the cardinality check above guarantees at
+      // most one firing matched copy) — but the join still yields one
+      // copy per source match, and the rewrite must emit the row
+      // exactly ONCE. Keep the firing copy when one exists (so its
+      // arm's assignment/delete applies), else exactly one inert copy.
+      // The window is scoped to the affected files' rows only, and
+      // (_gfile,_gpos) is near-unique, so the extra shuffle is bounded
+      // by the copy-on-write footprint, not the table.
+      val winRn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_gfile"), col("_gpos"))
+        .orderBy(when(takesAction, lit(0)).otherwise(lit(1)))
       val replaced = j.filter(col("_gfile").isin(affected.toSeq: _*))
+        .withColumn("_g_rn", row_number().over(winRn))
+        .filter(col("_g_rn") === 1)
         .filter(!deleteCond)
         .select(cols.map { c =>
           val field = schema(c)
@@ -675,7 +694,10 @@ class LakeTable private (spark: SparkSession, val path: String) {
       commitMutation(v, base, "merge", consumed, staged, _ => true)
     } finally {
       j.unpersist(blocking = false)
-      src.unpersist(blocking = false)
+      // src is localCheckpoint'ed, not cached: its blocks are reclaimed
+      // by the ContextCleaner once the dataset is GC'd; an explicit
+      // unpersist here would only WARN (truncated lineage cannot be
+      // recomputed) without freeing anything sooner
     }
   }
 

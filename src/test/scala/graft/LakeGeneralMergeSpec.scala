@@ -120,10 +120,10 @@ class LakeGeneralMergeSpec extends AnyFunSuite {
     spark.sql(
       """MERGE INTO gm_insonly t USING gm_insonly_src s ON t.k = s.k
         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
-    val rows = spark.table("gm_insonly").as[(Long, Long)].collect().toMap
-    assert(rows(5L) === 5 % 7)   // untouched
-    assert(rows(500L) === 3L)    // inserted
-    assert(rows.size === 401)
+    val rows = spark.table("gm_insonly").as[(Long, Long)].collect()
+    assert(rows.length === 401)  // raw length — toMap would mask dup keys
+    assert(rows.filter(_._1 == 5L).toSeq === Seq((5L, 5 % 7)))  // untouched
+    assert(rows.filter(_._1 == 500L).toSeq === Seq((500L, 3L))) // inserted
   }
 
   test("multi-match is legal when the matched conditions exclude the duplicates") {
@@ -135,9 +135,39 @@ class LakeGeneralMergeSpec extends AnyFunSuite {
     spark.sql(
       """MERGE INTO gm_condcard t USING gm_condcard_src s ON t.k = s.k
         |WHEN MATCHED AND s.v = 10 THEN UPDATE SET v = s.v""".stripMargin)
-    val rows = spark.table("gm_condcard").as[(Long, Long)].collect().toMap
-    assert(rows(5L) === 10L)
-    assert(rows.size === 400)
+    // raw row count (NOT a toMap, which would mask duplicate keys) and
+    // the exact multiset at the multi-matched key
+    val rows = spark.table("gm_condcard").as[(Long, Long)].collect()
+    assert(rows.length === 400)
+    assert(rows.filter(_._1 == 5L).toSeq === Seq((5L, 10L)))
+  }
+
+  test("multi-match with NO firing arm leaves one copy when its file is rewritten") {
+    // k=5 matches twice but neither copy passes the arm condition; k=6
+    // (same range file) fires an update, so the file IS rewritten —
+    // the rewrite must emit the inert multi-matched row exactly once
+    sqlTable("inertdup", "gm_inertdup")
+    Seq((5L, 100L), (5L, 101L), (6L, 60L)).toDF("k", "v")
+      .createOrReplaceTempView("gm_inertdup_src")
+    spark.sql(
+      """MERGE INTO gm_inertdup t USING gm_inertdup_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v = 60 THEN UPDATE SET v = s.v""".stripMargin)
+    val rows = spark.table("gm_inertdup").as[(Long, Long)].collect()
+    assert(rows.length === 400)
+    assert(rows.filter(_._1 == 5L).toSeq === Seq((5L, 5 % 7)))  // untouched, once
+    assert(rows.filter(_._1 == 6L).toSeq === Seq((6L, 60L)))    // updated
+  }
+
+  test("multi-match DELETE via the single firing copy removes the row exactly") {
+    sqlTable("deldup", "gm_deldup")
+    Seq((5L, 10L), (5L, 11L)).toDF("k", "v")
+      .createOrReplaceTempView("gm_deldup_src")
+    spark.sql(
+      """MERGE INTO gm_deldup t USING gm_deldup_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v = 10 THEN DELETE""".stripMargin)
+    val rows = spark.table("gm_deldup").as[(Long, Long)].collect()
+    assert(rows.length === 399)
+    assert(!rows.exists(_._1 == 5L))
   }
 
   test("copy-on-write stays bounded: untouched range-files carry by reference") {
