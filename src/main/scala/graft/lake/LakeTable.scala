@@ -17,11 +17,16 @@ import org.json4s.jackson.JsonMethods
   * primitive (Delta/Iceberg-shaped) the engine otherwise lacks, built
   * from nothing but Spark and `java.nio`:
   *
-  *  - **Versioned manifests**: `_graft_log/v%08d.manifest` is the
-  *    source of truth; a snapshot is exactly the files its manifest
-  *    lists (readers NEVER glob the directory). Data files are
-  *    immutable and job-uniquely named, so a snapshot is stable for as
-  *    long as its files are retained.
+  *  - **Versioned delta log with checkpoints**: the `_graft_log`
+  *    directory is the source of truth; a snapshot is exactly the
+  *    files its reconstructed manifest lists (readers NEVER glob the
+  *    directory). Versions 1, K, 2K, … (K = [[LakeTable.CheckpointInterval]])
+  *    are FULL `v%08d.manifest` checkpoints; every other version is a
+  *    `v%08d.delta` of remove-tombstones + added entries, so commit
+  *    cost is O(changed files) — flat in table size — and a read
+  *    folds at most K−1 tiny deltas over one checkpoint. Data files
+  *    are immutable and job-uniquely named, so a snapshot is stable
+  *    for as long as its files are retained.
   *  - **Atomic, exclusive commit**: the new manifest is fully staged
   *    under a temp name, then published with `Files.createLink`
   *    (POSIX link(2) fails atomically if the target exists), so two
@@ -69,16 +74,12 @@ class LakeTable private (spark: SparkSession, val path: String) {
 
   private def listVersions: Seq[Int] = {
     val d = logDir.toFile
-    Option(d.list((_, n) => n.matches("v\\d{8}\\.manifest")))
-      .map(_.toSeq.map(_.substring(1, 9).toInt)).getOrElse(Seq.empty)
+    Option(d.list((_, n) => n.matches("v\\d{8}\\.(manifest|delta)")))
+      .map(_.toSeq.map(_.substring(1, 9).toInt).distinct).getOrElse(Seq.empty)
   }
 
-  private[lake] def manifest(version: Int): Manifest = {
-    val p = logDir.resolve(f"v$version%08d.manifest")
-    require(Files.exists(p),
-      s"version $version not retained (vacuumed or never committed): $path")
-    Manifest.parse(Files.readString(p))
-  }
+  private[lake] def manifest(version: Int): Manifest =
+    LakeTable.reconstruct(logDir.toString, version)
 
   // ---- reads ------------------------------------------------------------
 
@@ -1336,7 +1337,25 @@ class LakeTable private (spark: SparkSession, val path: String) {
           now - new File(path, n).lastModified() >= orphanGraceMs
       }
     dataDead.foreach(n => Files.deleteIfExists(Paths.get(path, n)))
-    drop.foreach(v => Files.deleteIfExists(logDir.resolve(f"v$v%08d.manifest")))
+    // the oldest retained version must reconstruct standalone once the
+    // older log entries are gone: if it exists only as a delta,
+    // checkpoint it (atomically; a racing vacuum's EEXIST is success)
+    // BEFORE dropping the chain it currently depends on
+    keep.headOption.foreach { v0 =>
+      val mp = logDir.resolve(f"v$v0%08d.manifest")
+      if (!Files.exists(mp)) {
+        val tmp = logDir.resolve(s".tmp_${UUID.randomUUID().toString.take(8)}")
+        Files.writeString(tmp, Manifest.render(manifest(v0)))
+        try Files.createLink(mp, tmp)
+        catch { case _: FileAlreadyExistsException => () }
+        Files.deleteIfExists(tmp)
+        Files.deleteIfExists(logDir.resolve(f"v$v0%08d.delta"))
+      }
+    }
+    drop.foreach { v =>
+      Files.deleteIfExists(logDir.resolve(f"v$v%08d.manifest"))
+      Files.deleteIfExists(logDir.resolve(f"v$v%08d.delta"))
+    }
     Option(logDir.toFile.list((_, n) => n.startsWith(".tmp_")))
       .getOrElse(Array.empty[String])
       .foreach(n => Files.deleteIfExists(logDir.resolve(n)))
@@ -2278,16 +2297,48 @@ object LakeTable {
     }
   }
 
-  /** Publish a manifest: fully staged under a temp name, then linked
-    * into place — `Files.createLink` is the atomic create-exclusive
-    * primitive (POSIX link(2) fails with EEXIST), so exactly one of N
-    * racing writers wins a version and the rest see
-    * [[ConcurrentCommitException]] with the log untouched.
+  /** Checkpoint cadence of the delta log: versions 1, K, 2K, … publish
+    * a FULL manifest (`.manifest`); every other version publishes a
+    * DELTA (`.delta`, O(changed files)). A reader reconstructs any
+    * snapshot as its nearest checkpoint at-or-below plus at most K−1
+    * delta applications, so BOTH commit cost and read-amplification
+    * stay flat in table size — at a 100k-file table a point merge
+    * writes a handful of delta lines instead of re-rendering 100k
+    * manifest lines per commit.
+    */
+  private[lake] val CheckpointInterval = 10
+
+  /** Publish version `version` with snapshot state `m`: a full
+    * manifest on checkpoint versions (or when the previous version is
+    * not reconstructable — e.g. test fixtures committing at arbitrary
+    * versions), a delta against version−1 otherwise. Atomicity is the
+    * same either way: the file is fully staged under a temp name, then
+    * linked into place — `Files.createLink` is the atomic
+    * create-exclusive primitive (POSIX link(2) fails with EEXIST), so
+    * exactly one of N racing writers wins a version and the rest see
+    * [[ConcurrentCommitException]] with the log untouched. The suffix
+    * is a pure function of the version number, so racing writers
+    * always contend on the SAME target name.
     */
   private def commit(logDir: String, version: Int, m: Manifest): Int = {
+    val prev =
+      if (version == 1 || version % CheckpointInterval == 0) None
+      else scala.util.Try(reconstruct(logDir, version - 1)).toOption
+    prev match {
+      case Some(p) =>
+        publish(logDir, f"v$version%08d.delta",
+          Manifest.renderDelta(p, m), version)
+      case None =>
+        publish(logDir, f"v$version%08d.manifest",
+          Manifest.render(m), version)
+    }
+  }
+
+  private def publish(logDir: String, name: String, body: String,
+      version: Int): Int = {
     val tmp = Paths.get(logDir, s".tmp_${UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, Manifest.render(m))
-    val target = Paths.get(logDir, f"v$version%08d.manifest")
+    Files.writeString(tmp, body)
+    val target = Paths.get(logDir, name)
     try Files.createLink(target, tmp)
     catch {
       case _: FileAlreadyExistsException =>
@@ -2297,6 +2348,28 @@ object LakeTable {
     }
     Files.deleteIfExists(tmp)
     version
+  }
+
+  /** Reconstruct the snapshot at `version`: parse the nearest full
+    * manifest at-or-below it, then fold the delta tail forward. Reads
+    * at most [[CheckpointInterval]] small control-plane files.
+    */
+  private[lake] def reconstruct(logDir: String, version: Int): Manifest = {
+    val dir = Paths.get(logDir)
+    var v = version
+    var chain = List.empty[java.nio.file.Path] // oldest-first
+    while (v >= 1 && !Files.exists(dir.resolve(f"v$v%08d.manifest"))) {
+      val d = dir.resolve(f"v$v%08d.delta")
+      require(Files.exists(d),
+        s"version $version not retained (vacuumed or never committed): $dir")
+      chain ::= d
+      v -= 1
+    }
+    require(v >= 1,
+      s"version $version not reconstructable: no checkpoint at or below it in $dir")
+    var m = Manifest.parse(Files.readString(dir.resolve(f"v$v%08d.manifest")))
+    chain.foreach(d => m = Manifest.applyDelta(m, Files.readString(d)))
+    m
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -2312,8 +2385,49 @@ private[lake] object Manifest {
   implicit private val fmt: Formats = DefaultFormats
 
   /** First line: table metadata; one JSON line per file after it. */
-  def render(m: Manifest): String = {
-    val head = JsonMethods.compact(JsonMethods.render(JObject(
+  def render(m: Manifest): String =
+    (renderHead(m) +: m.files.map(renderFile)).mkString("", "\n", "\n")
+
+  /** DELTA line-set for one commit: the same head line (table metadata
+    * AS OF this version — schema, txn ledger, checks all ride along),
+    * then `{"remove": name}` tombstones for entries that left or
+    * changed, then full file lines for entries that arrived or changed
+    * (a changed entry — e.g. a DV attach to the same file — is a
+    * remove+add of the same name). Reconstruction appends adds after
+    * the carried base files, which is exactly the `carried ++ output`
+    * order every mutation commits. Size is O(changed files): the whole
+    * point — at a 100k-file table a point merge's commit writes a
+    * handful of lines, not the table.
+    */
+  def renderDelta(prev: Manifest, m: Manifest): String = {
+    val oldLine = prev.files.map(f => f.name -> renderFile(f)).toMap
+    val newLine = m.files.map(f => f.name -> renderFile(f)).toMap
+    val removed = prev.files.map(_.name)
+      .filter(n => !newLine.get(n).contains(oldLine(n)))
+    val added = m.files.filter(f => !oldLine.get(f.name).contains(newLine(f.name)))
+    val tombs = removed.map(n => JsonMethods.compact(JsonMethods.render(
+      JObject("remove" -> JString(n)))))
+    ((renderHead(m) +: tombs) ++ added.map(renderFile))
+      .mkString("", "\n", "\n")
+  }
+
+  /** Apply one rendered delta on top of a reconstructed base snapshot. */
+  def applyDelta(base: Manifest, text: String): Manifest = {
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val head = parseHead(lines.head)
+    val removed = scala.collection.mutable.HashSet.empty[String]
+    val added = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    lines.tail.foreach { l =>
+      JsonMethods.parse(l) \ "remove" match {
+        case JString(n) => removed += n
+        case _ => added += parseFile(l)
+      }
+    }
+    head.copy(files = base.files.filterNot(f => removed(f.name)) ++ added.toSeq)
+  }
+
+  private def renderHead(m: Manifest): String = {
+    JsonMethods.compact(JsonMethods.render(JObject(
       "operation" -> JString(m.operation),
       "schema" -> JString(m.schemaJson),
       "statsCols" -> JArray(m.statsCols.map(JString(_)).toList),
@@ -2329,7 +2443,9 @@ private[lake] object Manifest {
       }),
       "bucketBy" -> JArray(m.bucketBy.map(JString(_)).toList),
       "buckets" -> JLong(m.buckets.toLong))))
-    val lines = m.files.map { f =>
+  }
+
+  private def renderFile(f: FileEntry): String = {
       val core = List(
         "file" -> JString(f.name),
         "rows" -> JLong(f.rows),
@@ -2361,14 +2477,14 @@ private[lake] object Manifest {
           "dvRows" -> JLong(f.dvRows))
       JsonMethods.compact(JsonMethods.render(
         JObject(core ++ sstats ++ nulls ++ hll ++ bloom ++ dv)))
-    }
-    (head +: lines).mkString("", "\n", "\n")
   }
 
   def parse(text: String): Manifest = {
     val lines = text.split('\n').filter(_.nonEmpty)
-    val head = JsonMethods.parse(lines.head)
-    val files = lines.tail.toSeq.map { l =>
+    parseHead(lines.head).copy(files = lines.tail.toSeq.map(parseFile))
+  }
+
+  private def parseFile(l: String): FileEntry = {
       val j = JsonMethods.parse(l)
       val stats = (j \ "stats") match {
         case JObject(fields) => fields.collect {
@@ -2416,7 +2532,11 @@ private[lake] object Manifest {
       }
       FileEntry((j \ "file").extract[String], (j \ "rows").extract[Long],
         stats, bytes, dv, dvRows, strStats, nulls, hll, bloom)
-    }
+  }
+
+  /** Parse the metadata head line into a files-less Manifest. */
+  private def parseHead(line: String): Manifest = {
+    val head = JsonMethods.parse(line)
     // pre-scoping manifests carried a single global `txn` long; fold it
     // into the map under a reserved app id so old tables stay readable
     val txns = (head \ "txns") match {
@@ -2453,7 +2573,7 @@ private[lake] object Manifest {
     }
     Manifest((head \ "operation").extract[String],
       (head \ "schema").extract[String],
-      (head \ "statsCols").extract[List[String]], files, txns, checks,
+      (head \ "statsCols").extract[List[String]], Nil, txns, checks,
       partitionBy, physNames, bucketBy, buckets)
   }
 }

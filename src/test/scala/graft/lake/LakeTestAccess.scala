@@ -31,6 +31,25 @@ object LakeTestAccess {
       f => f.overlaps(c, lo, hi))
   }
 
+  /** Commit a synthetic manifest of `names.size` entries cloned from
+    * v1's first file entry (distinct names + k-stats) at `version` —
+    * the harness for delta-log commit-cost tests against large
+    * control planes without writing 50k real parquet files.
+    */
+  def commitClonedEntries(t: LakeTable, version: Int, op: String,
+      names: Seq[String]): Int = {
+    val base = t.manifest(1)
+    val proto = base.files.head
+    val files = names.zipWithIndex.map { case (n, i) =>
+      proto.copy(name = n, stats = Map("k" -> ((i * 100L, i * 100L + 99L))))
+    }
+    t.commitForTest(version, base.copy(operation = op, files = files))
+  }
+
+  /** Number of file entries in `version`'s reconstructed manifest. */
+  def filesCount(t: LakeTable, version: Int): Int =
+    t.manifest(version).files.size
+
   /** String-stats truncation helpers, exposed for unit tests. */
   def strTruncMin(s: String): String = LakeTable.truncMin(s)
   def strTruncMax(s: String): Option[String] = LakeTable.truncMax(s)
