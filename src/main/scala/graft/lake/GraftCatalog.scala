@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Column => V2Column, _}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.graftbridge.LakeReadBridge
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -260,14 +260,26 @@ private[lake] class LakeDsv2Table(spark: SparkSession,
 
   override def schema(): StructType = m.schema
 
-  // no OVERWRITE_DYNAMIC: Spark's native dynamic overwrite demands a
-  // full v2 BATCH_WRITE (no V1 fallback exec exists), so advertising it
-  // over the V1 bridge would pass analysis and fail in planning — the
-  // capability class of error the round-12 advice flagged. Dynamic
-  // overwrite is served by the LakeDmlRule rewrite instead (LakeSqlDml).
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+  // append / truncate / filtered overwrite ride the V1 bridge (their
+  // Write objects ARE V1Writes, so planning picks the V1 execs even
+  // with BATCH_WRITE advertised); dynamic partition overwrite is the
+  // one mode Spark serves ONLY through a full v2 BATCH_WRITE, so a
+  // clean (identity-mapped, unbucketed) snapshot advertises
+  // OVERWRITE_DYNAMIC and plans the native [[LakeDynamicBatchWrite]] —
+  // renamed/bucketed snapshots keep the LakeDmlRule rewrite fallback
+  // (LakeSqlDml), which is why the capability is conditional: an
+  // advertised-but-unservable capability would pass analysis and fail
+  // in planning, the round-12 capability class of error.
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+    if (m.physNames.isEmpty && m.bucketBy.isEmpty) {
+      caps.add(TableCapability.BATCH_WRITE)
+      caps.add(TableCapability.OVERWRITE_DYNAMIC)
+    }
+    caps
+  }
 
   override def properties(): util.Map[String, String] =
     Map(TableCatalog.PROP_LOCATION -> tablePath,
@@ -287,7 +299,7 @@ private[lake] class LakeDsv2Table(spark: SparkSession,
       new LakeV1FallbackScanBuilder(t, snapVersion, m.schema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new LakeWriteBuilder(t)
+    new LakeWriteBuilder(spark, t, info.schema())
 
   // ---- native DELETE FROM (SupportsDelete) ----
 
@@ -312,14 +324,21 @@ private[lake] class LakeDsv2Table(spark: SparkSession,
   *    filters translated via [[LakeFilters]] (untranslatable shapes are
   *    rejected up front in `canOverwrite`, at ANALYSIS time, instead of
   *    failing later inside V2Writes with a confusing error);
-  *  - dynamic partition overwrite does NOT go through this builder:
-  *    Spark's OverwritePartitionsDynamic plan requires a full v2
-  *    BATCH_WRITE (no V1 fallback exec exists), so it is served by the
-  *    [[LakeDmlRule]] rewrite → [[LakeTable.overwritePartitionsDynamic]]
-  *    (one atomic replaceWhere on the partitions present in the data).
+  *  - dynamic partition overwrite (`df.writeTo(t).overwritePartitions()`,
+  *    dynamic-mode INSERT OVERWRITE) is the one mode with NO V1
+  *    fallback exec: it builds the native [[LakeDynamicBatchWrite]] —
+  *    executor-side DataWriters write real parquet into a staging
+  *    directory via [[org.apache.spark.sql.graftbridge.LakeWriteBridge]],
+  *    the driver-side commit adopts the files (no second write of the
+  *    new data) and lands ONE atomic
+  *    [[LakeTable.commitDynamicOverwriteStaged]] mutation replacing
+  *    exactly the partitions present. The write requests a
+  *    partition-clustered distribution so each file is partition-pure
+  *    — touched files replace whole, copy-on-write stays bounded.
   */
-private[lake] class LakeWriteBuilder(t: LakeTable)
-    extends WriteBuilder with SupportsOverwrite {
+private[lake] class LakeWriteBuilder(spark: SparkSession, t: LakeTable,
+    writeSchema: StructType)
+    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
   private var mode: LakeWriteBuilder.Mode = LakeWriteBuilder.Append
 
   override def canOverwrite(filters: Array[Filter]): Boolean =
@@ -327,6 +346,10 @@ private[lake] class LakeWriteBuilder(t: LakeTable)
 
   override def truncate(): WriteBuilder = {
     mode = LakeWriteBuilder.Truncate; this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = LakeWriteBuilder.DynamicPartitions; this
   }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
@@ -339,20 +362,24 @@ private[lake] class LakeWriteBuilder(t: LakeTable)
     this
   }
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      new InsertableRelation {
-        override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
-          mode match {
-            case LakeWriteBuilder.ByFilter(filters) =>
-              val cond = filters.flatMap(LakeFilters.toColumn)
-                .reduceOption(_ && _).getOrElse(F.lit(true))
-              t.replaceWhere(cond, data); ()
-            case LakeWriteBuilder.Truncate => t.overwrite(data); ()
-            case LakeWriteBuilder.Append =>
-              if (overwriteFlag) { t.overwrite(data); () } else { t.append(data); () }
-          }
-      }
+  override def build(): Write = mode match {
+    case LakeWriteBuilder.DynamicPartitions =>
+      new LakeDynamicWrite(spark, t, writeSchema)
+    case _ => new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+            mode match {
+              case LakeWriteBuilder.ByFilter(filters) =>
+                val cond = filters.flatMap(LakeFilters.toColumn)
+                  .reduceOption(_ && _).getOrElse(F.lit(true))
+                t.replaceWhere(cond, data); ()
+              case LakeWriteBuilder.Truncate => t.overwrite(data); ()
+              case _ =>
+                if (overwriteFlag) { t.overwrite(data); () } else { t.append(data); () }
+            }
+        }
+    }
   }
 }
 
@@ -360,7 +387,118 @@ private[lake] object LakeWriteBuilder {
   sealed trait Mode
   case object Append extends Mode
   case object Truncate extends Mode
+  case object DynamicPartitions extends Mode
   final case class ByFilter(filters: Array[Filter]) extends Mode
+}
+
+/** The native v2 Write for dynamic partition overwrite. Declares a
+  * partition-clustered required distribution (Spark shuffles the query
+  * output so every output file is partition-pure — the layout that
+  * keeps the commit's touched-file set replace-whole at any scale),
+  * then hands a [[LakeDynamicBatchWrite]].
+  */
+private[lake] class LakeDynamicWrite(spark: SparkSession, t: LakeTable,
+    writeSchema: StructType) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+
+  private val partitionBy: Seq[String] =
+    t.manifest(t.currentVersion).partitionBy
+
+  override def requiredDistribution(): Distribution =
+    if (partitionBy.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      partitionBy.map(p => Expressions.identity(p):
+        org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new LakeDynamicBatchWrite(spark, t, writeSchema)
+}
+
+/** BatchWrite: executors stream rows into per-task parquet files under
+  * `<table>/_staging_v2_<job>/` (Spark's own parquet OutputWriter via
+  * the bridge — vectorized-readable, real codec); the driver commit
+  * ADOPTS the staged files into one atomic dynamic-overwrite mutation.
+  * A crash before commit leaves only the staging directory, which the
+  * next vacuum collects — never a corrupt snapshot. No second write of
+  * the new data anywhere (the round-13 rewrite path re-staged it).
+  */
+private[lake] class LakeDynamicBatchWrite(spark: SparkSession, t: LakeTable,
+    writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory,
+    PhysicalWriteInfo, WriterCommitMessage}
+
+  private val job = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+  private val stagingDir = s"${t.path}/_staging_v2_$job"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(stagingDir))
+    new LakeDataWriterFactory(stagingDir,
+      org.apache.spark.sql.graftbridge.LakeWriteBridge.prepare(spark, writeSchema))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val names = messages.collect {
+      case m: LakeV2FileMessage if m.name.nonEmpty => m.name.get
+    }.toSeq
+    t.commitDynamicOverwriteStaged(stagingDir, names)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(stagingDir)
+    Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    dir.delete()
+    ()
+  }
+}
+
+private[lake] case class LakeV2FileMessage(name: Option[String], rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[lake] class LakeDataWriterFactory(stagingDir: String,
+    factory: org.apache.spark.sql.graftbridge.LakeWriteBridge.Factory)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new LakeV2DataWriter(stagingDir, partitionId, taskId, factory)
+}
+
+/** One task's writer: lazily opens the parquet file on first row, so
+  * empty input partitions produce NO file (not a 0-row stub in the
+  * manifest).
+  */
+private[lake] class LakeV2DataWriter(stagingDir: String, partitionId: Int,
+    taskId: Long,
+    factory: org.apache.spark.sql.graftbridge.LakeWriteBridge.Factory)
+    extends org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+
+  private val fileName = f"v2-$partitionId%05d-$taskId.parquet"
+  private var writer: org.apache.spark.sql.graftbridge.LakeWriteBridge.ParquetWriter = _
+  private var rows = 0L
+
+  override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    if (writer == null)
+      writer = factory.newWriter(s"$stagingDir/$fileName")
+    writer.write(row)
+    rows += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (writer != null) writer.close()
+    LakeV2FileMessage(if (rows > 0) Some(fileName) else None, rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    new java.io.File(stagingDir, fileName).delete()
+    ()
+  }
+
+  override def close(): Unit = ()
 }
 
 /** V1Scan fallback for snapshots the pure-parquet scan cannot serve

@@ -71,13 +71,15 @@ case class LakeDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           toGeneralMergeCommand(m, lakeTarget(m.targetTable).get)
       }
     // dynamic partition overwrite (writeTo(...).overwritePartitions(),
-    // dynamic-mode INSERT OVERWRITE): Spark's native plan demands a
-    // full v2 BATCH_WRITE (TableCapabilityCheck rejects the V1 bridge
-    // outright — there is no OverwritePartitionsDynamicExecV1), so the
-    // same post-hoc rewrite that serves UPDATE/MERGE routes it to the
+    // dynamic-mode INSERT OVERWRITE): a clean catalog snapshot
+    // advertises OVERWRITE_DYNAMIC and runs Spark's NATIVE v2
+    // BatchWrite ([[LakeDynamicBatchWrite]] — executor-parallel parquet,
+    // no second write), so the rewrite SKIPS it; renamed/bucketed
+    // snapshots (no native capability) keep this post-hoc route to the
     // lake's atomic replaceWhere on the partitions present in the data
     case o: OverwritePartitionsDynamic
-        if o.resolved && lakeTarget(o.table).isDefined =>
+        if o.resolved && lakeTarget(o.table).isDefined &&
+          !nativeDynamicOverwrite(o.table) =>
       LakeDynamicOverwriteCommand(lakeTarget(o.table).get, o.query)
   }
 
@@ -253,6 +255,18 @@ object LakeDmlRule {
     * relation planned through this format (plain [[LakeFileIndex]] scan
     * or the DV-masked fallback); None = not ours, leave the plan alone.
     */
+  /** True when the plan's target is a catalog-resolved lake table whose
+    * snapshot advertises the native OVERWRITE_DYNAMIC capability — the
+    * rewrite must step aside so Spark plans the v2 BatchWrite.
+    */
+  private def nativeDynamicOverwrite(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[LakeDsv2Table] =>
+        r.table.capabilities().contains(
+          org.apache.spark.sql.connector.catalog.TableCapability.OVERWRITE_DYNAMIC)
+    }.getOrElse(false)
+
   private[lake] def lakeTarget(plan: LogicalPlan): Option[LakeDmlTarget] =
     plan.collectFirst {
       case lr: LogicalRelation =>

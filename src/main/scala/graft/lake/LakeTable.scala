@@ -818,6 +818,68 @@ class LakeTable private (spark: SparkSession, val path: String) {
     } finally data.unpersist(blocking = false)
   }
 
+  /** Native v2 BatchWrite landing for dynamic partition overwrite:
+    * adopt files the executor-side DataWriters already wrote into
+    * `stagingDir` (no second write of the new data — the round-13
+    * rewrite path re-staged it), stats them with the same combined
+    * job as [[stage]], and commit ONE atomic `overwrite-dynamic`
+    * mutation replacing exactly the partitions present in the data.
+    * Files are partition-clustered by the write's required
+    * distribution, so touched files are normally replaced whole; a
+    * mixed file (written before partitioning was configured) keeps its
+    * other-partition rows via a bounded copy-on-write rewrite.
+    */
+  private[lake] def commitDynamicOverwriteStaged(stagingDir: String,
+      stagedNames: Seq[String]): Int = {
+    val v = currentVersion
+    val base = manifest(v)
+    require(base.physNames.isEmpty && base.bucketBy.isEmpty,
+      "native v2 dynamic overwrite serves identity-mapped, unbucketed " +
+        "snapshots; renamed/bucketed tables route through LakeDmlRule")
+    val job = UUID.randomUUID().toString.replace("-", "").take(12)
+    val named = stagedNames.sorted.zipWithIndex.map { case (n, i) =>
+      val target = f"part-$job-$i%05d.parquet"
+      Files.move(Paths.get(stagingDir, n), Paths.get(path, target),
+        StandardCopyOption.ATOMIC_MOVE)
+      target
+    }
+    LakeTable.deleteRecursively(Paths.get(stagingDir))
+    val staged = LakeTable.entriesFor(spark, path, named, base.statsCols)
+    enforceChecks(staged, base)
+    if (base.partitionBy.isEmpty)
+      // unpartitioned: dynamic degrades to a full overwrite, matching
+      // Spark's session-config dynamic semantics (and overwrite())
+      return commitMutation(v, base, "overwrite-dynamic", base.files,
+        staged, _ => true)
+    val parts = base.partitionBy
+    val tuples =
+      if (named.isEmpty) Array.empty[Row]
+      else spark.read.parquet(named.map(n => s"$path/$n"): _*)
+        .select(parts.map(col): _*).distinct().collect()
+    val cond = tuples.map { r =>
+      parts.zipWithIndex.map { case (p, i) =>
+        if (r.isNullAt(i)) col(p).isNull else col(p) === lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val bounds = deleteBounds(base, cond, base.schema)
+    val candidates = statsCandidates(base, bounds)
+    val touchedNames =
+      if (candidates.isEmpty || tuples.isEmpty) Set.empty[String]
+      else liveRows(candidates, base).filter(cond)
+        .select(col("_gf_file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val touched = base.files.filter(f => touchedNames(f.name))
+    val kept =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val k = readEntries(touched, base).filter(!coalesce(cond, lit(false)))
+        if (k.isEmpty) Seq.empty else stageFiles(k, base)
+      }
+    commitMutation(v, base, "overwrite-dynamic", touched, staged ++ kept,
+      f => bounds.forall { case (c, (lo, hi)) =>
+        f.overlaps(base.physOf(c), lo, hi) })
+  }
+
   /** UPDATE ... SET ... WHERE: copy-on-write rewrite of ONLY the files
     * that contain at least one matching row, sharing [[deleteWhere]]'s
     * stats-pruned candidate probe. Matching rows get each `set` column
@@ -2238,6 +2300,16 @@ object LakeTable {
       target
     }
     deleteRecursively(scratch)
+    entriesFor(spark, path, named, statsCols)
+  }
+
+  /** Build one stats-complete manifest entry per already-written table
+    * file (one combined stats job over the named files — min/max, null
+    * counts, HLL ndv sketches). Shared by [[stage]] and the native v2
+    * BatchWrite adoption path.
+    */
+  private[lake] def entriesFor(spark: SparkSession, path: String,
+      named: Seq[String], statsCols: Seq[String]): Seq[FileEntry] = {
     if (named.isEmpty) return Seq.empty
     val reread = spark.read.parquet(named.map(n => s"$path/$n"): _*)
     val (strCols, longCols) = statsCols.partition(c =>

@@ -186,11 +186,53 @@ class GraftCatalogSpec extends AnyFunSuite {
     val newData = kv(200 to 219).withColumn("p", col("k") % 2)
     newData.writeTo("graft_test.dyn").overwritePartitions()
     assert(t.currentVersion === vBefore + 1, "dynamic overwrite must be ONE commit")
+    // NATIVE v2 BatchWrite, not the LakeDmlRule rewrite: the native
+    // path commits "overwrite-dynamic"; the rewrite commits
+    // "replaceWhere" — so the operation name is the path pin
+    assert(t.history().last.operation === "overwrite-dynamic")
     val rows = spark.table(s"graft_test.dyn").select("k", "p").as[(Long, Long)].collect()
     // partitions 0/1 now hold ONLY the new rows; 2/3 keep the originals
     assert(rows.filter(_._2 <= 1).map(_._1).forall(_ >= 200))
     assert(rows.count(_._2 == 2) === 25 && rows.count(_._2 == 3) === 25)
     assert(rows.count(_._2 <= 1) === 20)
+  }
+
+  test("SQL INSERT OVERWRITE in dynamic mode runs the native v2 BatchWrite") {
+    warehouse
+    val path = s"$warehouse/dynsql"
+    LakeTable.create(spark, path,
+      kv(1 to 100).withColumn("p", col("k") % 4), Seq.empty, Seq("p"))
+    val t = LakeTable.forPath(spark, path)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql("""INSERT OVERWRITE graft_test.dynsql
+        |SELECT id AS k, id % 7 AS v, CAST(0 AS BIGINT) AS p
+        |FROM range(300, 310)""".stripMargin)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert(t.history().last.operation === "overwrite-dynamic")
+    val rows = spark.table("graft_test.dynsql").select("k", "p").as[(Long, Long)].collect()
+    assert(rows.count(_._2 == 0) === 10, "partition 0 replaced by the 10 new rows")
+    assert(rows.filter(_._2 == 0).map(_._1).forall(_ >= 300))
+    assert(rows.count(_._2 == 1) === 25 && rows.count(_._2 == 2) === 25 &&
+      rows.count(_._2 == 3) === 25, "other partitions untouched")
+  }
+
+  test("renamed-column snapshots keep the LakeDmlRule fallback for dynamic overwrite") {
+    warehouse
+    val path = s"$warehouse/dynren"
+    LakeTable.create(spark, path,
+      kv(1 to 40).withColumn("p", col("k") % 2), Seq.empty, Seq("p"))
+    val t = LakeTable.forPath(spark, path)
+    t.renameColumn("v", "v2") // physNames non-identity: no native capability
+    kv(200 to 204).withColumn("p", lit(0L))
+      .select(col("k"), col("v").as("v2"), col("p"))
+      .writeTo("graft_test.dynren").overwritePartitions()
+    assert(t.history().last.operation === "replaceWhere",
+      "renamed snapshot must route through the rewrite fallback")
+    val rows = spark.table("graft_test.dynren").select("k", "p").as[(Long, Long)].collect()
+    assert(rows.count(_._2 == 0) === 5)
+    assert(rows.count(_._2 == 1) === 20)
   }
 
   test("untranslatable overwrite filters are rejected at analysis (canOverwrite)") {
