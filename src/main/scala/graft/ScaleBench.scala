@@ -206,7 +206,11 @@ object ScaleBench {
     // round-13 fourth batch: stratum windows, hash-split coverage join,
     // base-weighted index agg, 24-bin chi-square
     "sample_balanced", "text_train_coverage", "orders_price_index",
-    "events_hour_uniformity")
+    "events_hour_uniformity",
+    // round-14: graph ANN — corpus-sized SRP buckets keep init-edge
+    // volume linear; NN-descent is O(n·m²); beam search is per-query
+    // constant work
+    "sim_ann_graph")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

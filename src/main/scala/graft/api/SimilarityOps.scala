@@ -203,6 +203,126 @@ object SimilarityOps {
     * collected to the driver (numSeeds·dim doubles — tiny) so assignment
     * is a shuffle-free codegen projection, see [[centroidOptions]].
     */
+  /** HNSW-like graph ANN (single-layer NSW, the Malkov–Yashunin base
+    * layer, built the distributed way):
+    *
+    *  1. **Candidate edges** from SRP sign-bucket collisions (the
+    *     [[graft.functions.SrpBuckets]] projection — deterministic, no
+    *     stored hyperplanes, mega-buckets capped), exact-scored with
+    *     the codegen [[DotProduct]] and trimmed to each node's top-`m`
+    *     — the locality-aware init graph.
+    *  2. **One NN-descent round** (Dong et al.): neighbors-of-neighbors
+    *     as new candidates, rescored exactly, merged, re-trimmed to
+    *     top-`m`. Every step is an equi-join + bounded per-key window;
+    *     candidates stay O(n·m²) — no all-pairs scan anywhere.
+    *  3. **Greedy beam search** per query: start at a deterministic
+    *     entry point (the global min id), expand the current beam's
+    *     adjacency, score ONLY unvisited nodes, keep the best `beam`;
+    *     `iters` fixed rounds, then top-`k` over everything visited.
+    *     Each round is one equi-join on the adjacency — the number of
+    *     exact dots per query is ≤ 1 + iters·beam·m, independent of
+    *     corpus size: the property that makes graph ANN the sublinear
+    *     search tier.
+    *
+    * Deterministic end to end (SRP patterns are hash-derived, ties
+    * break on id), so results are oracle-stable. Recall is graded by
+    * the same exact-top-1 + recall-floor invariant report as the other
+    * ANN tiers.
+    */
+  def graphAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int, m: Int = 16,
+      beam: Int = 12, iters: Int = 4, bandBits0: Int = 0, bands: Int = 8,
+      bucketCap: Int = 256): DataFrame = {
+    val e = asDouble(emb, idCol, vecCol).localCheckpoint(true)
+    // bandBits0 = 0 → size the init buckets to the corpus like
+    // lshNearDupPairsAuto: ~32 vectors per bucket keeps candidate
+    // count (and therefore init-edge scoring) LINEAR in n — a fixed
+    // geometry's occupancy grows with n, quadratic in disguise
+    val bandBits =
+      if (bandBits0 > 0) bandBits0
+      else math.max(4, math.min(16,
+        math.ceil(math.log(math.max(1L, e.count()) / 32.0) / math.log(2)).toInt))
+
+    // exact-score a candidate pair list and keep each src's top-m
+    def trim(cand: DataFrame): DataFrame = {
+      val va = e.select(col("vec_id").as("src"), col("e").as("e_a"))
+      val vb = e.select(col("vec_id").as("dst"), col("e").as("e_b"))
+      val wTop = Window.partitionBy(col("src")).orderBy(desc("cos"), col("dst"))
+      cand.join(va, "src").join(vb, "dst")
+        .select(col("src"), col("dst"),
+          round(DotProduct.dot(col("e_a"), col("e_b")), 6).as("cos"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= m)
+        .select(col("src"), col("dst"), col("cos"))
+    }
+
+    // 1. init edges: SRP bucket mates (both directions), capped
+    val banded = e
+      .select(col("vec_id"),
+        graft.functions.SrpBuckets.buckets(col("e"), bandBits, bands).as("bks"))
+      .filter(col("bks").isNotNull)
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+    val capped = banded.withColumn("bn", count(lit(1)).over(wB))
+      .filter(col("bn") <= bucketCap).drop("bn")
+      .localCheckpoint(true)
+    val cand0 = capped.select(col("vec_id").as("src"), col("band"), col("bucket"))
+      .join(capped.select(col("vec_id").as("dst"), col("band").as("b2"),
+          col("bucket").as("k2")),
+        col("band") === col("b2") && col("bucket") === col("k2") &&
+          col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val adj0 = trim(cand0).localCheckpoint(true)
+
+    // 2. one NN-descent refinement: src→mid→dst candidates, merged
+    val non = adj0.select(col("src"), col("dst").as("mid"))
+      .join(adj0.select(col("src").as("mid"), col("dst")), "mid")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .union(adj0.select(col("src"), col("dst")))
+      .distinct()
+    val adj = trim(non).localCheckpoint(true)
+
+    // 3. greedy beam search for the query batch. Entry points: `beam`
+    // hash-argmin seeds (node minimizing xxhash64(id, r) per seed slot
+    // r) — deterministic, uniformly spread across the corpus, and ONE
+    // map-side-combined aggregate to compute. Multiple spread entries
+    // stand in for HNSW's upper-layer descent: a single entry's greedy
+    // path can stall in a far region of a flat NSW graph (measured:
+    // recall 0.48 at 60k nodes single-entry vs 0.8+ multi-entry).
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("e").as("q_e"))
+    val entry = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(beam - 1))).as("r"))
+      .groupBy(col("r"))
+      .agg(min_by(col("vec_id"), xxhash64(col("vec_id"), col("r"))).as("node"))
+      .select(col("node")).distinct()
+    def score(nodes: DataFrame): DataFrame =
+      nodes.join(e.select(col("vec_id").as("node"), col("e")), "node")
+        .join(q, "q_id")
+        .select(col("q_id"), col("node"),
+          round(DotProduct.dot(col("q_e"), col("e")), 6).as("cos"))
+    var visited = score(q.crossJoin(broadcast(entry)).select(col("q_id"), col("node")))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val wBeam = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("node"))
+      val frontier = visited.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beam)
+        .select(col("q_id"), col("node").as("src"))
+      val expanded = frontier.join(adj, "src")
+        .select(col("q_id"), col("dst").as("node")).distinct()
+        .join(visited.select(col("q_id"), col("node")), Seq("q_id", "node"),
+          "left_anti")
+      visited = visited.unionByName(score(expanded)).localCheckpoint(true)
+    }
+    val wFinal = Window.partitionBy(col("q_id")).orderBy(desc("cos"), col("node"))
+    visited.filter(col("node") =!= col("q_id"))
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").as("rank"), col("node").as("neighbor_id"),
+        col("cos"))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, numSeeds: Int, k: Int): DataFrame = {
     val e = asDouble(emb, idCol, vecCol)

@@ -224,6 +224,19 @@ object AnnQueries {
           queryPred = col("vec_id") < 10, k = 5, nClusters = 8, iters = 1, nprobe = 2),
         minHitNum = 3, minHitDen = 10)),
 
+    // HNSW-like graph ANN (single-layer NSW): SRP-bucket init edges →
+    // exact-scored top-m adjacency → one NN-descent round → greedy beam
+    // search from hash-argmin multi-entry seeds. Per-query exact dots
+    // are ≤ beam + iters·beam·m regardless of corpus size — the
+    // sublinear search tier. Graded by the same exact-top-1 +
+    // recall-floor report as the other ANN tiers; floor 0.5, measured
+    // 0.98 / 0.96 / 0.72 at sf0.001/0.01/0.1.
+    "sim_ann_graph" -> ((s, dir) =>
+      annReport(s, dir,
+        graft.api.SimilarityOps.graphAnnTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5),
+        minHitNum = 1, minHitDen = 2)),
+
     // SemDeDup-style semantic dedup: k-means cluster blocking bounds the
     // exact cosine scan to within-cluster pairs; the keep-list drops any
     // vector with a lower-id near-dup. Invariant report, LINEAR end to
@@ -427,6 +440,7 @@ object AnnQueries {
     "sim_ann_trunc" -> bruteTop1Sql,
     "sim_ann_ivf" -> bruteTop1Sql,
     "sim_ann_kmeans" -> bruteTop1Sql,
+    "sim_ann_graph" -> bruteTop1Sql,
     "sim_ann_pq" -> bruteTop1Sql,
 
     "dedup_semantic" ->

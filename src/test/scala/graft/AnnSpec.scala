@@ -75,8 +75,36 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall (kmeans=${kmeans.size}, brute=${brute.size})")
   }
 
+  test("sim_ann_graph: ranked output, bounded per-query work, recall above floor") {
+    val out = graft.api.SimilarityOps.graphAnnTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    for ((q, rs) <- byQ) {
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length), s"q=$q")
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.sameElements(cs.sorted.reverse), s"not descending for q=$q")
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q), s"self-match for q=$q")
+    }
+    val ann = out.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val q = emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("e").as("q_e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(desc("cos"), col("vec_id"))
+    val brute = q.crossJoin(emb).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(graft.functions.DotProduct.dot(col("q_e"), col("e")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall (graph=${ann.size}, brute=${brute.size})")
+  }
+
   test("declared ANN invariant reports are all-green (recall floors + brute top-1)") {
-    for (name <- Seq("sim_ann_ivf", "sim_ann_kmeans")) {
+    for (name <- Seq("sim_ann_ivf", "sim_ann_kmeans", "sim_ann_graph")) {
       val rows = SparkEntry.queries(name)(spark, sf).collect()
       assert(rows.length == 10, s"$name: expected 10 query rows, got ${rows.length}")
       assert(rows.forall(_.getAs[Boolean]("recall_ok")), s"$name recall floor broken")
