@@ -209,8 +209,9 @@ object ScaleBench {
     "events_hour_uniformity",
     // round-14: graph ANN — corpus-sized SRP buckets keep init-edge
     // volume linear; NN-descent is O(n·m²); beam search is per-query
-    // constant work
-    "sim_ann_graph")
+    // constant work. Hashed KN: 256-bucket token alphabet saturates
+    // every count table regardless of vocabulary growth.
+    "sim_ann_graph", "text_kn_bigram_hashed")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

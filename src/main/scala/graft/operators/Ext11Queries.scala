@@ -283,6 +283,45 @@ object Ext11Queries {
         .orderBy(col("lang"))
     }),
 
+    // hashed-vocabulary KN bigram twin: tokens map to 256 md5-prefix
+    // buckets BEFORE counting (the text_dsir bucket discipline), so
+    // every count table is bounded — c1/cb ≤ 256 rows, c12 ≤ 65,536 —
+    // and the broadcasts hold under ADVERSARIAL vocabulary growth
+    // (ScaleBench's token-suffix inflation drove the exact-vocabulary
+    // form to 7.0x at 30x; this twin's tables saturate instead). Same
+    // interpolated KN math (d = 0.75) over the hashed alphabet; the
+    // standard feature-hashing LM trade: collisions merge counts,
+    // determinism and oracle-reproducibility are exact (md5 on both
+    // engines).
+    "text_kn_bigram_hashed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          transform(toks, t => substring(md5(t), 1, 2)).as("toks"))
+        .withColumn("n", size(col("toks"))).filter(col("n") >= 2)
+      val bi = docs.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, n - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val c1 = c12.groupBy(col("w1"))
+        .agg(sum(col("c")).as("c1"), count(lit(1)).as("n1f"))
+      val cb = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+      val tt = c12.agg(count(lit(1)).as("T"))
+      val p = c12.join(broadcast(c1), "w1").join(broadcast(cb), "w2")
+        .crossJoin(broadcast(tt))
+        .select(col("w1"), col("w2"), round(log(
+          (greatest(col("c") - lit(0.75), lit(0)) +
+            lit(0.75) * col("n1f") * (col("n1b") / col("T").cast("double"))) /
+            col("c1").cast("double")), 9).as("lp"))
+      bi.join(broadcast(p), Seq("w1", "w2"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(avg(col("lp")), 6).as("doc_lp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("doc_lp")), 6).as("mean_kn_lp"))
+        .orderBy(col("lang"))
+    }),
+
     // binary-segmentation changepoint: per event type, the day that
     // maximizes |mean(≤ d) − mean(> d)| over the daily value series —
     // the first split of the classic recursive detector, exact. One
@@ -535,6 +574,30 @@ object Ext11Queries {
     "text_kn_bigram" ->
       """WITH t AS (SELECT doc_id, lang,
         |    list_filter(string_split(text,' '), x -> x <> '') AS toks FROM documents),
+        |t2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+        |bi AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, n),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true)
+        |  FROM t2),
+        |c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c) AS c1, count(*) AS n1f FROM c12 GROUP BY w1),
+        |cb AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY w2),
+        |tt AS (SELECT count(*) AS T FROM c12),
+        |p AS (SELECT c12.w1, c12.w2,
+        |    round(ln((greatest(c12.c - 0.75, 0) +
+        |        0.75 * c1.n1f * (cb.n1b / CAST(tt.T AS DOUBLE)))
+        |      / CAST(c1.c1 AS DOUBLE)), 9) AS lp
+        |  FROM c12 JOIN c1 USING (w1) JOIN cb USING (w2) CROSS JOIN tt),
+        |dl AS (SELECT doc_id, lang, round(avg(lp), 6) AS doc_lp
+        |  FROM bi JOIN p USING (w1, w2) GROUP BY doc_id, lang)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(doc_lp), 6) AS mean_kn_lp
+        |FROM dl GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_kn_bigram_hashed" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_transform(list_filter(string_split(text,' '), x -> x <> ''),
+        |      w -> substr(md5(w), 1, 2)) AS toks FROM documents),
         |t2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
         |bi AS (SELECT doc_id, lang,
         |    unnest(list_transform(range(1, n),
