@@ -50,6 +50,21 @@ object Bench {
     // Retry count is surfaced in the JSON as stall_retries; every raw
     // timing stays in the stderr progress log.
     var stallRetries = 0
+    // Pre-flight quiet gate + in-artifact host disclosure (round-13
+    // driver run recorded 37 stall retries vs 0 in the quiet rerun):
+    // if the 1-min loadavg is high when the bench starts — leftover
+    // compile/test activity or external steal — wait it out, bounded.
+    // Start/end loadavg and the gate wait land in the JSON so a noisy
+    // artifact carries its own disclaimer instead of reading as a
+    // regression.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadavg(): Double = osBean.getSystemLoadAverage
+    val loadStart = loadavg()
+    var gateWaitS = 0
+    while (loadavg() > 4.0 && gateWaitS < 90) {
+      System.err.println(f"[bench] loadavg ${loadavg()}%.2f > 4.0, waiting for quiet host ($gateWaitS s)")
+      Thread.sleep(10000); gateWaitS += 10
+    }
     // every re-timed query's raw pair lands in the JSON (not just stderr)
     // so what the stall guard absorbed is auditable per query
     val rawPairs = scala.collection.mutable.Map[String, (Double, Double)]()
@@ -114,7 +129,10 @@ object Bench {
     // stdout, and with 171 queries the full line exceeds it — ordering
     // scalars after the big dicts keeps "metric"/"value" inside the tail
     // (round 4's total vanished from the record the other way around)
-    val line = s"""{"queries":$qs,"raw":$raw,"stall_retries":$stallRetries,"sf":"$sfDir","metric":"total","value":${d3(total)},"unit":"sec"}"""
+    val line = s"""{"queries":$qs,"raw":$raw,"stall_retries":$stallRetries,""" +
+      s""""loadavg_start":${d3(loadStart)},"loadavg_end":${d3(loadavg())},""" +
+      s""""gate_wait_s":$gateWaitS,""" +
+      s""""sf":"$sfDir","metric":"total","value":${d3(total)},"unit":"sec"}"""
     println(line)
     // durable copy of the exact same JSON, immune to stdout truncation
     try java.nio.file.Files.writeString(

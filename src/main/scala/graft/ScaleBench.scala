@@ -48,11 +48,21 @@ object ScaleBench {
 
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     copies(emb) { (df, c) =>
+      // rotation wraps at the 64-dim testdata geometry (emb_pca_power
+      // pins dim=64): rotate by c mod 64, and REVERSE the vector on
+      // every odd wrap generation so copies past c=63 stay decorrelated
+      // from the unrotated generation (factor ≤ 128 supported; the old
+      // unwrapped slice went negative-length at c ≥ 64 — the 100x bug)
+      val dim = 64
+      val r = c % dim
+      val base =
+        if ((c / dim) % 2 == 1) reverse(col("embedding")) else col("embedding")
+      val rotated =
+        if (r == 0) base
+        else concat(slice(base, r + 1, dim - r), slice(base, 1, r))
       df.select(
         (col("vec_id") + lit(c * Stride)).as("vec_id"),
-        (if (c == 0) col("embedding")
-         else expr(s"concat(slice(embedding, ${c + 1}, size(embedding) - $c), " +
-           s"slice(embedding, 1, $c))")).as("embedding"),
+        rotated.as("embedding"),
         col("label"))
     }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
@@ -211,7 +221,16 @@ object ScaleBench {
     // volume linear; NN-descent is O(n·m²); beam search is per-query
     // constant work. Hashed KN: 256-bucket token alphabet saturates
     // every count table regardless of vocabulary growth.
-    "sim_ann_graph", "text_kn_bigram_hashed")
+    "sim_ann_graph", "text_kn_bigram_hashed",
+    // round-14 pack: enum-bounded group windows (gini / quantile CI /
+    // percent_rank), calendar-bounded day pairs (MAD / Mann-Kendall),
+    // shingle hash groupBys (soft weights / novelty), broadcast scalar
+    // stats (power / importance / funnel time), O(E)-per-iter power
+    // iteration (eigen centrality). orders_price_index-class shapes.
+    "agg_gini", "agg_theil", "ts_mad_anomaly", "stat_power_twoprop",
+    "stat_quantile_ci", "stat_mann_kendall", "dedup_soft_weights",
+    "sample_importance", "text_ngram_novelty", "events_funnel_time",
+    "win_percent_rank", "graph_eigen_centrality")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

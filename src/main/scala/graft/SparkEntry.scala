@@ -42,6 +42,7 @@ object SparkEntry {
     (Ext10Queries.queries, Ext10Queries.oracle),
     (Ext11Queries.queries, Ext11Queries.oracle),
     (Ext12Queries.queries, Ext12Queries.oracle),
+    (Ext13Queries.queries, Ext13Queries.oracle),
     (LakeQueries.queries, LakeQueries.oracle)
   )
 

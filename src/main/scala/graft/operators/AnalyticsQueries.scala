@@ -77,7 +77,7 @@ object AnalyticsQueries {
     }
 
   /** Symmetric full-history co-purchase edges (src ≠ dst), staged. */
-  private def edgesFull(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[operators] def edgesFull(s: org.apache.spark.sql.SparkSession, dir: String) =
     stagedEdges(s, dir, "full") {
       val le = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior specs for the round-14 pack. */
+class Ext13Spec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def q(name: String) = operators.Ext13Queries.queries(name)(spark, sf)
+
+  test("agg_gini values sit in [0, 1) and groups are the five segments") {
+    val rows = q("agg_gini").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $r")
+    }
+  }
+
+  test("agg_theil is non-negative (Jensen) and zero only under equality") {
+    val rows = q("agg_theil").collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getAs[Double]("theil_t") >= 0.0))
+  }
+
+  test("ts_mad_anomaly: anomaly count never exceeds day count; z positive") {
+    val rows = q("ts_mad_anomaly").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_anomalies") <= r.getAs[Long]("n_days"))
+      assert(r.getAs[Double]("max_robust_z") >= 0.0)
+    }
+  }
+
+  test("stat_power_twoprop: arms partition the users, n_per_arm positive") {
+    val r = q("stat_power_twoprop").head()
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    assert(r.getAs[Double]("n_per_arm") > 0)
+  }
+
+  test("stat_quantile_ci bounds bracket the median") {
+    q("stat_quantile_ci").collect().foreach { r =>
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("med"))
+      assert(r.getAs[Double]("ci_hi") >= r.getAs[Double]("med"))
+    }
+  }
+
+  test("stat_mann_kendall |S| is bounded by the pair count") {
+    q("stat_mann_kendall").collect().foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      assert(math.abs(r.getAs[Long]("s_stat")) <= n * (n - 1) / 2)
+    }
+  }
+
+  test("dedup_soft_weights: weights in (0,1], effective <= raw count") {
+    val rows = q("dedup_soft_weights").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("mean_weight")
+      assert(w > 0.0 && w <= 1.0)
+      assert(r.getAs[Double]("effective_docs") <= r.getAs[Long]("n_docs") + 1e-9)
+    }
+  }
+
+  test("sample_importance: weighted masses equalize and ESS <= 1") {
+    val rows = q("sample_importance").collect()
+    val masses = rows.map(_.getAs[Double]("weighted_mass")).distinct
+    assert(masses.length === 1, s"uniform target must equalize masses: ${masses.toSeq}")
+    rows.foreach { r =>
+      val e = r.getAs[Double]("ess_ratio")
+      assert(e > 0.0 && e <= 1.0 + 1e-9)
+    }
+  }
+
+  test("text_ngram_novelty is a fraction of the val bigram count") {
+    q("text_ngram_novelty").collect().foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_val_bigrams"))
+      val f = r.getAs[Double]("novelty")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("events_funnel_time percentiles are ordered") {
+    val r = q("events_funnel_time").head()
+    assert(r.getAs[Long]("n_converted") > 0)
+    assert(r.getAs[Double]("median_s") <= r.getAs[Double]("p90_s"))
+  }
+
+  test("win_percent_rank: top decile's share exceeds 10% of spend (right tail)") {
+    q("win_percent_rank").collect().foreach { r =>
+      val share = r.getAs[Double]("top_decile_share")
+      assert(share > 0.10 && share < 1.0, s"top-decile share implausible: $r")
+    }
+  }
+
+  test("graph_eigen_centrality: 20 ranked nodes, descending, positive") {
+    val rows = q("graph_eigen_centrality").collect()
+    assert(rows.length === 20)
+    val cs = rows.map(_.getAs[Double]("centrality"))
+    assert(cs.sameElements(cs.sorted.reverse))
+    assert(cs.forall(_ > 0.0))
+  }
+}
