@@ -230,7 +230,10 @@ object ScaleBench {
     "agg_gini", "agg_theil", "ts_mad_anomaly", "stat_power_twoprop",
     "stat_quantile_ci", "stat_mann_kendall", "dedup_soft_weights",
     "sample_importance", "text_ngram_novelty", "events_funnel_time",
-    "win_percent_rank", "graph_eigen_centrality")
+    "win_percent_rank", "graph_eigen_centrality",
+    "stat_welch_ttest", "stat_chisq_independence", "stat_levene",
+    "text_heaps_law", "text_js_divergence", "ts_weekday_strength",
+    "ts_naive_mape", "graph_rich_club", "sample_pps")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

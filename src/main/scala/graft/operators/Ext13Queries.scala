@@ -276,6 +276,233 @@ object Ext13Queries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Welch's unequal-variance t-test between the hash-split arms on
+    // per-user mean event value, with the Satterthwaite df.
+    "stat_welch_ttest" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(avg(col("value")).as("v"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B"))
+      val r = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), avg(col("v")).as("m"),
+          var_samp(col("v")).as("s2"))
+      val w = r.agg(
+        max(when(col("arm") === "A", col("n"))).as("na"),
+        max(when(col("arm") === "B", col("n"))).as("nb"),
+        max(when(col("arm") === "A", col("m"))).as("ma"),
+        max(when(col("arm") === "B", col("m"))).as("mb"),
+        max(when(col("arm") === "A", col("s2"))).as("va"),
+        max(when(col("arm") === "B", col("s2"))).as("vb"))
+      val se2 = col("va") / col("na") + col("vb") / col("nb")
+      w.select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+        round((col("ma") - col("mb")) / sqrt(se2), 6).as("t"),
+        round(pow(se2, 2) / (pow(col("va") / col("na"), 2) / (col("na") - 1) +
+          pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 6).as("df"))
+    }),
+
+    // Chi-square test of independence over the lang × source
+    // contingency table, with Cramér's V — contingency dims are
+    // enum-bounded, everything is one counts aggregation + broadcasts.
+    "stat_chisq_independence" -> ((s, dir) => {
+      val o = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+        .localCheckpoint(true)
+      val rl = o.groupBy(col("lang")).agg(sum(col("o")).as("rl"))
+      val cs = o.groupBy(col("source")).agg(sum(col("o")).as("cs"))
+      val t = o.agg(sum(col("o")).as("n"),
+        countDistinct(col("lang")).as("L"),
+        countDistinct(col("source")).as("S"))
+      o.join(broadcast(rl), "lang").join(broadcast(cs), "source")
+        .crossJoin(broadcast(t))
+        .select(col("o"), (col("rl") * col("cs") / col("n").cast("double")).as("e"),
+          col("n"), col("L"), col("S"))
+        .agg(round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6)
+            .as("chi2"),
+          ((max(col("L")) - 1) * (max(col("S")) - 1)).as("df"),
+          round(sqrt(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")) /
+            (max(col("n")) * least(max(col("L")) - 1, max(col("S")) - 1))), 6)
+            .as("cramers_v"))
+    }),
+
+    // Brown-Forsythe (median-centered Levene) test for equal variances
+    // across segments: one-way ANOVA F on |y − group median|.
+    "stat_levene" -> ((s, dir) => {
+      val x = Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("g"), col("c_acctbal").as("y"))
+      val md = x.groupBy(col("g")).agg(expr("percentile(y, 0.5)").as("med"))
+      val z = x.join(broadcast(md), "g")
+        .select(col("g"), abs(col("y") - col("med")).as("z"))
+        .localCheckpoint(true)
+      val gm = z.groupBy(col("g"))
+        .agg(count(lit(1)).as("nj"), avg(col("z")).as("zj"))
+      val tot = z.agg(count(lit(1)).as("n"), avg(col("z")).as("zb"),
+        countDistinct(col("g")).as("k"))
+      val num = gm.crossJoin(broadcast(tot))
+        .agg(sum(col("nj") * (col("zj") - col("zb")) * (col("zj") - col("zb")))
+          .as("num"), max(col("n")).as("n"), max(col("k")).as("k"))
+      val den = z.join(broadcast(gm), "g")
+        .agg(sum((col("z") - col("zj")) * (col("z") - col("zj"))).as("den"))
+      num.crossJoin(broadcast(den))
+        .select(col("k"), col("n"),
+          round((col("n") - col("k")) * lit(1.0) / (col("k") - 1) *
+            col("num") / col("den"), 6).as("f_stat"))
+    }),
+
+    // Heaps' law fit over trigram TYPES (the unigram vocabulary of the
+    // synthetic corpus saturates instantly): vocabulary-vs-tokens curve
+    // at 10 doc-count deciles, OLS of ln V on ln T → V ≈ K·T^β. The
+    // decile thresholds rank the compact per-doc count frame (one
+    // narrow window over n_docs rows — swap for approx quantiles of
+    // doc_id past control-plane doc counts).
+    "text_heaps_law" -> ((s, dir) => {
+      val tk = Tables.documents(s, dir)
+        .select(col("doc_id"), toks13.as("t")).filter(size(col("t")) >= 3)
+      val sh = tk.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 2), " +
+          "i -> array_join(slice(t, i, 3), ' '))")).as("w"))
+        .localCheckpoint(true)
+      val nt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val rk = nt.withColumn("r", row_number().over(Window.orderBy(col("doc_id"))))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+      val thr = rk.crossJoin(broadcast(
+          s.range(1, 11).select(col("id").cast("int").as("i"))))
+        .filter(col("r") <= floor(col("i") * col("nd") / 10.0))
+        .groupBy(col("i")).agg(max(col("doc_id")).as("d"))
+      val firsts = sh.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      val pts = thr
+        .join(nt.crossJoin(broadcast(thr)).filter(col("doc_id") <= col("d"))
+            .groupBy(col("i").as("i2")).agg(sum(col("n")).as("T")),
+          col("i") === col("i2"))
+        .join(firsts.crossJoin(broadcast(thr)).filter(col("fd") <= col("d"))
+            .groupBy(col("i").as("i3")).agg(count(lit(1)).as("V")),
+          col("i") === col("i3"))
+        .select(col("i"), col("T"), col("V"))
+        .localCheckpoint(true)
+      val l = pts.select(log(col("T").cast("double")).as("lt"),
+        log(col("V").cast("double")).as("lv"))
+      val fit = l.agg(((avg(col("lt") * col("lv")) - avg(col("lt")) * avg(col("lv"))) /
+          (avg(col("lt") * col("lt")) - avg(col("lt")) * avg(col("lt")))).as("beta"),
+        avg(col("lv")).as("mlv"), avg(col("lt")).as("mlt"))
+      val tops = pts.agg(max(col("V")).as("vocab"), max(col("T")).as("tokens"))
+      fit.crossJoin(broadcast(tops))
+        .select(round(col("beta"), 6).as("beta"),
+          round(exp(col("mlv") - col("beta") * col("mlt")), 6).as("k"),
+          col("vocab"), col("tokens"))
+    }),
+
+    // Jensen-Shannon divergence of each language's token distribution
+    // from the corpus distribution, over the 256-bucket hashed
+    // alphabet (bounded tables; buckets a language never emits
+    // contribute the closed-form 0.5·q·ln2 tail).
+    "text_js_divergence" -> ((s, dir) => {
+      val w = Tables.documents(s, dir)
+        .select(col("lang"), explode(toks13).as("tok"))
+        .select(col("lang"), substring(md5(col("tok")), 1, 2).as("b"))
+      val pl = w.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val nl = pl.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      val pc = pl.groupBy(col("b")).agg(sum(col("c")).as("cc"))
+      val nc = pc.agg(sum(col("cc")).as("nn"))
+      val j = pl.join(broadcast(nl), "lang").join(broadcast(pc), "b")
+        .crossJoin(broadcast(nc))
+        .select(col("lang"), (col("c") / col("n").cast("double")).as("p"),
+          (col("cc") / col("nn").cast("double")).as("q"))
+      j.groupBy(col("lang"))
+        .agg(round(sum(lit(0.5) * col("p") * log(lit(2) * col("p") / (col("p") + col("q"))) +
+            lit(0.5) * col("q") * log(lit(2) * col("q") / (col("p") + col("q")))) +
+          lit(0.5) * (lit(1) - sum(col("q"))) * log(lit(2.0)), 6).as("jsd"))
+        .orderBy(col("lang"))
+    }),
+
+    // Weekday seasonality strength per event type: 1 − var(x − weekday
+    // mean)/var(x) over the daily series (variance explained by the
+    // day-of-week profile).
+    "ts_weekday_strength" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(round(sum(col("value")), 6).as("x"))
+        .localCheckpoint(true)
+      val wd = daily.groupBy(col("event_type"), dayofweek(col("d")).as("w"))
+        .agg(avg(col("x")).as("mw"))
+      daily.withColumn("w", dayofweek(col("d")))
+        .join(broadcast(wd), Seq("event_type", "w"))
+        .select(col("event_type"), col("x"), (col("x") - col("mw")).as("r"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(greatest(lit(0), lit(1) - var_pop(col("r")) / var_pop(col("x"))), 6)
+            .as("weekday_strength"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Seasonal-naive backtest: forecast day d with day d−7; MAPE and
+    // sMAPE per event type over the scorable days.
+    "ts_naive_mape" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(round(sum(col("value")), 6).as("x"))
+        .localCheckpoint(true)
+      val f = daily.as("a").join(
+        daily.select(col("event_type"), col("d").as("db"), col("x").as("fc")).as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") === date_add(col("db"), 7))
+      f.select(col("a.event_type").as("event_type"), col("x"), col("fc"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_scored"),
+          round(avg(abs(col("x") - col("fc")) / abs(col("x"))), 6).as("mape"),
+          round(avg(lit(2) * abs(col("x") - col("fc")) /
+            (abs(col("x")) + abs(col("fc")))), 6).as("smape"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Rich-club coefficient at the p90 degree threshold of the 1996
+    // co-purchase graph: edge density among the high-degree nodes.
+    // The rich set is p10 of nodes — broadcast semi-joins; the degree
+    // rank runs over the node-count control plane.
+    "graph_rich_club" -> ((s, dir) => {
+      val e = AnalyticsQueries.edges1996(s, dir).localCheckpoint(true)
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+      val rk = deg.withColumn("r", row_number().over(Window.orderBy(col("d"))))
+        .withColumn("c", count(lit(1)).over(Window.partitionBy()))
+      val thr = rk.filter(col("r") <= ceil(lit(0.9) * col("c")))
+        .agg(max(col("d")).as("k"))
+      val rich = deg.crossJoin(broadcast(thr)).filter(col("d") > col("k"))
+        .select(col("n"))
+      val re = e.join(broadcast(rich.select(col("n").as("u"))), "u")
+        .join(broadcast(rich.select(col("n").as("v"))), "v")
+        .agg(count(lit(1)).as("er"))
+      val nr = rich.agg(count(lit(1)).as("nr"))
+      thr.crossJoin(broadcast(nr)).crossJoin(broadcast(re))
+        .select(col("k").as("k_threshold"), col("nr").as("n_rich"),
+          col("er").as("e_rich"),
+          round(lit(2.0) * col("er") / (col("nr") * (col("nr") - 1.0)), 6).as("phi"))
+    }),
+
+    // Systematic probability-proportional-to-size sampling of sources
+    // by character mass: 5 evenly spaced pointers over the cumulative
+    // mass line (midpoint offset) — the classic PPS design, fully
+    // deterministic. The cumulative window runs over the source list
+    // (control plane).
+    "sample_pps" -> ((s, dir) => {
+      val m = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("mass"))
+      val wCum = Window.orderBy(col("source"))
+      val c = m.withColumn("hi", sum(col("mass")).over(wCum))
+        .withColumn("lo", col("hi") - col("mass"))
+      val t = m.agg(sum(col("mass")).as("total"))
+      c.crossJoin(broadcast(t))
+        .select(col("source"), col("mass"), col("lo"), col("hi"), col("total"),
+          explode(sequence(lit(0), lit(4))).as("j"))
+        .filter((col("j") + 0.5) * col("total") / 5 >= col("lo") &&
+          (col("j") + 0.5) * col("total") / 5 < col("hi"))
+        .select(col("j").cast("long").as("pointer"), col("source"),
+          col("mass").cast("long").as("mass"))
+        .orderBy(col("pointer"))
+    }),
+
     // Eigenvector centrality on the co-purchase graph: 3 power
     // iterations x ← A·x / ‖A·x‖₂ from the uniform vector — the
     // prestige measure PageRank generalizes. One O(E) join + node agg
@@ -442,6 +669,143 @@ object Ext13Queries {
         |      ORDER BY o_totalprice, o_orderkey) AS pr
         |  FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stat_welch_ttest" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)),1,1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    avg(value) AS v FROM events GROUP BY 1),
+        |r AS (SELECT arm, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+        |  FROM u GROUP BY 1),
+        |w AS (SELECT max(CASE WHEN arm='A' THEN n END) AS na,
+        |             max(CASE WHEN arm='B' THEN n END) AS nb,
+        |             max(CASE WHEN arm='A' THEN m END) AS ma,
+        |             max(CASE WHEN arm='B' THEN m END) AS mb,
+        |             max(CASE WHEN arm='A' THEN s2 END) AS va,
+        |             max(CASE WHEN arm='B' THEN s2 END) AS vb FROM r)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma,6) AS mean_a, round(mb,6) AS mean_b,
+        |  round((ma-mb)/sqrt(va/na+vb/nb),6) AS t,
+        |  round(power(va/na+vb/nb,2)/(power(va/na,2)/(na-1)+power(vb/nb,2)/(nb-1)),6) AS df
+        |FROM w""".stripMargin,
+
+    "stat_chisq_independence" ->
+      """WITH o AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1,2),
+        |rl AS (SELECT lang, sum(o) AS rl FROM o GROUP BY 1),
+        |cs AS (SELECT source, sum(o) AS cs FROM o GROUP BY 1),
+        |t AS (SELECT sum(o) AS n FROM o),
+        |cells AS (SELECT lang, source, o, rl*cs/CAST(n AS DOUBLE) AS e
+        |  FROM o JOIN rl USING (lang) JOIN cs USING (source) CROSS JOIN t)
+        |SELECT round(sum((o-e)*(o-e)/e),6) AS chi2,
+        |  CAST(((SELECT count(*) FROM rl)-1)*((SELECT count(*) FROM cs)-1)
+        |    AS BIGINT) AS df,
+        |  round(sqrt(sum((o-e)*(o-e)/e)/((SELECT n FROM t)
+        |    *least((SELECT count(*) FROM rl)-1,(SELECT count(*) FROM cs)-1))),6)
+        |    AS cramers_v
+        |FROM cells""".stripMargin,
+
+    "stat_levene" ->
+      """WITH x AS (SELECT c_mktsegment AS g, c_acctbal AS y FROM customer),
+        |md AS (SELECT g, median(y) AS med FROM x GROUP BY 1),
+        |z AS (SELECT x.g, abs(y-med) AS z FROM x JOIN md USING (g)),
+        |gm AS (SELECT g, count(*) AS nj, avg(z) AS zj FROM z GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, avg(z) AS zb, count(DISTINCT g) AS k FROM z),
+        |num AS (SELECT sum(nj*(zj-zb)*(zj-zb)) AS num FROM gm CROSS JOIN tot),
+        |den AS (SELECT sum((z.z-zj)*(z.z-zj)) AS den FROM z JOIN gm USING (g))
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  round((n-k)*1.0/(k-1) * num/den, 6) AS f_stat
+        |FROM tot CROSS JOIN num CROSS JOIN den""".stripMargin,
+
+    "text_heaps_law" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x->x<>'') AS t FROM documents),
+        |tk3 AS (SELECT doc_id, t FROM tk WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS w FROM tk3),
+        |nt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |rk AS (SELECT doc_id, n, row_number() OVER (ORDER BY doc_id) AS r,
+        |              count(*) OVER () AS nd FROM nt),
+        |thr AS (SELECT i, max(doc_id) AS d FROM rk JOIN range(1,11) t(i)
+        |  ON r <= CAST(floor(i * nd / 10.0) AS BIGINT) GROUP BY i),
+        |firsts AS (SELECT w, min(doc_id) AS fd FROM sh GROUP BY 1),
+        |pts AS (SELECT i, (SELECT sum(n) FROM nt WHERE doc_id <= d) AS T,
+        |    (SELECT count(*) FROM firsts WHERE fd <= d) AS V FROM thr),
+        |l AS (SELECT ln(CAST(T AS DOUBLE)) AS lt, ln(CAST(V AS DOUBLE)) AS lv
+        |  FROM pts),
+        |fit AS (SELECT (avg(lt*lv) - avg(lt)*avg(lv))
+        |      / (avg(lt*lt) - avg(lt)*avg(lt)) AS beta,
+        |    avg(lv) AS mlv, avg(lt) AS mlt FROM l)
+        |SELECT round(beta, 6) AS beta, round(exp(mlv - beta*mlt), 6) AS k,
+        |  (SELECT CAST(max(V) AS BIGINT) FROM pts) AS vocab,
+        |  (SELECT CAST(max(T) AS BIGINT) FROM pts) AS tokens
+        |FROM fit""".stripMargin,
+
+    "text_js_divergence" ->
+      """WITH w AS (SELECT lang,
+        |    substr(md5(unnest(list_filter(string_split(text,' '), x->x<>''))),1,2) AS b
+        |  FROM documents),
+        |pl AS (SELECT lang, b, count(*) AS c FROM w GROUP BY 1,2),
+        |nl AS (SELECT lang, sum(c) AS n FROM pl GROUP BY 1),
+        |pc AS (SELECT b, sum(c) AS c FROM pl GROUP BY 1),
+        |nc AS (SELECT sum(c) AS n FROM pc),
+        |j AS (SELECT pl.lang, pl.c/CAST(nl.n AS DOUBLE) AS p,
+        |    pc.c/CAST(nc.n AS DOUBLE) AS q
+        |  FROM pl JOIN nl USING (lang) JOIN pc USING (b) CROSS JOIN nc)
+        |SELECT lang, round(sum(0.5*p*ln(2*p/(p+q)) + 0.5*q*ln(2*q/(p+q)))
+        |  + 0.5*(1 - sum(q)) * ln(2.0), 6) AS jsd
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ts_weekday_strength" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    round(sum(value),6) AS x FROM events GROUP BY 1,2),
+        |wd AS (SELECT event_type, dayofweek(d) AS w, avg(x) AS mw
+        |  FROM daily GROUP BY 1,2),
+        |j AS (SELECT daily.event_type, x, x - mw AS r FROM daily JOIN wd
+        |  ON daily.event_type = wd.event_type AND dayofweek(d) = w)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(greatest(0, 1 - var_pop(r)/var_pop(x)), 6) AS weekday_strength
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ts_naive_mape" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    round(sum(value),6) AS x FROM events GROUP BY 1,2),
+        |f AS (SELECT a.event_type, a.d, a.x, b.x AS fc
+        |  FROM daily a JOIN daily b ON a.event_type=b.event_type AND b.d = a.d - 7)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+        |  round(avg(abs(x-fc)/abs(x)), 6) AS mape,
+        |  round(avg(2*abs(x-fc)/(abs(x)+abs(fc))), 6) AS smape
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_rich_club" ->
+      """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM le a
+        |  JOIN le b ON a.ok=b.ok AND a.pk < b.pk),
+        |deg AS (SELECT n, count(*) AS d FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |rk AS (SELECT d, row_number() OVER (ORDER BY d) AS r,
+        |  count(*) OVER () AS c FROM deg),
+        |thr AS (SELECT max(d) AS k FROM rk WHERE r <= CAST(ceil(0.9 * c) AS BIGINT)),
+        |rich AS (SELECT n FROM deg CROSS JOIN thr WHERE d > k),
+        |re AS (SELECT count(*) AS er FROM e WHERE u IN (SELECT n FROM rich)
+        |  AND v IN (SELECT n FROM rich)),
+        |nr AS (SELECT count(*) AS nr FROM rich)
+        |SELECT CAST((SELECT k FROM thr) AS BIGINT) AS k_threshold,
+        |  CAST(nr AS BIGINT) AS n_rich, CAST(er AS BIGINT) AS e_rich,
+        |  round(2.0*er/(nr*(nr-1.0)), 6) AS phi
+        |FROM nr CROSS JOIN re""".stripMargin,
+
+    "sample_pps" ->
+      """WITH m AS (SELECT source, sum(n_chars) AS mass FROM documents GROUP BY 1),
+        |c AS (SELECT source, mass, sum(mass) OVER (ORDER BY source) AS hi,
+        |             sum(mass) OVER (ORDER BY source) - mass AS lo FROM m),
+        |t AS (SELECT sum(mass) AS total FROM m),
+        |sel AS (SELECT source, mass, j
+        |  FROM c CROSS JOIN t JOIN range(0,5) r(j)
+        |    ON (j + 0.5) * total / 5 >= lo AND (j + 0.5) * total / 5 < hi)
+        |SELECT CAST(j AS BIGINT) AS pointer, source, CAST(mass AS BIGINT) AS mass
+        |FROM sel ORDER BY pointer""".stripMargin,
 
     "graph_eigen_centrality" ->
       """WITH le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -93,6 +93,72 @@ class Ext13Spec extends AnyFunSuite {
     }
   }
 
+  test("stat_welch_ttest df lies between min(n)-1 and n_a+n_b-2") {
+    val r = q("stat_welch_ttest").head()
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val df = r.getAs[Double]("df")
+    assert(df >= math.min(na, nb) - 1 - 1e-6 && df <= na + nb - 2 + 1e-6)
+  }
+
+  test("stat_chisq_independence: chi2 >= 0, cramers_v in [0,1]") {
+    val r = q("stat_chisq_independence").head()
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(r.getAs[Long]("df") === 4L * 19L) // 5 langs x 20 sources
+  }
+
+  test("stat_levene F is non-negative over the five segments") {
+    val r = q("stat_levene").head()
+    assert(r.getAs[Long]("k") === 5)
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+  }
+
+  test("text_heaps_law: sublinear growth (0 < beta < 1) and vocab <= tokens") {
+    val r = q("text_heaps_law").head()
+    val b = r.getAs[Double]("beta")
+    assert(b > 0.0 && b < 1.0, s"trigram Heaps exponent implausible: $r")
+    assert(r.getAs[Long]("vocab") <= r.getAs[Long]("tokens"))
+  }
+
+  test("text_js_divergence values sit in [0, ln 2]") {
+    q("text_js_divergence").collect().foreach { r =>
+      val d = r.getAs[Double]("jsd")
+      assert(d >= 0.0 && d <= math.log(2.0) + 1e-9, s"JSD out of range: $r")
+    }
+  }
+
+  test("ts_weekday_strength is a fraction") {
+    q("ts_weekday_strength").collect().foreach { r =>
+      val v = r.getAs[Double]("weekday_strength")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
+
+  test("ts_naive_mape scores exactly the days with a d-7 ancestor; smape <= 2") {
+    q("ts_naive_mape").collect().foreach { r =>
+      assert(r.getAs[Long]("n_scored") > 0)
+      assert(r.getAs[Double]("smape") <= 2.0 + 1e-9)
+      assert(r.getAs[Double]("mape") >= 0.0)
+    }
+  }
+
+  test("graph_rich_club: phi is a density in [0,1], rich set non-empty") {
+    val r = q("graph_rich_club").head()
+    assert(r.getAs[Long]("n_rich") > 1)
+    val phi = r.getAs[Double]("phi")
+    assert(phi >= 0.0 && phi <= 1.0)
+    assert(r.getAs[Long]("e_rich") <=
+      r.getAs[Long]("n_rich") * (r.getAs[Long]("n_rich") - 1) / 2)
+  }
+
+  test("sample_pps: five pointers, each landing in exactly one source stratum") {
+    val rows = q("sample_pps").collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("pointer")).sorted.sameElements(0L to 4L))
+    rows.foreach(r => assert(r.getAs[Long]("mass") > 0))
+  }
+
   test("graph_eigen_centrality: 20 ranked nodes, descending, positive") {
     val rows = q("graph_eigen_centrality").collect()
     assert(rows.length === 20)
