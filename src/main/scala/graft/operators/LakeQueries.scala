@@ -54,6 +54,38 @@ object LakeQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Delta-log observability: a scripted series of 23 commits (create
+    // + 21 appends + 1 delete) crossing TWO checkpoint boundaries;
+    // report the log shape (full checkpoints at v1/v10/v20, O(changed-
+    // files) deltas elsewhere), the live state reconstructed through
+    // the checkpoint + delta tail, and an in-band boolean pinning that
+    // a FRESH handle (no in-memory state) reconstructs the identical
+    // file set. At 100 TB this cadence is what keeps commit cost flat
+    // in table size — the delta for one appended file is a few lines
+    // however many files the snapshot holds.
+    "lake_log_stats" -> ((s, dir) => {
+      val path = tablePath("lake_log_stats")
+      wipe(path)
+      val b = base(s, dir)
+      val t = LakeTable.create(s, path,
+        b.filter(col("k") % 23 === 0).coalesce(1), Seq("k"))
+      for (i <- 1 to 21) t.append(b.filter(col("k") % 23 === i).coalesce(1))
+      t.deleteWhere(col("k") % 2 === 1) // v23
+      val log = new java.io.File(path, "_graft_log")
+      val names = log.list().filter(_.startsWith("v")).toSeq
+      val nCkpt = names.count(_.endsWith(".manifest"))
+      val nDelta = names.count(_.endsWith(".delta"))
+      val fresh = LakeTable.forPath(s, path)
+      val same = fresh.fileNames(fresh.currentVersion).toSet ==
+        t.fileNames(t.currentVersion).toSet
+      t.read().agg(count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("price"))).cast("double").as("total_price"))
+        .select(lit(t.currentVersion).as("current_version"),
+          lit(nCkpt).as("n_checkpoints"), lit(nDelta).as("n_deltas"),
+          col("n_rows"), col("total_price"),
+          lit(same).as("reconstruction_consistent"))
+    }),
+
     // MERGE INTO on the lake table: updates (keys % 10 = 0 in the low
     // file's range) replace same-keyed rows in place, copy-on-write.
     // The hi-range file's [min,max] key stats exclude every update key,
@@ -1178,6 +1210,18 @@ object LakeQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // 23 commits: create(1) + 21 appends + 1 delete; checkpoints land
+    // at 1, 10, 20 by the CheckpointInterval=10 cadence, every other
+    // version is a delta. Live rows = keys of residues 0..21 with the
+    // odd keys deleted.
+    "lake_log_stats" ->
+      """SELECT 23 AS current_version, 3 AS n_checkpoints, 20 AS n_deltas,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  true AS reconstruction_consistent
+        |FROM orders
+        |WHERE o_orderkey % 23 <= 21 AND o_orderkey % 2 = 0""".stripMargin,
+
     "lake_merge" ->
       """WITH base AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
