@@ -322,19 +322,49 @@ object LlmQueries {
     // scaling linearly, vs dedup_components whose exact banded pair scan
     // is the documented quadratic baseline. Declared output = invariant
     // report (the raw LSH clustering stays at DedupOps): the exact
-    // token-Jaccard 4/5 components per doc (SQL-reproducible via the
-    // recursive closure) plus one in-band boolean — every LSH cluster
-    // refines an exact component, which holds structurally because
-    // pipeline pairs are exact-verified subsets of the exact pair graph.
+    // token-Jaccard 4/5 components of the md5-GROUP-SAMPLED pair graph
+    // (~n·62 pairs — the round-13 sampled-spine discipline; the FULL
+    // exact spine is the quadratic tier and measured as the 100x wall:
+    // its staging build alone ran >35 min at 100x while the LSH path
+    // stayed linear) plus one in-band boolean — within every sample
+    // group, docs sharing an LSH cluster share a sampled exact
+    // component (pipeline pairs are exact-verified at J≥0.9 ⊂ J≥0.8,
+    // so in-group LSH edges are sampled exact edges).
     "dedup_components_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val lshComp = graft.api.DedupOps.connectedComponentsLogStar(
           graft.api.DedupOps.nearDupPipeline(docs, "doc_id", "text")
             .select(col("id_a"), col("id_b")))
         .select(col("doc_id"), col("component_id").as("lsh_comp"))
-      val exactComp = stagedTok45Components(s, dir)
-      val refines = lshComp.join(broadcast(exactComp), "doc_id")
-        .groupBy(col("lsh_comp"))
+      // sampled exact token-4/5 pair graph: intra-md5-group pairs only,
+      // token sets compared with the codegen sorted-merge intersect
+      val prefLen = graft.api.DedupOps.samplePrefixLen(docs.count())
+      val t = docs
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, prefLen).as("grp"),
+          sort_array(array_distinct(
+            filter(split(col("text"), " "), x => x =!= lit("")))).as("ts"))
+        .withColumn("n", size(col("ts")))
+        .localCheckpoint(true)
+      val pairs = t.select(col("doc_id").as("id_a"), col("grp"),
+          col("ts").as("ta"), col("n").as("na"))
+        .join(t.select(col("doc_id").as("id_b"), col("grp"),
+          col("ts").as("tb"), col("n").as("nb")), "grp")
+        .filter(col("id_a") < col("id_b") &&
+          col("nb") * 5 >= col("na") * 4 && col("na") * 5 >= col("nb") * 4)
+        .withColumn("inter",
+          graft.functions.SortedIntersectSize(col("ta"), col("tb")))
+        .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
+        .select(col("id_a"), col("id_b"))
+      val exactComp = graft.api.DedupOps.connectedComponentsLogStar(pairs)
+        .select(col("doc_id"), col("component_id"))
+        .localCheckpoint(true)
+      // in-group refinement: docs of one sample group sharing an LSH
+      // cluster must sit in one sampled exact component
+      val refines = lshComp
+        .join(t.select(col("doc_id"), col("grp")), "doc_id")
+        .join(broadcast(exactComp), "doc_id")
+        .groupBy(col("lsh_comp"), col("grp"))
         .agg(countDistinct(col("component_id")).as("n_exact"))
         .agg((coalesce(max(col("n_exact")), lit(1L)) <= 1).as("refines_ok"))
       exactComp.crossJoin(broadcast(refines))
@@ -1021,15 +1051,19 @@ object LlmQueries {
         |  AND inter * 10 >= (sa.n + sb.n - inter) * 9
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // exact token-4/5 components (same contraction-closure shape as
-    // closureCte, but over whitespace-token sets via the bitmask pair
-    // scan — the graph the LSH composition's clusters must refine)
+    // exact token-4/5 components of the md5-GROUP-SAMPLED pair graph
+    // (same contraction-closure shape as closureCte, but over
+    // whitespace-token sets via the bitmask pair scan restricted to
+    // intra-group pairs — the round-13 sampled-spine discipline)
     "dedup_components_lsh" ->
       s"""WITH RECURSIVE $tokenBitmaskCte,
+        |$docSampleCtes,
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    bit_count(a.bm & b.bm) AS inter
-        |  FROM m a JOIN m b ON a.doc_id < b.doc_id),
+        |  FROM m a JOIN m b ON a.doc_id < b.doc_id
+        |    JOIN gm ga ON ga.doc_id = a.doc_id
+        |    JOIN gm gb ON gb.doc_id = b.doc_id AND ga.grp = gb.grp),
         |pairs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM cand
         |    JOIN s sa ON sa.doc_id = cand.id_a

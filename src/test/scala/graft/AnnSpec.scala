@@ -262,12 +262,18 @@ class AnnSpec extends AnyFunSuite {
       assert(comps.size === 1 && comps.head.nonEmpty,
         s"exact duplicates $ids not clustered: $comps")
     }
-    // the declared invariant report: exact components + refines_ok
+    // the declared invariant report: components of the md5-group-SAMPLED
+    // exact pair graph (round-14 sampled-spine rework — the full exact
+    // spine measured as the 100x wall) + refines_ok. A sampled edge is
+    // an exact edge, so every sampled component must sit inside ONE
+    // full exact component.
     val declared = SparkEntry.queries("dedup_components_lsh")(spark, sf).collect()
+    assert(declared.nonEmpty)
     assert(declared.forall(_.getAs[Boolean]("refines_ok")))
-    declared.foreach { r =>
-      assert(exact(r.getLong(0)) == r.getLong(1),
-        s"declared component mismatch for doc ${r.getLong(0)}")
+    declared.groupBy(_.getLong(1)).values.foreach { grp =>
+      val ec = grp.map(r => exact(r.getLong(0))).distinct
+      assert(ec.size === 1,
+        s"sampled component spans exact components: ${grp.toSeq} -> $ec")
     }
   }
 
