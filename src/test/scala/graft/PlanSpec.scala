@@ -637,10 +637,52 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("text_dsir and text_kn_bigram keep their count tables broadcast at test scale") {
-    Seq("text_dsir", "text_kn_bigram").foreach { k =>
+    Seq("text_dsir", "text_kn_bigram", "text_kn_bigram_hashed").foreach { k =>
       val p = plan(k)
       assert(p.contains("BroadcastHashJoin"),
         s"$k score/count tables are bucket/vocabulary-bounded — broadcast:\n$p")
+    }
+  }
+
+  // ---- round-14 shapes ----
+
+  test("sim_ann_graph search never scans all pairs; adjacency joins are equi-joins") {
+    val p = plan("sim_ann_graph")
+    assert(!p.contains("CartesianProduct"),
+      s"graph ANN must not contain an all-pairs scan:\n$p")
+    assert(p.toLowerCase.contains("dotproduct"),
+      s"scoring must use the codegen dot:\n$p")
+  }
+
+  test("dedup_components_lsh declared plan carries no all-pairs join (sampled spine)") {
+    val p = plan("dedup_components_lsh")
+    assert(!p.contains("CartesianProduct"),
+      s"sampled exact spine must be a group-key equi-join:\n$p")
+  }
+
+  test("round-14 stat/sample reports broadcast their control-plane tables") {
+    for (k <- Seq("agg_theil", "ts_mad_anomaly", "stat_levene",
+        "text_js_divergence", "ts_weekday_strength")) {
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$k: group-level statistics must broadcast back over the scan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$k: no all-pairs scan:\n$p")
+    }
+  }
+
+  test("ts_naive_mape and stat_mann_kendall pair days via equi-join on the type key") {
+    for (k <- Seq("ts_naive_mape", "stat_mann_kendall")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"),
+        s"$k: day pairing must shuffle on event_type, not scan all pairs:\n$p")
+    }
+  }
+
+  test("dedup_soft_weights and text_ngram_novelty stay equi-joined on the shingle key") {
+    for (k <- Seq("dedup_soft_weights", "text_ngram_novelty")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$k: shingle/bigram joins must be hash equi-joins:\n$p")
     }
   }
 }
