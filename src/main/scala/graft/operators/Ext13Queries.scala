@@ -516,10 +516,16 @@ object Ext13Queries {
       var x = nodes.crossJoin(broadcast(n0))
         .select(col("node"), (lit(1.0) / col("nr")).as("x"))
       for (_ <- 1 to 3) {
+        // ax feeds BOTH the norm aggregate and the next iterate: pin it
+        // (localCheckpoint) so each O(E) join runs exactly once —
+        // without the pin the iterate's lineage references ax twice and
+        // the edge join re-evaluates 2^iters times (measured 27 s vs
+        // ~4 s at sf0.1)
         val ax = edges
           .join(x.select(col("node").as("src"), col("x")), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("x")).as("ax"))
+          .localCheckpoint(true)
         val nr = ax.agg(sqrt(sum(col("ax") * col("ax"))).as("nr"))
         x = ax.crossJoin(broadcast(nr))
           .select(col("node"), (col("ax") / col("nr")).as("x"))
