@@ -503,6 +503,86 @@ object Ext13Queries {
         .orderBy(col("pointer"))
     }),
 
+    // Cohen's d effect size between the hash-split arms (pooled-SD
+    // standardized mean difference) — the number reported next to
+    // every t-test.
+    "stat_cohens_d" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(avg(col("value")).as("v"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+            .otherwise("B"))
+      val r = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), avg(col("v")).as("m"),
+          var_samp(col("v")).as("s2"))
+      val w = r.agg(
+        max(when(col("arm") === "A", col("n"))).as("na"),
+        max(when(col("arm") === "B", col("n"))).as("nb"),
+        max(when(col("arm") === "A", col("m"))).as("ma"),
+        max(when(col("arm") === "B", col("m"))).as("mb"),
+        max(when(col("arm") === "A", col("s2"))).as("va"),
+        max(when(col("arm") === "B", col("s2"))).as("vb"))
+      val pooled = sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb")) /
+        (col("na") + col("nb") - 2))
+      w.select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(pooled, 6).as("pooled_sd"),
+        round((col("ma") - col("mb")) / pooled, 6).as("cohens_d"))
+    }),
+
+    // Wald-Wolfowitz runs test on the SIGN of day-over-day change of
+    // the daily series per event type — the nonparametric
+    // autocorrelation check (too few runs = trending, too many =
+    // oscillating). One keyed lag window over calendar-bounded rows.
+    "stat_runs_test" -> ((s, dir) => {
+      val wD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(round(sum(col("value")), 6).as("x"))
+      val sgn = daily
+        .withColumn("dx", col("x") - lag(col("x"), 1).over(wD))
+        .filter(col("dx").isNotNull && col("dx") =!= 0)
+        .withColumn("up", when(col("dx") > 0, 1).otherwise(0))
+      val runs = sgn
+        .withColumn("new_run",
+          when(lag(col("up"), 1).over(wD).isNull ||
+            lag(col("up"), 1).over(wD) =!= col("up"), 1).otherwise(0))
+        .groupBy(col("event_type"))
+        .agg(sum(col("new_run")).as("runs"),
+          count(when(col("up") === 1, 1)).as("n1"),
+          count(when(col("up") === 0, 1)).as("n2"))
+      val mu = lit(2.0) * col("n1") * col("n2") / (col("n1") + col("n2")) + 1
+      runs.select(col("event_type"), col("runs").cast("long").as("runs"),
+          col("n1").as("n_up"), col("n2").as("n_down"),
+          round((col("runs") - mu) /
+            sqrt(lit(2.0) * col("n1") * col("n2") *
+              (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2")) /
+              (pow(col("n1") + col("n2"), 2) * (col("n1") + col("n2") - 1))), 6)
+            .as("z"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Jarque-Bera normality test per segment from the population
+    // skewness/excess-kurtosis moments (the agg_skew_kurt moment
+    // discipline — both engines compute the same explicit moments).
+    "stat_jarque_bera" -> ((s, dir) => {
+      val x = Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
+      val m = x.groupBy(col("seg")).agg(avg(col("v")).as("mu"))
+      x.join(broadcast(m), "seg")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          avg(pow(col("v") - col("mu"), 2)).as("m2"),
+          avg(pow(col("v") - col("mu"), 3)).as("m3"),
+          avg(pow(col("v") - col("mu"), 4)).as("m4"))
+        .select(col("seg"), col("n"),
+          round(col("m3") / pow(col("m2"), 1.5), 6).as("skew"),
+          round(col("m4") / pow(col("m2"), 2) - 3, 6).as("ex_kurt"),
+          round(col("n") / 6.0 *
+            (pow(col("m3") / pow(col("m2"), 1.5), 2) +
+              pow(col("m4") / pow(col("m2"), 2) - 3, 2) / 4), 6).as("jb"))
+        .orderBy(col("seg"))
+    }),
+
     // Eigenvector centrality on the co-purchase graph: 3 power
     // iterations x ← A·x / ‖A·x‖₂ from the uniform vector — the
     // prestige measure PageRank generalizes. One O(E) join + node agg
@@ -675,6 +755,60 @@ object Ext13Queries {
         |      ORDER BY o_totalprice, o_orderkey) AS pr
         |  FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stat_cohens_d" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)),1,1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    avg(value) AS v FROM events GROUP BY 1),
+        |r AS (SELECT arm, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+        |  FROM u GROUP BY 1),
+        |w AS (SELECT max(CASE WHEN arm='A' THEN n END) AS na,
+        |             max(CASE WHEN arm='B' THEN n END) AS nb,
+        |             max(CASE WHEN arm='A' THEN m END) AS ma,
+        |             max(CASE WHEN arm='B' THEN m END) AS mb,
+        |             max(CASE WHEN arm='A' THEN s2 END) AS va,
+        |             max(CASE WHEN arm='B' THEN s2 END) AS vb FROM r)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(sqrt(((na-1)*va + (nb-1)*vb) / (na+nb-2)), 6) AS pooled_sd,
+        |  round((ma-mb) / sqrt(((na-1)*va + (nb-1)*vb) / (na+nb-2)), 6) AS cohens_d
+        |FROM w""".stripMargin,
+
+    "stat_runs_test" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    round(sum(value),6) AS x FROM events GROUP BY 1,2),
+        |df AS (SELECT event_type, d,
+        |    x - lag(x) OVER (PARTITION BY event_type ORDER BY d) AS dx FROM daily),
+        |s AS (SELECT event_type, d, CASE WHEN dx > 0 THEN 1 ELSE 0 END AS up
+        |  FROM df WHERE dx IS NOT NULL AND dx <> 0),
+        |r AS (SELECT event_type, d, up,
+        |    CASE WHEN lag(up) OVER (PARTITION BY event_type ORDER BY d) IS NULL
+        |          OR lag(up) OVER (PARTITION BY event_type ORDER BY d) <> up
+        |      THEN 1 ELSE 0 END AS new_run FROM s),
+        |agg AS (SELECT event_type, sum(new_run) AS runs,
+        |    count(*) FILTER (up = 1) AS n1, count(*) FILTER (up = 0) AS n2
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, CAST(runs AS BIGINT) AS runs,
+        |  CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+        |  round((runs - (2.0*n1*n2/(n1+n2) + 1)) /
+        |    sqrt(2.0*n1*n2*(2.0*n1*n2 - n1 - n2)
+        |      / (power(n1+n2,2)*(n1+n2-1))), 6) AS z
+        |FROM agg ORDER BY 1""".stripMargin,
+
+    "stat_jarque_bera" ->
+      """WITH m AS (SELECT c_mktsegment AS seg, avg(c_acctbal) AS mu
+        |  FROM customer GROUP BY 1),
+        |mm AS (SELECT seg, count(*) AS n,
+        |    avg(power(c_acctbal - mu, 2)) AS m2,
+        |    avg(power(c_acctbal - mu, 3)) AS m3,
+        |    avg(power(c_acctbal - mu, 4)) AS m4
+        |  FROM customer JOIN m ON c_mktsegment = seg GROUP BY 1, mu)
+        |SELECT seg, CAST(n AS BIGINT) AS n,
+        |  round(m3 / power(m2, 1.5), 6) AS skew,
+        |  round(m4 / power(m2, 2) - 3, 6) AS ex_kurt,
+        |  round(n / 6.0 * (power(m3 / power(m2, 1.5), 2)
+        |    + power(m4 / power(m2, 2) - 3, 2) / 4), 6) AS jb
+        |FROM mm ORDER BY seg""".stripMargin,
 
     "stat_welch_ttest" ->
       """WITH u AS (SELECT user_id,

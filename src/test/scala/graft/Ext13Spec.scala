@@ -159,6 +159,33 @@ class Ext13Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("mass") > 0))
   }
 
+  test("stat_cohens_d is the mean difference over the pooled SD") {
+    val r = q("stat_cohens_d").head()
+    assert(r.getAs[Double]("pooled_sd") > 0.0)
+    assert(math.abs(r.getAs[Double]("cohens_d")) < 5.0)
+  }
+
+  test("stat_runs_test: runs bounded by sign changes + 1; z finite") {
+    q("stat_runs_test").collect().foreach { r =>
+      val runs = r.getAs[Long]("runs")
+      val total = r.getAs[Long]("n_up") + r.getAs[Long]("n_down")
+      assert(runs >= 1 && runs <= total)
+      assert(!r.getAs[Double]("z").isNaN)
+    }
+  }
+
+  test("stat_jarque_bera: jb >= 0 and matches its moment components") {
+    q("stat_jarque_bera").collect().foreach { r =>
+      val jb = r.getAs[Double]("jb")
+      val n = r.getAs[Long]("n")
+      val s = r.getAs[Double]("skew")
+      val k = r.getAs[Double]("ex_kurt")
+      assert(jb >= 0.0)
+      assert(math.abs(jb - n / 6.0 * (s * s + k * k / 4)) < 0.01,
+        s"jb inconsistent with moments: $r")
+    }
+  }
+
   test("graph_eigen_centrality: 20 ranked nodes, descending, positive") {
     val rows = q("graph_eigen_centrality").collect()
     assert(rows.length === 20)
