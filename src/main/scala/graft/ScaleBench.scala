@@ -233,7 +233,8 @@ object ScaleBench {
     "win_percent_rank", "graph_eigen_centrality",
     "stat_welch_ttest", "stat_chisq_independence", "stat_levene",
     "text_heaps_law", "text_js_divergence", "ts_weekday_strength",
-    "ts_naive_mape", "graph_rich_club", "sample_pps")
+    "ts_naive_mape", "graph_rich_club", "sample_pps",
+    "stat_cohens_d", "stat_runs_test", "stat_jarque_bera")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/
