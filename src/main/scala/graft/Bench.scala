@@ -61,8 +61,12 @@ object Bench {
     def loadavg(): Double = osBean.getSystemLoadAverage
     val loadStart = loadavg()
     var gateWaitS = 0
-    while (loadavg() > 4.0 && gateWaitS < 90) {
-      System.err.println(f"[bench] loadavg ${loadavg()}%.2f > 4.0, waiting for quiet host ($gateWaitS s)")
+    // threshold scales with the host: loadavg 4 means saturation on a
+    // 4-core box and idle on a 64-core one — gate at 12.5% of cores
+    // (= the old absolute 4.0 on this 32-core host)
+    val loadGate = Runtime.getRuntime.availableProcessors() * 0.125
+    while (loadavg() > loadGate && gateWaitS < 90) {
+      System.err.println(f"[bench] loadavg ${loadavg()}%.2f > $loadGate%.2f, waiting for quiet host ($gateWaitS s)")
       Thread.sleep(10000); gateWaitS += 10
     }
     // every re-timed query's raw pair lands in the JSON (not just stderr)

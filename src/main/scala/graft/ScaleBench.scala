@@ -47,13 +47,18 @@ object ScaleBench {
     }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    // dim is read off the data once, not assumed: a testdata
+    // regeneration with a different dimensionality must not silently
+    // emit truncated or empty vectors into the scaled corpus
+    val embDim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(embDim > 0, "embeddings table has empty embedding vectors")
     copies(emb) { (df, c) =>
-      // rotation wraps at the 64-dim testdata geometry (emb_pca_power
-      // pins dim=64): rotate by c mod 64, and REVERSE the vector on
-      // every odd wrap generation so copies past c=63 stay decorrelated
-      // from the unrotated generation (factor ≤ 128 supported; the old
-      // unwrapped slice went negative-length at c ≥ 64 — the 100x bug)
-      val dim = 64
+      // rotation wraps at the measured vector geometry (64 in today's
+      // testdata): rotate by c mod dim, and REVERSE the vector on
+      // every odd wrap generation so copies past c=dim-1 stay
+      // decorrelated from the unrotated generation (the old unwrapped
+      // slice went negative-length at c ≥ dim — the 100x bug)
+      val dim = embDim
       val r = c % dim
       val base =
         if ((c / dim) % 2 == 1) reverse(col("embedding")) else col("embedding")

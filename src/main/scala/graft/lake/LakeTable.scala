@@ -1399,6 +1399,15 @@ class LakeTable private (spark: SparkSession, val path: String) {
           now - new File(path, n).lastModified() >= orphanGraceMs
       }
     dataDead.foreach(n => Files.deleteIfExists(Paths.get(path, n)))
+    // orphaned v2 staging directories: a driver crash between the
+    // executors' writer commits and BatchWrite.commit leaves
+    // `_staging_v2_<job>` behind (the dynamic-overwrite path) — sweep
+    // whole directories once older than the grace window; a live
+    // in-flight write is always younger than the grace
+    val stagingDead = Option(new File(path).list((_, n) => n.startsWith("_staging_v2_")))
+      .getOrElse(Array.empty[String]).toSeq
+      .filter(n => now - new File(path, n).lastModified() >= orphanGraceMs)
+    stagingDead.foreach(n => LakeTable.deleteRecursively(Paths.get(path, n)))
     // the oldest retained version must reconstruct standalone once the
     // older log entries are gone: if it exists only as a delta,
     // checkpoint it (atomically; a racing vacuum's EEXIST is success)
@@ -1421,7 +1430,7 @@ class LakeTable private (spark: SparkSession, val path: String) {
     Option(logDir.toFile.list((_, n) => n.startsWith(".tmp_")))
       .getOrElse(Array.empty[String])
       .foreach(n => Files.deleteIfExists(logDir.resolve(n)))
-    dataDead
+    dataDead ++ stagingDead
   }
 
   /** SHALLOW CLONE: fork the current snapshot into a NEW table at
@@ -2432,10 +2441,18 @@ object LakeTable {
     var chain = List.empty[java.nio.file.Path] // oldest-first
     while (v >= 1 && !Files.exists(dir.resolve(f"v$v%08d.manifest"))) {
       val d = dir.resolve(f"v$v%08d.delta")
-      require(Files.exists(d),
-        s"version $version not retained (vacuumed or never committed): $dir")
-      chain ::= d
-      v -= 1
+      if (!Files.exists(d)) {
+        // a concurrent vacuum checkpoints the oldest retained version
+        // (manifest appears) THEN deletes its delta — our two existence
+        // checks are not atomic against that pair, so re-check for the
+        // manifest once before declaring the version unretained
+        if (Files.exists(dir.resolve(f"v$v%08d.manifest"))) ()
+        else throw new IllegalArgumentException(
+          s"version $version not retained (vacuumed or never committed): $dir")
+      } else {
+        chain ::= d
+        v -= 1
+      }
     }
     require(v >= 1,
       s"version $version not reconstructable: no checkpoint at or below it in $dir")

@@ -588,9 +588,13 @@ object Ext13Queries {
     // prestige measure PageRank generalizes. One O(E) join + node agg
     // per iteration; the L2 norm is a 1-row broadcast.
     "graph_eigen_centrality" -> ((s, dir) => {
+      // localCheckpoint, not cache: the edge frame is consumed by every
+      // power iteration, and a cache() here would outlive the query as
+      // a session-lifetime cache entry — the checkpoint's blocks are
+      // GC-reclaimed once the top-20 is materialized
       val edges = AnalyticsQueries.edgesFull(s, dir)
         .repartition(col("src"))
-        .cache()
+        .localCheckpoint(true)
       val nodes = edges.select(col("src").as("node")).distinct()
       val n0 = nodes.agg(sqrt(count(lit(1)).cast("double")).as("nr"))
       var x = nodes.crossJoin(broadcast(n0))
