@@ -439,47 +439,76 @@ object SimilarityOps {
     val e = asDouble(emb, idCol, vecCol)
     val q = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id").as("q_id"), col("e").as("q_e"))
-    // cache: the corpus top-k feeds the anchor, the rel frame and BOTH
-    // sides of the pair-sim join — without it the full candidate scan
-    // re-runs once per greedy branch (measured 2.9 s → sub-second at
-    // sf0.1). nCand rows; the harness clears the session cache per query.
-    val cand = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("vec_id"), col("e"),
-        round(DotProduct.dot(col("e"), col("q_e")), 6).as("rel"))
-      .orderBy(desc("rel"), col("vec_id")).limit(nCand)
-      .cache()
-    // sims (nCand² rows) also feeds every greedy step — cache it, and
-    // cache each step's grown selected frame: the step-s plan embeds the
-    // step-(s−1) argmax subtree in THREE places (anti-join, sid2 join,
-    // union), which without caching re-executes geometrically
-    val sims = cand.select(col("vec_id").as("ia"), col("e").as("e_a"))
-      .join(cand.select(col("vec_id").as("ib"), col("e").as("e_b")),
-        col("ia") =!= col("ib"))
-      .select(col("ia"), col("ib"),
-        round(DotProduct.dot(col("e_a"), col("e_b")), 6).as("sim"))
-      .cache()
-    val rel = cand.select(col("vec_id"), col("rel"))
-    var selected = cand
-      .orderBy(desc("rel"), col("vec_id")).limit(1)
-      .select(col("vec_id"), lit(1).as("rank"), col("rel").cast("double").as("score"))
-      .cache()
-    for (step <- 2 to k) {
-      val selIds = selected.select(col("vec_id").as("sid"))
-      val next = rel
-        .join(broadcast(selIds), col("vec_id") === col("sid"), "left_anti")
-        .join(sims, col("ia") === col("vec_id"))
-        .join(broadcast(selected.select(col("vec_id").as("sid2"))),
-          col("ib") === col("sid2"))
-        .groupBy(col("vec_id"), col("rel"))
-        .agg(max(col("sim")).as("maxsim"))
-        .select(col("vec_id"),
-          round(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim"), 6)
-            .as("score"))
-        .orderBy(desc("score"), col("vec_id")).limit(1)
-        .select(col("vec_id"), lit(step).as("rank"), col("score"))
-      selected = selected.unionAll(next).cache()
+    // the DISTRIBUTED part is exactly the corpus-sized work: one scan,
+    // one broadcast-join relevance projection, one top-nCand. Everything
+    // after operates on nCand rows — a user constant independent of
+    // corpus size — so the greedy tail is driver-held control plane
+    // (the k-means-centroid pattern), NOT a chain of 8-row distributed
+    // joins: the old per-step join/broadcast/limit jobs were pure
+    // scheduler overhead (~1.9 s at sf0.1 for ~0 bytes of real work;
+    // driver greedy runs the identical arithmetic in microseconds).
+    val cand: Array[(Any, Array[Double], Double)] =
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("vec_id"), col("e"),
+          round(DotProduct.dot(col("e"), col("q_e")), 6).as("rel"))
+        .orderBy(desc("rel"), col("vec_id")).limit(nCand)
+        .collect()
+        .map(r => (r.get(0),
+          r.getSeq[Double](1).toArray,
+          r.getDouble(2)))
+    // identical arithmetic to the previous distributed greedy: dots
+    // accumulate in index order (bit-identical to the DotProduct
+    // expression) and every rounding is Spark's ROUND (HALF_UP)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
     }
-    selected.select(col("rank"), col("vec_id"), col("score")).orderBy(col("rank"))
+    // candidate ids sort by their SQL ordering; ids are int/long in
+    // practice — compare on the numeric value for the tie-break
+    def idLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        x.longValue() < y.longValue()
+      case (x, y) => x.toString < y.toString
+    }
+    val sim = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    def pairSim(i: Int, j: Int): Double =
+      sim.getOrElseUpdate((math.min(i, j), math.max(i, j)),
+        round6(dot(cand(i)._2, cand(j)._2)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Int]
+    for (step <- 1 to math.min(k, cand.length)) {
+      var bestIdx = -1; var bestScore = Double.NegativeInfinity
+      for (i <- cand.indices if !chosen(i)) {
+        val score =
+          if (step == 1) cand(i)._3
+          else {
+            val maxsim = chosen.iterator.map(j => pairSim(i, j)).max
+            round6(lambda * cand(i)._3 - (1.0 - lambda) * maxsim)
+          }
+        if (score > bestScore ||
+            (score == bestScore && idLt(cand(i)._1, cand(bestIdx)._1))) {
+          bestIdx = i; bestScore = score
+        }
+      }
+      chosen += bestIdx
+      selected += ((step, cand(bestIdx)._1, bestScore))
+    }
+    val spark = emb.sparkSession
+    val idField = e.schema("vec_id")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      idField.copy(name = "vec_id"),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rows = selected.map(t =>
+      org.apache.spark.sql.Row(t._1, t._2, t._3))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      .orderBy(col("rank"))
   }
 
   /** Lloyd-iterated k-means centroids over unit embeddings, cosine

@@ -525,12 +525,18 @@ class PlanSpec extends AnyFunSuite {
       s"both join branches must hit the cache:\n$p")
   }
 
-  test("sim_mmr greedy tail is candidate-sized: one corpus top-k, broadcast steps") {
+  test("sim_mmr greedy tail is driver-held control plane: no distributed operators") {
     val p = plan("sim_mmr")
-    // the candidate fetch is the only corpus-wide operator; greedy
-    // iterations must join ≤8-row frames via broadcast
-    assert(p.contains("TakeOrderedAndProject"), s"candidate fetch must be a top-k:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"greedy steps must broadcast:\n$p")
+    // the corpus-sized work (scan + relevance + top-nCand) runs once at
+    // construction and is collected; the greedy tail operates on the
+    // nCand-row candidate set on the driver (the k-means-centroid
+    // pattern). The returned frame must therefore be a local result —
+    // any join or exchange here means an 8-row frame went distributed
+    // (~10 scheduler-latency-bound jobs, the round-14 constant drift)
+    assert(!p.contains("Join"), s"greedy tail must not join:\n$p")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning(rank"),
+      s"only the final rank sort may exchange:\n$p")
+    assert(!p.contains("parquet"), s"no corpus re-scan in the result frame:\n$p")
   }
 
   test("feat_zscore broadcasts the 3-row moment table — the fact side never shuffles") {
