@@ -180,9 +180,21 @@ object Ext13Queries {
       val tk = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), toks13.as("t"))
         .filter(size(col("t")) >= 8)
+      // the shingle key is shuffled TWICE (df groupBy + join back): hash
+      // it to a fixed 16-hex-char md5 prefix so the shuffle carries 16
+      // bytes per shingle instead of the ~50-byte 8-token string — the
+      // 30x sweep measured this stream as the whole cost (27x ratio).
+      // The md5 sits AFTER the explode as a top-level projection, not
+      // inside the transform lambda: a lambda body is interpreted
+      // Expression.eval per element, a projection is whole-stage
+      // codegen — and either way it runs map-side before the exchange.
+      // The oracle applies the identical substr(md5(...),1,16) so the
+      // (astronomically unlikely) 64-bit collision is mirrored exactly.
       val sh = tk.select(col("doc_id"), col("source"),
         explode(expr("transform(sequence(1, size(t) - 7), " +
-          "i -> array_join(slice(t, i, 8), ' '))")).as("sh"))
+          "i -> array_join(slice(t, i, 8), ' '))")).as("sh_raw"))
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("sh_raw").cast("binary")), 1, 16).as("sh"))
       val df = sh.groupBy(col("sh"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val dw = sh.join(df, "sh")
@@ -703,7 +715,7 @@ object Ext13Queries {
       """WITH tk AS (SELECT doc_id, source,
         |    list_filter(string_split(text,' '), x->x<>'') AS t FROM documents),
         |s AS (SELECT doc_id, source, unnest(list_transform(range(1, len(t)-7+1),
-        |        i -> array_to_string(t[i:i+7], ' '))) AS sh
+        |        i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))) AS sh
         |  FROM tk WHERE len(t) >= 8),
         |df AS (SELECT sh, count(DISTINCT doc_id) AS df FROM s GROUP BY 1),
         |dw AS (SELECT doc_id, source, round(avg(1.0/df), 9) AS w
