@@ -239,7 +239,11 @@ object ScaleBench {
     "stat_welch_ttest", "stat_chisq_independence", "stat_levene",
     "text_heaps_law", "text_js_divergence", "ts_weekday_strength",
     "ts_naive_mape", "graph_rich_club", "sample_pps",
-    "stat_cohens_d", "stat_runs_test", "stat_jarque_bera")
+    "stat_cohens_d", "stat_runs_test", "stat_jarque_bera",
+    // round-15: the end-to-end corpus-build flagship — every stage is
+    // linear (hash groupBy / sampled pair spine / broadcast gates /
+    // per-shard cumsum), so the chain must hold near-linear too
+    "pipeline_corpus_build")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

@@ -691,4 +691,31 @@ class PlanSpec extends AnyFunSuite {
         s"$k: shingle/bigram joins must be hash equi-joins:\n$p")
     }
   }
+
+  test("pipeline_corpus_build: no all-pairs joins, no single-partition funnels") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.Cross
+    val qe = SparkEntry.queries("pipeline_corpus_build")(spark, sf).queryExecution
+    // every corpus-sized join must be an equi-join: the only permitted
+    // cross joins are the 1-row funnel/total broadcasts (an Aggregate
+    // with no grouping keys on at least one side)
+    val crosses = qe.optimizedPlan.collect {
+      case j: Join if j.joinType == Cross && j.condition.isEmpty => j
+    }
+    crosses.foreach { j =>
+      val oneRowSide = Seq(j.left, j.right).exists(_.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.isEmpty => a
+      }.isDefined)
+      assert(oneRowSide, s"cross join without a 1-row aggregate side:\n$j")
+    }
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs scan:\n$p")
+    // every window must be partitioned (the pack cumsum runs per shard;
+    // an empty partitionSpec = the whole corpus through one task)
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "pack stage must use a window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window (single-partition funnel):\n$w"))
+  }
 }
