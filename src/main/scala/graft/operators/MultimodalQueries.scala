@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * pattern a 100 TB training-data pipeline uses: the bytes travel through
   * Spark untouched (no decode on the shuffle path), metadata lives in a
   * struct column for pruning/filtering, and decode/feature-extraction is
-  * a per-partition boundary op. The real decoders (image/audio libs)
-  * are not in this environment, so `decodeStub` is a clearly-marked
-  * deterministic fake — but the plumbing (binary schema, metadata
-  * struct, partition-wise extraction, filter pushdown on metadata) is
-  * real and oracle-checked via byte-level functions DuckDB shares.
+  * a per-partition boundary op. `mm_decode_partitionwise` runs a REAL
+  * codec (javax.imageio PNG encode → decode, round 15); the remaining
+  * byte-plane keys use `decodeStub` — a clearly-marked deterministic
+  * fake for formats whose libs aren't in this environment — with the
+  * plumbing (binary schema, metadata struct, partition-wise extraction,
+  * filter pushdown on metadata) real and oracle-checked via byte-level
+  * functions DuckDB shares.
   */
 object MultimodalQueries {
 
@@ -103,36 +105,103 @@ object MultimodalQueries {
     })
   )
 
-  /** Typed per-partition decode record. */
-  case class MediaFeatures(media_id: Long, n_bytes: Int, first_byte: Int, head_text: String)
+  /** Typed per-partition decode record: decoded geometry + exact per-
+    * channel pixel means of the REAL decoded image.
+    */
+  case class ImgFeatures(media_id: Long, w: Int, h: Int, decode_ok: Boolean,
+      mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** Partition-wise decode via typed mapPartitions — the Scala equivalent
-    * of a batched decode UDF (mapInPandas-style): payload bytes are
-    * processed batch-at-a-time inside each partition, nothing crosses to
-    * the driver, and downstream ops see a typed frame. The byte-level
-    * "decode" here is the stub (real media libs unavailable); the
-    * partitioning/encoder plumbing is the real pattern.
+  /** Partition-wise REAL image decode (round-15 upgrade from the byte
+    * stub): each media row synthesizes a deterministic RGB image
+    * (w = 8 + id%8, h = 8 + (id/8)%8, channel(x,y) = linear-congruential
+    * pattern mod 256), encodes it to REAL PNG bytes with
+    * javax.imageio.ImageIO (the payload a production table would carry),
+    * then a second mapPartitions stage DECODES those bytes back through
+    * ImageIO.read and extracts features — geometry + exact per-channel
+    * means. The invariant is end-to-end: PNG is lossless, so the decoded
+    * means must equal the closed-form expectation the DuckDB oracle
+    * computes from the pattern alone; any decode failure or pixel
+    * corruption breaks the hash compare. Both stages are typed
+    * mapPartitions (the batched-decode-UDF shape): bytes never cross to
+    * the driver, partitions decode independently, and at 100 TB the
+    * payload column would be the parquet binary column this synthesizes.
     */
   private val decodePartitionwise: Q = (s, dir) => {
     import s.implicits._
-    mediaTable(s, dir)
-      .select(col("media_id"), col("payload"))
+    def chanR(x: Int, y: Int, id: Long) = ((x * 7 + y * 13 + id) % 256).toInt
+    def chanG(x: Int, y: Int, id: Long) = ((x * 3 + y * 5 + 2 * id) % 256).toInt
+    def chanB(x: Int, y: Int, id: Long) = ((x + y + 3 * id) % 256).toInt
+    val encoded = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 + (id % 8).toInt
+        val h = 8 + ((id / 8) % 8).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (chanR(x, y, id) << 16) | (chanG(x, y, id) << 8) | chanB(x, y, id))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      })
+      .toDF("media_id", "payload")
+    encoded
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        MediaFeatures(id, bytes.length, bytes.headOption.map(_.toInt).getOrElse(-1),
-          new String(bytes.take(10), java.nio.charset.StandardCharsets.UTF_8))
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) ImgFeatures(id, -1, -1, decode_ok = false, -1, -1, -1)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          def r6(v: Double) =
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          ImgFeatures(id, w, h, decode_ok = true, r6(sr / n), r6(sg / n), r6(sb / n))
+        }
       })
       .toDF()
       .orderBy(col("media_id"))
   }
 
   val oracle: Map[String, String] = Map(
+    // the decoded per-channel means must equal the closed-form
+    // expectation of the synthesis pattern — PNG is lossless, so any
+    // ImageIO decode defect breaks the hash compare
     "mm_decode_partitionwise" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  ascii(substring(text, 1, 1)) AS first_byte,
-        |  substring(text, 1, 10) AS head_text
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8 + doc_id % 8 AS INT) AS w,
+        |    CAST(8 + (doc_id // 8) % 8 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT media_id, w, h, xs.x, ys.y
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+        |    LATERAL (SELECT unnest(range(0, h)) AS y) ys)
+        |SELECT media_id, w, h, TRUE AS decode_ok,
+        |  round(avg((x * 7 + y * 13 + media_id) % 256), 6) AS mean_r,
+        |  round(avg((x * 3 + y * 5 + 2 * media_id) % 256), 6) AS mean_g,
+        |  round(avg((x + y + 3 * media_id) % 256), 6) AS mean_b
+        |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS payload_bytes,
