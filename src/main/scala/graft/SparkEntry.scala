@@ -43,6 +43,7 @@ object SparkEntry {
     (Ext11Queries.queries, Ext11Queries.oracle),
     (Ext12Queries.queries, Ext12Queries.oracle),
     (Ext13Queries.queries, Ext13Queries.oracle),
+    (Ext14Queries.queries, Ext14Queries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (LakeQueries.queries, LakeQueries.oracle)
   )
