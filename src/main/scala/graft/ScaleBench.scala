@@ -391,14 +391,26 @@ object ScaleBench {
       f"""{"scan_0dv":$t0dv%.3f,"scan_1dv":$t1dv%.3f,"scan_8dv":$t8dv%.3f}"""
     }
 
+    // 100 TB control-plane point: delta-log reconstruction + commit
+    // latency at a 50k-file manifest (see LakeLogProbe)
+    def logProbe(): String = {
+      val path = s"$root/log50k_${System.nanoTime()}"
+      val (recMs, comMs, bytes, n) =
+        graft.lake.LakeLogProbe.run(spark, path, nFiles = 50000, nDeltas = 25)
+      f"""{"n_files":$n,"reconstruct_ms":$recMs%.1f,"commit_ms":$comMs%.1f,"delta_bytes":$bytes}"""
+    }
+
     val scaleJson = runSet(keep(scaleFamily), s"$root/x$factor", factor)
     val quadJson = runSet(keep(quadFamily), s"$root/x2", 2)
     val lakeJson = runSet(keep(lakeFamily), s"$root/x$factor", factor)
     val dvJson = if (only.isEmpty || only.exists(_.contains("dv_overhead")))
       dvProbe() else "{}"
+    val logJson = if (only.isEmpty || only.exists(_.contains("log_50k")))
+      logProbe() else "{}"
     println(s"""{"metric":"scale_curves","base":"$baseDir","factor":$factor,""" +
       s""""scale_paths":$scaleJson,"quad_baselines_x2":$quadJson,""" +
-      s""""lake_paths":$lakeJson,"dv_read_overhead":$dvJson}""")
+      s""""lake_paths":$lakeJson,"dv_read_overhead":$dvJson,""" +
+      s""""log_50k":$logJson}""")
     spark.stop()
   }
 }
