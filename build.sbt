@@ -37,3 +37,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // spend more of them on compilation.
   "-XX:CICompilerCount=12",
 )
+// Prune report XMLs for specs that no longer exist in src/test — a
+// deleted (transient/debug) suite must not leave a stale red report
+// that makes target/test-reports disagree with the live suite.
+val pruneStaleTestReports = taskKey[Unit](
+  "delete target/test-reports XMLs whose spec class is gone")
+pruneStaleTestReports := {
+  val live = (Test / definedTests).value.map(_.name).toSet
+  val dir = target.value / "test-reports"
+  IO.listFiles(dir, "TEST-*.xml").foreach { f =>
+    val cls = f.getName.stripPrefix("TEST-").stripSuffix(".xml")
+    if (!live.contains(cls)) IO.delete(f)
+  }
+}
+Test / test := (Test / test).dependsOn(pruneStaleTestReports).value
