@@ -19,7 +19,7 @@ class QuerySmokeSpec extends AnyFunSuite {
   }
 
   test("declared inventory is complete (505 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 506)
+    assert(SparkEntry.queries.size >= 512)
     assert(SparkEntry.oracleSql.size >= 505)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
