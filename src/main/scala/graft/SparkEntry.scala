@@ -44,6 +44,7 @@ object SparkEntry {
     (Ext12Queries.queries, Ext12Queries.oracle),
     (Ext13Queries.queries, Ext13Queries.oracle),
     (Ext14Queries.queries, Ext14Queries.oracle),
+    (Ext15Queries.queries, Ext15Queries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (LakeQueries.queries, LakeQueries.oracle)
   )
