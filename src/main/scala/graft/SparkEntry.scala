@@ -45,6 +45,7 @@ object SparkEntry {
     (Ext13Queries.queries, Ext13Queries.oracle),
     (Ext14Queries.queries, Ext14Queries.oracle),
     (Ext15Queries.queries, Ext15Queries.oracle),
+    (Ext16Queries.queries, Ext16Queries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (LakeQueries.queries, LakeQueries.oracle)
   )
