@@ -243,7 +243,22 @@ object ScaleBench {
     // round-15: the end-to-end corpus-build flagship — every stage is
     // linear (hash groupBy / sampled pair spine / broadcast gates /
     // per-shard cumsum), so the chain must hold near-linear too
-    "pipeline_corpus_build")
+    "pipeline_corpus_build",
+    // round-15 operator batches (Ext14/Ext15/Ext16): token-stream
+    // shuffles (simpson / yule / tfidf / zipf / mattr), customer- or
+    // user-keyed aggs with scalar formulas (tost / mcnemar / cochran /
+    // friedman / LOO encoding / bounce / retention / interarrival),
+    // calendar-bounded day scans (kendall / granger / ses backtest),
+    // value-domain rank tables (kruskal), 200-replica explode with
+    // map-side partials (permutation), enum-bounded contingencies
+    // (gtest / bartlett / woe), md5-group pair sample (lsh curve)
+    "stat_kruskal_wallis", "stat_gtest", "stat_permutation_test",
+    "stat_tost_equivalence", "text_simpson_diversity", "text_mattr",
+    "events_bounce_rate", "ts_ses_backtest", "text_zipf_ols",
+    "text_yule_k", "stat_bartlett", "stat_mcnemar", "feat_woe",
+    "events_retention_matrix", "stat_kendall_tau", "stat_cochran_q",
+    "stat_friedman", "ts_granger_lite", "events_interarrival_cv",
+    "feat_target_encode_loo", "text_tfidf_top", "dedup_lsh_curve")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

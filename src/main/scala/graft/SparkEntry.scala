@@ -46,6 +46,7 @@ object SparkEntry {
     (Ext14Queries.queries, Ext14Queries.oracle),
     (Ext15Queries.queries, Ext15Queries.oracle),
     (Ext16Queries.queries, Ext16Queries.oracle),
+    (Ext17Queries.queries, Ext17Queries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (LakeQueries.queries, LakeQueries.oracle)
   )
