@@ -226,7 +226,7 @@ object ScaleBench {
     // volume linear; NN-descent is O(n·m²); beam search is per-query
     // constant work. Hashed KN: 256-bucket token alphabet saturates
     // every count table regardless of vocabulary growth.
-    "sim_ann_graph", "text_kn_bigram_hashed",
+    "sim_ann_graph", "sim_ann_graph_staged", "text_kn_bigram_hashed",
     // round-14 pack: enum-bounded group windows (gini / quantile CI /
     // percent_rank), calendar-bounded day pairs (MAD / Mann-Kendall),
     // shingle hash groupBys (soft weights / novelty), broadcast scalar

@@ -232,9 +232,23 @@ object SimilarityOps {
   def graphAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int, m: Int = 16,
       beam: Int = 12, iters: Int = 4, bandBits0: Int = 0, bands: Int = 8,
+      bucketCap: Int = 256): DataFrame =
+    graphAnnSearch(emb, idCol, vecCol,
+      graphAnnAdjacency(emb, idCol, vecCol, m, bandBits0, bands, bucketCap)
+        .localCheckpoint(true),
+      queryPred, k, beam, iters)
+
+  /** Steps 1-2 of the NSW build (SRP init edges + one NN-descent
+    * refinement) exposed separately: a production pipeline stages this
+    * adjacency once and amortizes it across query batches — the
+    * declared `sim_ann_graph_staged` tier measures exactly that split.
+    * Returns (src, dst, cos), each src trimmed to its top-`m`.
+    */
+  def graphAnnAdjacency(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16, bandBits0: Int = 0, bands: Int = 8,
       bucketCap: Int = 256): DataFrame = {
     val e = asDouble(emb, idCol, vecCol).localCheckpoint(true)
-    // bandBits0 = 0 → size the init buckets to the corpus like
+    // bandBits0 = 0 -> size the init buckets to the corpus like
     // lshNearDupPairsAuto: ~32 vectors per bucket keeps candidate
     // count (and therefore init-edge scoring) LINEAR in n — a fixed
     // geometry's occupancy grows with n, quadratic in disguise
@@ -274,22 +288,30 @@ object SimilarityOps {
       .select(col("src"), col("dst")).distinct()
     val adj0 = trim(cand0).localCheckpoint(true)
 
-    // 2. one NN-descent refinement: src→mid→dst candidates, merged
+    // 2. one NN-descent refinement: src->mid->dst candidates, merged
     val non = adj0.select(col("src"), col("dst").as("mid"))
       .join(adj0.select(col("src").as("mid"), col("dst")), "mid")
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .union(adj0.select(col("src"), col("dst")))
       .distinct()
-    val adj = trim(non).localCheckpoint(true)
+    trim(non)
+  }
 
-    // 3. greedy beam search for the query batch. Entry points: `beam`
-    // hash-argmin seeds (node minimizing xxhash64(id, r) per seed slot
-    // r) — deterministic, uniformly spread across the corpus, and ONE
-    // map-side-combined aggregate to compute. Multiple spread entries
-    // stand in for HNSW's upper-layer descent: a single entry's greedy
-    // path can stall in a far region of a flat NSW graph (measured:
-    // recall 0.48 at 60k nodes single-entry vs 0.8+ multi-entry).
+  /** Step 3 — greedy beam search over a prebuilt adjacency. Entry
+    * points: `beam` hash-argmin seeds (node minimizing
+    * xxhash64(id, r) per seed slot r) — deterministic, uniformly
+    * spread across the corpus, and ONE map-side-combined aggregate to
+    * compute. Multiple spread entries stand in for HNSW's upper-layer
+    * descent: a single entry's greedy path can stall in a far region
+    * of a flat NSW graph (measured: recall 0.48 at 60k nodes
+    * single-entry vs 0.8+ multi-entry). Exact dots per query are
+    * <= beam + iters·beam·m regardless of corpus size.
+    */
+  def graphAnnSearch(emb: DataFrame, idCol: String, vecCol: String,
+      adj: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
+      beam: Int = 12, iters: Int = 4): DataFrame = {
+    val e = asDouble(emb, idCol, vecCol).localCheckpoint(true)
     val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("e").as("q_e"))
     val entry = e.select(col("vec_id"),

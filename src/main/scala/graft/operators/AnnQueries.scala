@@ -237,6 +237,34 @@ object AnnQueries {
           queryPred = col("vec_id") < 10, k = 5),
         minHitNum = 1, minHitDen = 2)),
 
+    // the production split of sim_ann_graph: the NSW adjacency is
+    // STAGED once (fingerprinted on the embeddings parquet, the
+    // stagedEdges discipline) and the declared query runs only the
+    // beam-search tier over it — per-query work <= beam + iters·beam·m
+    // exact dots, independent of corpus size. Identical adjacency ->
+    // identical search results -> same brute-force oracle as the
+    // in-band tier.
+    "sim_ann_graph_staged" -> ((s, dir) => {
+      val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+      val fp = s"${java.nio.file.Files.size(src)}_" +
+        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      val hash = Integer.toHexString(dir.hashCode)
+      val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_annadj_${hash}_$fp")
+      AnnQueries.synchronized {
+        if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+          graft.api.SimilarityOps
+            .graphAnnAdjacency(Tables.embeddings(s, dir), "vec_id", "embedding")
+            .write.mode("overwrite").parquet(path.toString)
+        }
+      }
+      val adj = s.read.parquet(path.toString)
+      annReport(s, dir,
+        graft.api.SimilarityOps.graphAnnSearch(Tables.embeddings(s, dir),
+          "vec_id", "embedding", adj, queryPred = col("vec_id") < 10, k = 5),
+        minHitNum = 1, minHitDen = 2)
+    }),
+
     // SemDeDup-style semantic dedup: k-means cluster blocking bounds the
     // exact cosine scan to within-cluster pairs; the keep-list drops any
     // vector with a lower-id near-dup. Invariant report, LINEAR end to
@@ -441,6 +469,7 @@ object AnnQueries {
     "sim_ann_ivf" -> bruteTop1Sql,
     "sim_ann_kmeans" -> bruteTop1Sql,
     "sim_ann_graph" -> bruteTop1Sql,
+    "sim_ann_graph_staged" -> bruteTop1Sql,
     "sim_ann_pq" -> bruteTop1Sql,
 
     "dedup_semantic" ->

@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (536 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 536)
-    assert(SparkEntry.oracleSql.size >= 536)
+  test("declared inventory is complete (537 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 537)
+    assert(SparkEntry.oracleSql.size >= 537)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
