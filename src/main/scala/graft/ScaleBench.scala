@@ -258,7 +258,23 @@ object ScaleBench {
     "text_yule_k", "stat_bartlett", "stat_mcnemar", "feat_woe",
     "events_retention_matrix", "stat_kendall_tau", "stat_cochran_q",
     "stat_friedman", "ts_granger_lite", "events_interarrival_cv",
-    "feat_target_encode_loo", "text_tfidf_top", "dedup_lsh_curve")
+    "feat_target_encode_loo", "text_tfidf_top", "dedup_lsh_curve",
+    // round-15 Ext17 batch: value-domain cum windows (cvm / degree
+    // gini), keyed aggs (sign test / hashing trick / LOO), user-window
+    // session spine (duration), vocabulary-bounded source overlap,
+    // shingle-stream df profile, and the staged-adjacency ANN search
+    // tier (construction amortized — the warm rep measures search only)
+    "stat_cvm_twosample", "stat_sign_test", "ts_symbolic_entropy",
+    "graph_degree_gini", "feat_hashing_trick", "events_session_duration",
+    "text_source_overlap", "dedup_shingle_profile",
+    // round-15 Ext18 batch: bounded-domain cum windows (weighted
+    // median / activity concentration), keyed aggs + scalar formulas
+    // (poisson rate / design effect / bowker / turning points), degree
+    // join over edges (avg neighbor degree), md5-group pair sample
+    // (hubness)
+    "agg_weighted_median", "stat_poisson_rate", "graph_avg_neighbor_degree",
+    "sample_design_effect", "stat_bowker", "ts_turning_points",
+    "emb_hubness_sampled", "events_activity_concentration")
 
   // documented O(n²) exact baselines: expected ~4x at 2x data — the
   // contrast that motivates their scale twins above. dedup_components/

@@ -47,6 +47,7 @@ object SparkEntry {
     (Ext15Queries.queries, Ext15Queries.oracle),
     (Ext16Queries.queries, Ext16Queries.oracle),
     (Ext17Queries.queries, Ext17Queries.oracle),
+    (Ext18Queries.queries, Ext18Queries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (LakeQueries.queries, LakeQueries.oracle)
   )

@@ -18,9 +18,9 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
-  test("declared inventory is complete (537 queries, all oracle-checked)") {
-    assert(SparkEntry.queries.size >= 537)
-    assert(SparkEntry.oracleSql.size >= 537)
+  test("declared inventory is complete (545 queries, all oracle-checked)") {
+    assert(SparkEntry.queries.size >= 545)
+    assert(SparkEntry.oracleSql.size >= 545)
     // every declared query is oracle-checked — a new query landing
     // without its oracle SQL fails here, not in the driver's compare
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
