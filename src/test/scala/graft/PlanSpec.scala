@@ -718,4 +718,66 @@ class PlanSpec extends AnyFunSuite {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"unpartitioned window (single-partition funnel):\n$w"))
   }
+
+  test("round-15 batches: no all-pairs scans anywhere") {
+    // every pair-forming operator must pair inside hash groups (md5
+    // prefix / token / grp equi-joins) or calendar-bounded frames —
+    // never a CartesianProduct over the corpus
+    Seq("dedup_lsh_curve", "dedup_shingle_profile", "emb_hubness_sampled",
+      "text_tfidf_top", "text_yule_k", "text_source_overlap",
+      "stat_kendall_tau", "events_bounce_rate", "events_retention_matrix",
+      "events_session_duration", "agg_weighted_median",
+      "events_activity_concentration", "stat_cvm_twosample",
+      "graph_avg_neighbor_degree", "graph_degree_gini").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k: all-pairs scan:\n$p")
+    }
+  }
+
+  test("round-15 session/user windows are partitioned; value-domain windows sit over grouped domains") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // user-keyed session spines: every window partitions on the user
+    Seq("events_bounce_rate", "events_session_duration").foreach { k =>
+      val qe = SparkEntry.queries(k)(spark, sf).queryExecution
+      val ws = qe.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.nonEmpty, s"$k: expected a window")
+      ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$k: unpartitioned window (single-partition funnel):\n$w"))
+    }
+    // bounded-VALUE-domain cumulatives: an unpartitioned window is only
+    // legal over a value-grouped Aggregate (the domain, not the corpus)
+    Seq("stat_cvm_twosample", "events_activity_concentration",
+      "graph_degree_gini", "stat_kruskal_wallis").foreach { k =>
+      val qe = SparkEntry.queries(k)(spark, sf).queryExecution
+      qe.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.foreach { w =>
+        val grouped = w.child.collectFirst {
+          case a: Aggregate if a.groupingExpressions.nonEmpty => a
+        }.isDefined
+        assert(grouped,
+          s"$k: unpartitioned window not over a grouped value domain:\n$w")
+      }
+    }
+  }
+
+  test("sim_ann_graph_staged stages the adjacency once under the fingerprinted path") {
+    // the beam-search lineage is localCheckpoint-truncated, so the
+    // staged scan cannot appear in the report's final plan — pin the
+    // staging discipline itself: invoking the declared query must leave
+    // a non-empty fingerprinted adjacency parquet behind, which every
+    // later invocation (and the bench) reads instead of rebuilding
+    val p = plan("sim_ann_graph_staged")
+    assert(!p.contains("CartesianProduct"), s"all-pairs scan:\n$p")
+    val src = java.nio.file.Paths.get(sf, "embeddings.parquet")
+    val fp = s"${java.nio.file.Files.size(src)}_" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    val hash = Integer.toHexString(sf.hashCode)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_annadj_${hash}_$fp")
+    assert(java.nio.file.Files.exists(path.resolve("_SUCCESS")),
+      s"staged adjacency missing at $path")
+    assert(spark.read.parquet(path.toString).count() > 0,
+      "staged adjacency is empty")
+  }
 }
