@@ -6,42 +6,54 @@ import org.apache.spark.sql.functions._
 /** Micro-bench scratchpad: decompose the stage costs of whichever query
   * is currently under the knife. runMain graft.QMicro
   *
-  * Current target: TopKPerKeyExec (bounded heap, map-side partial)
-  * vs the stock Exchange→Sort→Window→Filter rank-filter plan, on a
-  * synthetic fact table big enough that shuffle volume dominates.
+  * Current target: the lake family's per-commit constant — append and
+  * rewrite cost before/after fusing the stats job into the staged write.
   */
 object QMicro {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    def time(label: String)(thunk: => Long): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def time[T](label: String)(thunk: => T): T = {
       val t0 = System.nanoTime()
-      val c = thunk
-      println(f"[qmicro] $label rows=$c t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val r = thunk
+      println(f"[qmicro] $label t=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
     }
-    // 20M WIDE rows (~300B payload), 1k keys, top-3 per key — the
-    // "top-k documents per key" shape where the stock plan's per-key
-    // Sort moves whole records and the bounded heap only copies k·keys
-    def fact(s: SparkSession) = s.range(20000000L)
-      .select((col("id") % 1000).as("k"),
-        col("id").as("row_id"),
-        (xxhash64(col("id")) % 1000000).cast("double").as("v"),
-        repeat(concat(lit("payload-"), col("id").cast("string")), 15).as("doc"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("k")).orderBy(desc("v"), col("row_id"))
-    def query(s: SparkSession) = fact(s)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-    for (rep <- 1 to 2) {
-      time(s"rep$rep window-sort-filter") { query(spark).count() }
-      val cs = spark.newSession()
-      graft.plans.TopKPerKey.install(cs)
-      time(s"rep$rep topk-bounded-heap") { query(cs).count() }
+    val b = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_rt/qmicro_lake"
+    def wipe(): Unit = {
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally walk.close()
+      }
+    }
+    for (rep <- 1 to 3) {
+      wipe()
+      val t = time(s"rep$rep create") {
+        graft.lake.LakeTable.create(spark, root,
+          b.filter(col("k") % 23 === 0).coalesce(1), Seq("k"))
+      }
+      time(s"rep$rep 21-appends") {
+        for (i <- 1 to 21) t.append(b.filter(col("k") % 23 === i).coalesce(1))
+      }
+      time(s"rep$rep deleteWhere") { t.deleteWhere(col("k") % 2 === 1) }
+      time(s"rep$rep final-agg") {
+        t.read().agg(count(lit(1)), sum(col("price"))).collect()
+      }
     }
     spark.stop()
   }

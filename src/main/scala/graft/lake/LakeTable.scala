@@ -2270,15 +2270,29 @@ object LakeTable {
       bucketBy: Seq[String] = Nil, buckets: Int = 0): Seq[FileEntry] = {
     val job = UUID.randomUUID().toString.replace("-", "").take(12)
     val scratch = Paths.get(path, s"_staging_$job")
+    // For the plain (unbucketed, unpartitioned) layout, ride the stats
+    // aggregation on the staged WRITE job itself (CollectMetrics): when
+    // the stage produces exactly one file — the dominant commit shape —
+    // the global observed aggregates ARE that file's stats, and the
+    // separate reread job (plus its footer-inference job) is skipped
+    // entirely. Multi-file stages fall back to the per-file reread.
+    // statAggCols is shared with entriesFor, so both paths record
+    // bit-identical manifest stats (HLL registers are max-based —
+    // insertion order cannot change the serialized sketch).
+    var observed: Map[String, Any] = null
     if (bucketBy.nonEmpty) {
       // Spark's own bucket distribution: repartition(n, cols) IS
       // HashPartitioning(cols, n), so scratch partition index i holds
       // exactly bucket i's rows — the reader-side grouping contract
       df.repartition(buckets, bucketBy.map(col): _*)
         .write.mode("overwrite").parquet(scratch.toString)
-    } else if (partitionBy.isEmpty)
-      df.write.mode("overwrite").parquet(scratch.toString)
-    else {
+    } else if (partitionBy.isEmpty) {
+      val aggs = statAggCols(df.schema, statsCols)
+      val obs = new org.apache.spark.sql.Observation(s"gf_stage_$job")
+      df.observe(obs, aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(scratch.toString)
+      observed = obs.get
+    } else {
       val gfp = partitionBy.map(c => s"_gfp_$c")
       df.withColumns(partitionBy.zip(gfp)
           .map { case (c, g) => g -> col(c) }.toMap)
@@ -2309,7 +2323,25 @@ object LakeTable {
       target
     }
     deleteRecursively(scratch)
-    entriesFor(spark, path, named, statsCols)
+    if (observed != null && named.size == 1 &&
+        observed("_rows").asInstanceOf[Long] > 0L) {
+      val (strCols, longCols) = statsCols.partition(c =>
+        df.schema(c).dataType == StringType)
+      val (rows, stats, strStats, nulls, hll) =
+        decodeStats(observed(_), longCols, strCols)
+      Seq(FileEntry(named.head, rows, stats,
+        Files.size(Paths.get(path, named.head)),
+        strStats = strStats, nulls = nulls, hll = hll))
+    } else if (observed != null && named.size == 1) {
+      // zero-row file: match entriesFor's absent-group default exactly
+      // (no stats, no null counts, no sketches)
+      Seq(FileEntry(named.head, 0L, Map.empty[String, (Long, Long)],
+        Files.size(Paths.get(path, named.head))))
+    } else
+      // multi-file (or partitioned/bucketed) stage: per-file reread,
+      // with the explicit schema (= what the files store) so no
+      // footer-inference job runs
+      entriesFor(spark, path, named, statsCols, fileSchema = df.schema)
   }
 
   /** Build one stats-complete manifest entry per already-written table
@@ -2318,9 +2350,15 @@ object LakeTable {
     * BatchWrite adoption path.
     */
   private[lake] def entriesFor(spark: SparkSession, path: String,
-      named: Seq[String], statsCols: Seq[String]): Seq[FileEntry] = {
+      named: Seq[String], statsCols: Seq[String],
+      fileSchema: StructType = null): Seq[FileEntry] = {
     if (named.isEmpty) return Seq.empty
-    val reread = spark.read.parquet(named.map(n => s"$path/$n"): _*)
+    // an explicit schema (the staged frame's — identical to what the
+    // files store) skips the parquet footer-inference Spark job the
+    // schemaless reader otherwise runs per commit
+    val reader =
+      if (fileSchema != null) spark.read.schema(fileSchema) else spark.read
+    val reread = reader.parquet(named.map(n => s"$path/$n"): _*)
     val (strCols, longCols) = statsCols.partition(c =>
       reread.schema(c).dataType == StringType)
     // per column, the same single stats job also records the null count
@@ -2328,45 +2366,14 @@ object LakeTable {
     // equality-selectivity inputs, and this is the only pass that ever
     // reads the staged bytes. Long columns sketch their manifest long
     // ENCODING (injective — ndv is preserved); strings sketch raw.
-    val aggs = count(lit(1)).as("_rows") +:
-      (longCols.flatMap { c =>
-        val enc = statLong(c, reread.schema(c).dataType)
-        Seq(min(enc).as(s"_min_$c"), max(enc).as(s"_max_$c"),
-          count(lit(1)).minus(count(col(c))).as(s"_nulls_$c"),
-          hll_sketch_agg(enc, HllLgK).as(s"_hll_$c"))
-      } ++ strCols.flatMap { c =>
-        // min/max travel untruncated (one value per file per column);
-        // truncation to the manifest encoding happens below, driver-side
-        Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c"),
-          count(lit(1)).minus(count(col(c))).as(s"_nulls_$c"),
-          hll_sketch_agg(col(c), HllLgK).as(s"_hll_$c"))
-      })
+    val aggs = statAggCols(reread.schema, statsCols)
     val statRows = reread
       .groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val byName = statRows.map { r =>
-      val stats = longCols.flatMap { c =>
-        val mn = r.getAs[Any](s"_min_$c")
-        val mx = r.getAs[Any](s"_max_$c")
-        if (mn == null || mx == null) None
-        else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
-      }.toMap
-      val strStats = strCols.flatMap { c =>
-        val mn = r.getAs[String](s"_min_$c")
-        val mx = r.getAs[String](s"_max_$c")
-        if (mn == null || mx == null) None
-        else Some(c -> ((truncMin(mn), truncMax(mx))))
-      }.toMap
-      val nulls = (longCols ++ strCols).map { c =>
-        c -> r.getAs[Long](s"_nulls_$c")
-      }.toMap
-      val hll = (longCols ++ strCols).flatMap { c =>
-        Option(r.getAs[Array[Byte]](s"_hll_$c"))
-          .map(b => c -> java.util.Base64.getEncoder.encodeToString(b))
-      }.toMap
       new File(r.getAs[String]("_file")).getName ->
-        ((r.getAs[Long]("_rows"), stats, strStats, nulls, hll))
+        decodeStats(k => r.getAs[Any](k), longCols, strCols)
     }.toMap
     named.toSeq.map { n =>
       val (rows, stats, strStats, nulls, hll) = byName.getOrElse(n,
@@ -2376,6 +2383,59 @@ object LakeTable {
       FileEntry(n, rows, stats, Files.size(Paths.get(path, n)),
         strStats = strStats, nulls = nulls, hll = hll)
     }
+  }
+
+  /** The per-file stats aggregate list entriesFor and the fused
+    * stage-write observation share — one definition so both paths
+    * record bit-identical manifest stats.
+    */
+  private def statAggCols(schema: StructType,
+      statsCols: Seq[String]): Seq[Column] = {
+    val (strCols, longCols) = statsCols.partition(c =>
+      schema(c).dataType == StringType)
+    count(lit(1)).as("_rows") +:
+      (longCols.flatMap { c =>
+        val enc = statLong(c, schema(c).dataType)
+        Seq(min(enc).as(s"_min_$c"), max(enc).as(s"_max_$c"),
+          count(lit(1)).minus(count(col(c))).as(s"_nulls_$c"),
+          hll_sketch_agg(enc, HllLgK).as(s"_hll_$c"))
+      } ++ strCols.flatMap { c =>
+        // min/max travel untruncated (one value per file per column);
+        // truncation to the manifest encoding happens in decodeStats,
+        // driver-side
+        Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c"),
+          count(lit(1)).minus(count(col(c))).as(s"_nulls_$c"),
+          hll_sketch_agg(col(c), HllLgK).as(s"_hll_$c"))
+      })
+  }
+
+  /** Decode one file's [[statAggCols]] result (a Row or an observed
+    * metrics map) into the manifest stat maps.
+    */
+  private def decodeStats(get: String => Any, longCols: Seq[String],
+      strCols: Seq[String]): (Long, Map[String, (Long, Long)],
+      Map[String, (String, Option[String])], Map[String, Long],
+      Map[String, String]) = {
+    val stats = longCols.flatMap { c =>
+      val mn = get(s"_min_$c")
+      val mx = get(s"_max_$c")
+      if (mn == null || mx == null) None
+      else Some(c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+    }.toMap
+    val strStats = strCols.flatMap { c =>
+      val mn = get(s"_min_$c").asInstanceOf[String]
+      val mx = get(s"_max_$c").asInstanceOf[String]
+      if (mn == null || mx == null) None
+      else Some(c -> ((truncMin(mn), truncMax(mx))))
+    }.toMap
+    val nulls = (longCols ++ strCols).map { c =>
+      c -> get(s"_nulls_$c").asInstanceOf[Long]
+    }.toMap
+    val hll = (longCols ++ strCols).flatMap { c =>
+      Option(get(s"_hll_$c").asInstanceOf[Array[Byte]])
+        .map(b => c -> java.util.Base64.getEncoder.encodeToString(b))
+    }.toMap
+    (get("_rows").asInstanceOf[Long], stats, strStats, nulls, hll)
   }
 
   /** Checkpoint cadence of the delta log: versions 1, K, 2K, … publish
