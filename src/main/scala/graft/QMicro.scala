@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Micro-bench scratchpad: decompose the stage costs of whichever query
   * is currently under the knife. runMain graft.QMicro
   *
-  * Current target: the lake family's per-commit constant — append and
-  * rewrite cost before/after fusing the stats job into the staged write.
+  * Current target: per-microbatch cost breakdown of the stream-stream
+  * outer joins (the two heaviest streaming keys) via StreamingQuery
+  * progress durations.
   */
 object QMicro {
   def main(args: Array[String]): Unit = {
@@ -21,39 +22,25 @@ object QMicro {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def time[T](label: String)(thunk: => T): T = {
+    graft.streaming.StreamingDeclared.warmStaging(spark, dir)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        println(s"[qmicro] started ${e.name} at ${System.currentTimeMillis}")
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        println(s"[qmicro] batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durations=${p.durationMs} state=${p.stateOperators.map(s =>
+            s"op(rows=${s.numRowsTotal},commit=${s.commitTimeMs}ms)").mkString(";")}")
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        println(s"[qmicro] terminated at ${System.currentTimeMillis}")
+    }
+    spark.streams.addListener(listener)
+    for (rep <- 1 to 2) {
       val t0 = System.nanoTime()
-      val r = thunk
-      println(f"[qmicro] $label t=${(System.nanoTime() - t0) / 1e9}%.3f s")
-      r
-    }
-    val b = graft.Tables.orders(spark, dir).select(
-      col("o_orderkey").cast("long").as("k"),
-      col("o_orderstatus").as("status"),
-      col("o_totalprice").as("price"))
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_rt/qmicro_lake"
-    def wipe(): Unit = {
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => java.nio.file.Files.deleteIfExists(q))
-        finally walk.close()
-      }
-    }
-    for (rep <- 1 to 3) {
-      wipe()
-      val t = time(s"rep$rep create") {
-        graft.lake.LakeTable.create(spark, root,
-          b.filter(col("k") % 23 === 0).coalesce(1), Seq("k"))
-      }
-      time(s"rep$rep 21-appends") {
-        for (i <- 1 to 21) t.append(b.filter(col("k") % 23 === i).coalesce(1))
-      }
-      time(s"rep$rep deleteWhere") { t.deleteWhere(col("k") % 2 === 1) }
-      time(s"rep$rep final-agg") {
-        t.read().agg(count(lit(1)), sum(col("price"))).collect()
-      }
+      val n = SparkEntry.queries("stream_stream_outer")(spark, dir).count()
+      println(f"[qmicro] rep$rep stream_stream_outer rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -294,8 +294,12 @@ object AnalyticsQueries {
       val denied = Tables.supplier(s, dir)
         .filter(col("s_acctbal") < 0)
         .select(col("s_suppkey").as("bad_sk"))
+      // NOTE (r15 optimization): no pre-distinct on (l_partkey,
+      // l_suppkey) — countDistinct(l_suppkey) is multiplicity-
+      // insensitive, so the 2-column full-width Exchange the distinct
+      // cost bought nothing. One less shuffle of the fact table.
       Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(col("l_partkey"), col("l_suppkey"))
         .join(broadcast(Tables.part(s, dir)
             .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
               col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36))
@@ -543,21 +547,28 @@ object AnalyticsQueries {
     // the order) and one anti (no OTHER supplier was late) on the same
     // order key.
     "tpch_q21" -> ((s, dir) => {
+      // r15 optimization: the EXISTS (another supplier on the order) /
+      // NOT EXISTS (another LATE supplier) double is a per-orderkey
+      // cardinality fact — n_all ≥ 2 ∧ n_late = 1 — so ONE aggregation
+      // over the (orderkey, suppkey, flag) pairs replaces two full
+      // distinct Exchanges plus a shuffled semi and a shuffled anti
+      // join. A surviving order's single late supplier is
+      // max(late suppkey) (n_late = 1 makes max exact). Result set is
+      // identical pair-for-pair; oracle-checked at all three sfs.
       val pairs = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      val latePairs = pairs.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val allPairs = pairs.select(col("l_orderkey").as("ok2"),
-        col("l_suppkey").as("sk2")).distinct()
-      val lateOthers = latePairs.select(col("l_orderkey").as("ok3"),
-        col("l_suppkey").as("sk3"))
-      latePairs
+      val candidates = pairs
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_all"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_late"),
+          max(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("late_sk"))
+        .filter(col("n_late") === 1 && col("n_all") >= 2)
+        .select(col("l_orderkey"), col("late_sk").as("l_suppkey"))
+      candidates
         .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .join(allPairs, col("l_orderkey") === col("ok2") &&
-          col("sk2") =!= col("l_suppkey"), "left_semi")
-        .join(lateOthers, col("l_orderkey") === col("ok3") &&
-          col("sk3") =!= col("l_suppkey"), "left_anti")
         .join(broadcast(Tables.supplier(s, dir)
           .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
           .filter(col("n_name") === "NATION_13")

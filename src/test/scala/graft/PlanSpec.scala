@@ -177,10 +177,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("tpch_q21 runs the EXISTS/NOT-EXISTS double as one semi + one anti join") {
+  test("tpch_q21 folds the EXISTS/NOT-EXISTS double into one keyed aggregation") {
     val p = plan("tpch_q21")
+    // r15: the two correlated existence probes are per-orderkey distinct
+    // counts (n_all/n_late) — one aggregation, no shuffled anti join and
+    // no full-width distinct Exchanges over the pair set
     assert(p.contains("LeftSemi"), p)
-    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("LeftAnti"), p)
+    // the two distinct counts plan as one Expand-based aggregation
+    assert(p.contains("Expand"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
