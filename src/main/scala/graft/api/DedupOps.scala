@@ -566,10 +566,16 @@ object DedupOps {
     * entries.
     */
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint()
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    // the ids come from the checkpoint's OWN LogicalRDD node, not a
+    // before/after diff of the global persistent-RDD registry — the
+    // diff raced when two component computations checkpoint from
+    // different driver threads (one call could capture, then free, the
+    // other's live blocks)
+    val ids = out.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.toSet
+    (out, ids)
   }
 
   private def freeCheckpoint(df: DataFrame, ids: Set[Int]): Unit = {
@@ -705,10 +711,13 @@ object DedupOps {
         .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
       val largeMin = sym.groupBy(col("u"))
         .agg(least(min(col("v")), col("u")).as("m"))
+      // r15: no intermediate distinct — the round's OUTPUT is distinct'd
+      // below, smallMin's min() is multiplicity-insensitive, and the
+      // join multiplicities the dedup suppressed cost less than the
+      // full-width Exchange the distinct spent every round
       val afterLarge = sym.join(largeMin, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))
-        .distinct()
       // small-star: group each node v's smaller neighbors (edges are
       // normalized u < v), hook them AND v onto the group minimum
       val smallMin = afterLarge.groupBy(col("v")).agg(min(col("u")).as("m"))

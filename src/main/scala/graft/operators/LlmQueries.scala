@@ -332,10 +332,22 @@ object LlmQueries {
     // so in-group LSH edges are sampled exact edges).
     "dedup_components_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val lshComp = graft.api.DedupOps.connectedComponentsLogStar(
-          graft.api.DedupOps.nearDupPipeline(docs, "doc_id", "text")
-            .select(col("id_a"), col("id_b")))
-        .select(col("doc_id"), col("component_id").as("lsh_comp"))
+      // r15: the LSH-side clustering and the exact sampled spine are
+      // INDEPENDENT job chains until the final refinement join — run
+      // the LSH chain on a second driver thread so its jobs back-fill
+      // the scheduler while the exact spine's rounds run (guide §2.6
+      // overlap; actions are only sequential because the driver calls
+      // them sequentially). Same frames, same results — only the job
+      // submission order changes.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val lshCompF = Future {
+        graft.api.DedupOps.connectedComponentsLogStar(
+            graft.api.DedupOps.nearDupPipeline(docs, "doc_id", "text")
+              .select(col("id_a"), col("id_b")))
+          .select(col("doc_id"), col("component_id").as("lsh_comp"))
+      }
       // sampled exact token-4/5 pair graph: intra-md5-group pairs only,
       // token sets compared with the codegen sorted-merge intersect
       val prefLen = graft.api.DedupOps.samplePrefixLen(docs.count())
@@ -359,6 +371,7 @@ object LlmQueries {
       val exactComp = graft.api.DedupOps.connectedComponentsLogStar(pairs)
         .select(col("doc_id"), col("component_id"))
         .localCheckpoint(true)
+      val lshComp = Await.result(lshCompF, Duration.Inf)
       // in-group refinement: docs of one sample group sharing an LSH
       // cluster must sit in one sampled exact component
       val refines = lshComp

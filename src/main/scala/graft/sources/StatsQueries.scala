@@ -50,8 +50,11 @@ object StatsQueries {
     Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
       .write.saveAsTable("graft_stats_customer")
-    for (t <- Seq("graft_stats_lineitem", "graft_stats_orders", "graft_stats_customer"))
-      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    // r15 optimization: no separate table-level ANALYZE pass — the
+    // FOR COLUMNS command below computes and records sizeInBytes and
+    // rowCount too (CommandUtils.analyzeTable runs inside
+    // AnalyzeColumnCommand), so the plain COMPUTE STATISTICS scans were
+    // three redundant jobs per invocation. CBO sees identical stats.
     s.sql("ANALYZE TABLE graft_stats_lineitem COMPUTE STATISTICS FOR COLUMNS l_orderkey")
     s.sql("ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
     s.sql("ANALYZE TABLE graft_stats_customer COMPUTE STATISTICS FOR COLUMNS c_custkey, c_nationkey")
