@@ -232,11 +232,16 @@ object SimilarityOps {
   def graphAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int, m: Int = 16,
       beam: Int = 12, iters: Int = 4, bandBits0: Int = 0, bands: Int = 8,
-      bucketCap: Int = 256): DataFrame =
-    graphAnnSearch(emb, idCol, vecCol,
-      graphAnnAdjacency(emb, idCol, vecCol, m, bandBits0, bands, bucketCap)
+      bucketCap: Int = 256): DataFrame = {
+    // r15: one shared checkpoint of the double-cast embedding frame —
+    // build and search previously each materialized their own copy of
+    // the identical frame (one extra job + duplicate cast pass)
+    val e = asDouble(emb, idCol, vecCol).localCheckpoint(true)
+    graphAnnSearchOnE(e,
+      graphAnnAdjacencyOnE(e, m, bandBits0, bands, bucketCap)
         .localCheckpoint(true),
       queryPred, k, beam, iters)
+  }
 
   /** Steps 1-2 of the NSW build (SRP init edges + one NN-descent
     * refinement) exposed separately: a production pipeline stages this
@@ -246,8 +251,12 @@ object SimilarityOps {
     */
   def graphAnnAdjacency(emb: DataFrame, idCol: String, vecCol: String,
       m: Int = 16, bandBits0: Int = 0, bands: Int = 8,
-      bucketCap: Int = 256): DataFrame = {
-    val e = asDouble(emb, idCol, vecCol).localCheckpoint(true)
+      bucketCap: Int = 256): DataFrame =
+    graphAnnAdjacencyOnE(asDouble(emb, idCol, vecCol).localCheckpoint(true),
+      m, bandBits0, bands, bucketCap)
+
+  private def graphAnnAdjacencyOnE(e: DataFrame,
+      m: Int, bandBits0: Int, bands: Int, bucketCap: Int): DataFrame = {
     // bandBits0 = 0 -> size the init buckets to the corpus like
     // lshNearDupPairsAuto: ~32 vectors per bucket keeps candidate
     // count (and therefore init-edge scoring) LINEAR in n — a fixed
@@ -310,8 +319,13 @@ object SimilarityOps {
     */
   def graphAnnSearch(emb: DataFrame, idCol: String, vecCol: String,
       adj: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
-      beam: Int = 12, iters: Int = 4): DataFrame = {
-    val e = asDouble(emb, idCol, vecCol).localCheckpoint(true)
+      beam: Int = 12, iters: Int = 4): DataFrame =
+    graphAnnSearchOnE(asDouble(emb, idCol, vecCol).localCheckpoint(true),
+      adj, queryPred, k, beam, iters)
+
+  private def graphAnnSearchOnE(e: DataFrame, adj: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      beam: Int, iters: Int): DataFrame = {
     val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("e").as("q_e"))
     val entry = e.select(col("vec_id"),
