@@ -1,14 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Micro-bench scratchpad: decompose the stage costs of whichever query
-  * is currently under the knife. runMain graft.QMicro
+  * is currently under the knife. runMain graft.QMicro <query> [reps]
   *
-  * Current target: per-microbatch cost breakdown of the stream-stream
-  * outer joins (the two heaviest streaming keys) via StreamingQuery
-  * progress durations.
+  * Current shape: generic per-job profile of a declared query — one
+  * line per Spark job with wall time and the job's callsite, so the
+  * expensive phase of a multi-action query names itself.
   */
 object QMicro {
   def main(args: Array[String]): Unit = {
@@ -22,25 +21,30 @@ object QMicro {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    graft.streaming.StreamingDeclared.warmStaging(spark, dir)
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit =
-        println(s"[qmicro] started ${e.name} at ${System.currentTimeMillis}")
-      override def onQueryProgress(e: QueryProgressEvent): Unit = {
-        val p = e.progress
-        println(s"[qmicro] batch=${p.batchId} rows=${p.numInputRows} " +
-          s"durations=${p.durationMs} state=${p.stateOperators.map(s =>
-            s"op(rows=${s.numRowsTotal},commit=${s.commitTimeMs}ms)").mkString(";")}")
+    val name = args.headOption.getOrElse("sim_ann_graph")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val t0s = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    @volatile var profile = false
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        t0s.put(js.jobId, (System.nanoTime(),
+          Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(t0s.remove(je.jobId)).foreach { case (t0, cs) =>
+          if (profile)
+            println(f"[qmicro]   job=${je.jobId}%4d t=${(System.nanoTime() - t0) / 1e9}%7.3f s  $cs")
+        }
       }
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        println(s"[qmicro] terminated at ${System.currentTimeMillis}")
-    }
-    spark.streams.addListener(listener)
-    for (rep <- 1 to 2) {
+    })
+    (1 to reps).foreach { i =>
+      profile = i == reps // profile only the last (warm) rep
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries("stream_stream_outer")(spark, dir).count()
-      println(f"[qmicro] rep$rep stream_stream_outer rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      Thread.sleep(100)
+      println(f"[qmicro] $name rep$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      catch { case _: Throwable => () }
     }
     spark.stop()
   }
